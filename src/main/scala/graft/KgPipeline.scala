@@ -1,0 +1,103 @@
+package graft
+
+import graft.canon.ConnectedComponents
+import graft.core._
+import graft.ingest.DocValidator
+import graft.nlp.{AhoCorasick, MentionDetector, SentenceSplitter, Tokenizer}
+import graft.pairs.PairGenerator
+import graft.score.{RelationScorer, WindowEncoder}
+import graft.triggers.TriggerDetector
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end KG-construction pipeline (SURVEY.md §3.1 re-expressed
+  * Spark-first).
+  *
+  * Physical shape at cluster scale (SURVEY.md §4 "physical execution"):
+  * the entire extract→encode→score path is ONE narrow pass per document —
+  * doc text is tokenized once and every stage is a function of the in-hand
+  * doc (the reference's per-doc loop, tf.py:293-434, without its process
+  * boundary). The only shuffles are:
+  *   1. canonicalization (iterative self-joins over the tiny entity-edge
+  *      Dataset, not the corpus);
+  *   2. the final triple distinct (map-side combinable);
+  *   3. the node-table aggregation;
+  * plus a broadcast each for the dictionary automaton and the canonical
+  * map. Nothing ever collects mention- or pair-level data to the driver.
+  */
+object KgPipeline {
+
+  case class Output(triples: Dataset[Triple], triggers: Dataset[Trigger],
+                    scoredAll: Dataset[ScoredPair], unfitted: DataFrame,
+                    nodes: DataFrame, quarantine: Dataset[QuarantineRow])
+
+  /** The fused narrow pass: docs → encoded candidate pairs.
+    * Exposed separately so tests/queries can observe the intermediate. */
+  def encodeCandidates(docs: Dataset[Doc], dict: Broadcast[AhoCorasick],
+                       config: TaskConfig)
+                      (implicit spark: SparkSession): Dataset[EncodedPair] = {
+    import spark.implicits._
+    docs.flatMap { doc =>
+      val sentences = SentenceSplitter.split(doc)
+      val mentions = MentionDetector.detect(doc, dict.value, sentences)
+      val pairs = PairGenerator.forDoc(mentions, config)
+      if (pairs.isEmpty) Nil
+      else {
+        val tokens = Tokenizer.tokenize(SentenceSplitter.docText(doc))
+        WindowEncoder.encodeDoc(tokens, pairs, mentions, config.maxSeqLen)
+      }
+    }
+  }
+
+  /** Full prediction pipeline. `equivEdges` is the (small) global
+    * cross-reference/alias edge set driving canonicalization. */
+  def run(docs: Dataset[Doc], dictEntries: Seq[DictEntry],
+          equivEdges: Dataset[EquivEdge], scorer: RelationScorer,
+          config: TaskConfig = TaskConfig.complexTome)
+         (implicit spark: SparkSession): Output = {
+    import spark.implicits._
+
+    val (good, quarantine) = DocValidator.split(docs)
+    val dict = MentionDetector.broadcastDict(spark, dictEntries)
+
+    val encoded = encodeCandidates(good, dict, config)
+    val unfitted = encoded.filter(!_.fitted).toDF()
+      .select($"doc_id", $"e1", $"e2", $"e1_norm", $"e2_norm",
+        $"sent_dist", $"tokenDistance") // A3 fitted/unfitted statistics feed
+    val scored = encoded.filter(_.fitted).mapPartitions(scorer.score(_))
+
+    // canonical map from the global equivalence edges (J6); tiny vs corpus
+    val canonMap = ConnectedComponents.canonicalize(equivEdges)
+
+    // F7: only argmax-positive rows materialize as triples; all scored rows
+    // remain available (the reference writes every row to TSV, positives
+    // additionally to .ann — tf.py:405-407)
+    val positives = scored.filter((s: ScoredPair) => s.score_pos > s.score_neg)
+    val canonical = ConnectedComponents.withCanonical(
+      ConnectedComponents.withCanonical(positives.toDF(), "e1_norm", canonMap, "subj"),
+      "e2_norm", canonMap, "obj")
+    val triples = canonical
+      .select($"doc_id",
+        least($"subj", $"obj").as("subj"),
+        lit("Complex_formation").as("pred"),
+        greatest($"subj", $"obj").as("obj"),
+        $"e1", $"e2", $"score_neg", $"score_pos")
+      .as[Triple]
+
+    val triggers = positives.flatMap(TriggerDetector.triggersFor _)
+
+    // node table: canonical id + surfaces + mention counts (A2-style stats)
+    val mentionNorms = good.flatMap { doc =>
+      MentionDetector.detect(doc, dict.value, SentenceSplitter.split(doc))
+        .map(m => (m.norm_id, m.text))
+    }.toDF("norm_id", "surface")
+    val nodes = ConnectedComponents.withCanonical(mentionNorms, "norm_id", canonMap, "node_id")
+      .groupBy($"node_id")
+      .agg(lit("Protein").as("tag"),
+        sort_array(collect_set($"surface")).as("surfaces"),
+        count(lit(1)).as("n_mentions"))
+
+    Output(triples, triggers, scored, unfitted, nodes, quarantine)
+  }
+}

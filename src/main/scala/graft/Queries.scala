@@ -1,0 +1,311 @@
+package graft
+
+import graft.core._
+import graft.nlp.MentionDetector
+import graft.operators.{Dedup, Multimodal, SimSearch, TextAnalysis}
+import graft.score.LexiconScorer
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Implementations behind SparkEntry.queries.
+  *
+  * Design rules for oracle-checked queries (the driver compares against
+  * DuckDB by sorted-column value hashing):
+  *  - integer / string outputs wherever possible;
+  *  - money aggregates cast to DECIMAL before summing (order-independent,
+  *    bit-exact in both engines); per-row IEEE doubles are fine (division
+  *    is deterministic), cross-row double sums are not;
+  *  - every aggregate/computed column aliased identically on both sides;
+  *  - LIMIT queries carry a deterministic tie-break.
+  */
+object Queries {
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- TPC-H
+
+  /** A1-style grouped aggregation with decimal-exact money sums. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+
+  /** Broadcast dimension join (region→nation→supplier). */
+  def q2BroadcastJoin(s: SparkSession, dir: String): DataFrame = {
+    val supplier = table(s, dir, "supplier")
+    val nation = table(s, dir, "nation")
+    val region = table(s, dir, "region")
+    supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
+  }
+
+  /** Shuffle join + top-k with deterministic tie-break. */
+  def q3JoinTopK(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+      .limit(10)
+
+  /** Left-semi join (EXISTS). */
+  def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val open = table(s, dir, "orders").filter(col("o_orderstatus") === "O")
+    table(s, dir, "customer")
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no big-ticket order. */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Window function: each customer's top order (deterministic order). */
+  def q6Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").as("top_price"))
+  }
+
+  /** Set operation: parts never shipped in bulk (EXCEPT). */
+  def q7SetOp(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part").select(col("p_partkey"))
+      .except(table(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_partkey").as("p_partkey")))
+
+  /** Distinct aggregation. */
+  def q8DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+        count(lit(1)).as("n_customers"))
+
+  /** Selective filter + narrow projection (predicate/column pushdown —
+    * .explain shows PushedFilters + a 3-column ReadSchema). */
+  def q9FilterPushdown(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") < 5 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  // ---------------------------------------------------------------- events
+
+  /** Tumbling 5-minute windowed aggregation (batch). */
+  def q10EventsWindow(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(((unix_timestamp(col("ts")).cast("long") / 300).cast("long") * 300)
+          .as("bucket_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+
+  /** Gap-based sessionization (30-min inactivity) via lag window. */
+  def q11Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("new_session")).as("n_sessions"))
+  }
+
+  /** Conditional aggregation (pivot-style counts per event type). */
+  def q12ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"))
+
+  /** Structured Streaming: the same tumbling window computed through
+    * readStream → watermark → windowed agg → memory sink, drained with
+    * processAllAvailable (batch parquet drives the stream synchronously).
+    * The oracle is the batch-equivalent SQL — stream/batch parity check. */
+  def q13Streaming(s: SparkSession, dir: String): DataFrame = {
+    val schema = table(s, dir, "events").schema
+    // glob form: the file-stream source requires a directory-valued
+    // basePath, and a glob keeps it at the parent directory
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$dir/events.parq*")
+      // parquet NTZ timestamps → session-TZ timestamps (UTC session);
+      // watermarks require TIMESTAMP, not TIMESTAMP_NTZ
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n_events"))
+    try s.catalog.dropTempView("graft_stream_q13") catch { case _: Throwable => }
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_q13").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_q13")
+  }
+
+  // ------------------------------------------------------- dedup operators
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(table(s, dir, "documents"))
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(table(s, dir, "documents"), minSharedPct = 80)
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshCandidates(table(s, dir, "documents"))
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(table(s, dir, "documents"), maxHamming = 12)
+
+  /** Embedding near-dup groups on a floor(x*2) grid — first 8 dims as
+    * grouping keys (bit-exact vs the SQL oracle). */
+  def dedupEmbeddingGrid(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    val cells = (0 until 8).map(i =>
+      floor(element_at(col("embedding"), i + 1).cast("double") * 2)
+        .cast("long").as(s"c$i"))
+    e.groupBy(cells: _*)
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("keep_id"))
+  }
+
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
+    SimSearch.cosineNearDupPairs(table(s, dir, "embeddings"), threshold = 0.15)
+
+  // ------------------------------------------------------------- simsearch
+
+  private def queryVector(s: SparkSession, dir: String): Seq[Float] =
+    table(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+
+  /** Integer-quantized dot-product top-20 (bit-exact oracle). */
+  def simsearchQdot(s: SparkSession, dir: String): DataFrame =
+    SimSearch.quantizedDotTopK(table(s, dir, "embeddings"),
+      queryVector(s, dir), k = 20)
+
+  /** Float cosine brute-force top-20 (rows-only check; float reductions
+    * are not bit-portable across engines). */
+  def simsearchCosine(s: SparkSession, dir: String): DataFrame =
+    SimSearch.bruteForceTopK(table(s, dir, "embeddings"), queryVector(s, dir), k = 20)
+
+  /** LSH-bucketed ANN (rows-only). */
+  def simsearchLsh(s: SparkSession, dir: String): DataFrame =
+    SimSearch.lshTopK(table(s, dir, "embeddings"), queryVector(s, dir), k = 20, bits = 4)
+
+  // ---------------------------------------------------------- text analysis
+
+  def textTokenCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(table(s, dir, "documents"))
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(table(s, dir, "documents"))
+
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(table(s, dir, "documents")).drop("lang", "source", "n_chars")
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(table(s, dir, "documents"))
+
+  // ------------------------------------------------- KG over driver tables
+
+  /** Inline dictionary/trigger lexicon over the testdata vocabulary (no
+    * word is a substring of another vocabulary word, so replace-counting
+    * equals word counting — verified in OperatorsSpec). */
+  val kgDictWords: Seq[String] = Seq("customer", "part", "vector", "column", "stream")
+  val kgTriggerWords: Seq[String] = Seq("merge", "join")
+
+  private def wordCount(text: Column, wrd: String): Column =
+    ((length(text) - length(replace(text, lit(wrd), lit("")))) / wrd.length).cast("int")
+
+  /** Mention counts per (doc, surface) — dictionary-scan semantics. */
+  def kgMentions(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    val perWord = kgDictWords.map(wrd =>
+      d.select(col("doc_id"), lit(wrd).as("surface"),
+        wordCount(col("text"), wrd).as("n_mentions")))
+    perWord.reduce(_ unionByName _).filter(col("n_mentions") > 0)
+  }
+
+  /** Per-doc mention totals and unordered candidate-pair counts
+    * (n·(n−1)/2 — the J3 combinatorics). */
+  def kgCooccurPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    val n = kgDictWords.map(wrd => wordCount(col("text"), wrd))
+      .reduce(_ + _)
+    d.select(col("doc_id"), n.as("n_mentions"),
+        ((n * (n - 1)) / 2).cast("long").as("n_pairs"))
+      .filter(col("n_mentions") > 0)
+  }
+
+  /** Co-occurrence triples: (subj, pred, obj) for distinct dictionary
+    * entities co-present in a doc that also carries a trigger word. */
+  def kgTriples(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    val withFlags = kgDictWords.foldLeft(d.select(col("doc_id"), col("text"))) {
+      (df, wrd) => df.withColumn(s"has_$wrd", wordCount(col("text"), wrd) > 0)
+    }.withColumn("has_trigger",
+      kgTriggerWords.map(t => wordCount(col("text"), t) > 0).reduce(_ || _))
+    val pairs = for {
+      i <- kgDictWords.indices; j <- (i + 1) until kgDictWords.length
+    } yield (kgDictWords(i), kgDictWords(j))
+    pairs.map { case (a, b) =>
+      withFlags.filter(col(s"has_$a") && col(s"has_$b") && col("has_trigger"))
+        .select(col("doc_id"), lit(a).as("subj"),
+          lit("co_complex").as("pred"), lit(b).as("obj"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The REAL extraction pipeline over the driver's documents table
+    * (adapted to the Doc shape): Aho-Corasick mention detection → pair
+    * generation → window encoding → lexicon scoring → triples. Positional
+    * trigger-between semantics — not SQL-expressible, rows-only check. */
+  def kgPipelineTriples(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      .as[(String, String)]
+      .map { case (id, text) => Doc(id, Seq(Span("text", text, "", 0))) }
+    val dict = kgDictWords.map(w => DictEntry(w, s"ent:$w", "Protein"))
+    val edges = s.emptyDataset[EquivEdge]
+    val scorer = new LexiconScorer(kgTriggerWords.toSet)
+    KgPipeline.run(docs, dict, edges, scorer).triples
+      .select(col("doc_id"), col("subj"), col("pred"), col("obj"))
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Multimodal plumbing: binary payload → batched (stub) decode →
+    * typed metadata. Byte-derived metadata is oracle-checkable. */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val media = Multimodal.fromDocuments(
+      table(s, dir, "documents").select(col("doc_id"), col("text")))
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_bytes"),
+        col("width"), col("height"), col("n_frames"))
+  }
+}

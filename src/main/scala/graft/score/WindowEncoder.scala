@@ -1,0 +1,76 @@
+package graft.score
+
+import graft.core._
+import graft.nlp.Tokenizer
+import graft.nlp.Tokenizer.Token
+
+/** Pair-window encoding (SURVEY.md §2.5 W3, §2.2 F5, §2.7 C7-C10).
+  *
+  * Mirrors the reference's encoder
+  * (helpers/ann_io_generator_cross_sentence_MD.py):
+  *  - the document is tokenized ONCE and every pair window is a slice —
+  *    the reference's own key optimization (:48-90 then :158-219; see
+  *    SURVEY.md §4 "whole-document tokenize once");
+  *  - MASK_EVERYTHING representation (:92-156, :221-297): the two focus
+  *    mentions become `[unused1]`, every other entity mention `[unused2]`,
+  *    with original char offsets tracked through masking — this is the
+  *    strategy the shipped best model uses
+  *    (TrainRelationExtractionSystem/ct_train_pipeline.py:105);
+  *  - F5 window-fit predicate (:178-181, :243-246): pair token distance +
+  *    reserved-mark budget must fit max_seq_len; unfitted pairs are NOT
+  *    silently dropped — they surface as false negatives in evaluation
+  *    exactly like the reference's FN accounting (:401-523);
+  *  - W3 window slice: ⌊(max_len − (dist+reserve))/2⌋ tokens before/after
+  *    the pair, clamped to doc bounds (:183-198, :248-262).
+  *
+  * Padding (C10) is unnecessary: no tensor batch exists — the scorer is a
+  * row iterator, so windows stay variable-length.
+  */
+object WindowEncoder extends Serializable {
+
+  val FocusMask = "[unused1]"
+  val OtherMask = "[unused2]"
+  /** MASK strategy reserves 4 positions (CLS/SEP + 2 masks) per
+    * ann_io_generator_cross_sentence_MD.py:243-246. */
+  val MaskReserve = 4
+
+  /** Encode every candidate pair of one document against its token array.
+    * `allMentions` = every detected mention (for [unused2] masking). */
+  def encodeDoc(tokens: IndexedSeq[Token], pairs: Seq[CandidatePair],
+                allMentions: Seq[Mention], maxSeqLen: Int): Seq[EncodedPair] = {
+    if (pairs.isEmpty) return Nil
+    // precompute per-token mention ownership: -1 none, else mention index
+    val mentionRanges = allMentions.map(m => (m.bgn, m.end, m.mention_id)).sortBy(_._1)
+    val owner: Array[String] = tokens.map { t =>
+      mentionRanges.find(r => t.bgn >= r._1 && t.end <= r._2).map(_._3).orNull
+    }.toArray
+
+    pairs.map { p =>
+      val t1 = Tokenizer.tokenIndexAt(tokens, p.e1_bgn)
+      val t1e = math.max(t1, Tokenizer.tokenIndexAt(tokens, p.e1_end - 1))
+      val t2 = Tokenizer.tokenIndexAt(tokens, p.e2_bgn)
+      val t2e = math.max(t2, Tokenizer.tokenIndexAt(tokens, p.e2_end - 1))
+      val dist = t2e - t1 + 1
+      val fitted = dist + MaskReserve <= maxSeqLen
+      if (!fitted) {
+        EncodedPair(p.doc_id, p.e1, p.e2, p.e1_norm, p.e2_norm,
+          p.sent_dist, p.cross_sentence, Nil, Nil, Nil, dist, fitted = false)
+      } else {
+        val countAround = (maxSeqLen - (dist + MaskReserve)) / 2
+        val wBgn = math.max(0, t1 - countAround)
+        val wEnd = math.min(tokens.length, t2e + 1 + countAround)
+        val sliceIdx = wBgn until wEnd
+        val masked = sliceIdx.map { i =>
+          val o = owner(i)
+          if (o == p.e1 || o == p.e2) FocusMask
+          else if (o != null) OtherMask
+          else tokens(i).text
+        }
+        EncodedPair(p.doc_id, p.e1, p.e2, p.e1_norm, p.e2_norm,
+          p.sent_dist, p.cross_sentence,
+          masked, sliceIdx.map(tokens(_).bgn), sliceIdx.map(tokens(_).end),
+          dist, fitted = true)
+      }
+    }
+  }
+}

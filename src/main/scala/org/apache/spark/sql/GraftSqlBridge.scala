@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ Expression bridge. Spark 4 made the converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils`) `private[sql]`;
+  * extension libraries conventionally expose them through a shim in the
+  * `org.apache.spark.sql` package — the same pattern Delta/Iceberg use for
+  * their custom Catalyst expressions. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
