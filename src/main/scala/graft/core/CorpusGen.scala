@@ -52,7 +52,10 @@ object CorpusGen {
       hotEntityFrac: Double = 0.01,
       hotDocFrac: Double = 0.30,
       pPositiveSentence: Double = 0.25,
-      pLongPositive: Double = 0.015,
+      // fraction of ALL sentences that are over-length positives; ~1.6% of
+      // positives (0.004/0.25) — enough to exercise F5's FN accounting,
+      // small enough that recall stays above the 0.95 gate
+      pLongPositive: Double = 0.004,
       equivGroupSize: Int = 3)
 
   /** One generated document bundle: the input row + its gold fixtures. */

@@ -1,0 +1,66 @@
+package graft
+
+import graft.canon.ConnectedComponents
+import graft.core.EquivEdge
+import graft.eval.Evalsorel
+import org.scalatest.funsuite.AnyFunSuite
+
+class CanonEvalSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  test("connected components: chain, clique, isolated merge to min label") {
+    val edges = Seq(
+      EquivEdge("b", "a"), EquivEdge("c", "b"), EquivEdge("d", "c"), // chain a-b-c-d
+      EquivEdge("x", "y"), EquivEdge("y", "z"), EquivEdge("x", "z"), // clique
+      EquivEdge("m", "n"))
+    val canon = ConnectedComponents.canonicalize(spark.createDataset(edges))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a", "b", "c", "d").forall(canon(_) == "a"))
+    assert(Seq("x", "y", "z").forall(canon(_) == "x"))
+    assert(canon("m") == "m" && canon("n") == "m")
+  }
+
+  test("connected components: idempotent (canonical of canonical is itself)") {
+    val edges = (0 until 30).map(i => EquivEdge(s"n$i", s"n${i / 3 * 3}"))
+    val canon = ConnectedComponents.canonicalize(spark.createDataset(edges))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon.values.forall(c => canon(c) == c))
+  }
+
+  test("withCanonical: identity for unmapped ids") {
+    val canonMap = Seq(("b", "a")).toDF("node_id", "canonical_id")
+    val df = Seq(("d1", "b"), ("d2", "q")).toDF("doc_id", "ent")
+    val out = ConnectedComponents.withCanonical(df, "ent", canonMap, "canon")
+      .select("doc_id", "canon").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("d1", "a"), ("d2", "q")))
+  }
+
+  test("evalsorel: symmetric matching, duplicate dropping, micro P/R") {
+    val gold = Seq(
+      ("d1", "Complex_formation", "A", "B"),
+      ("d1", "Complex_formation", "B", "A"), // duplicate (unordered) — dropped
+      ("d1", "Complex_formation", "C", "D"),
+      ("d2", "Complex_formation", "A", "B"))
+      .toDF("doc_id", "rel_type", "arg1_norm", "arg2_norm")
+    val pred = Seq(
+      ("d1", "Complex_formation", "B", "A", 0.0, 1.0), // TP (symmetric)
+      ("d1", "Complex_formation", "A", "B", 0.0, 1.0), // duplicate pred — dropped
+      ("d1", "Complex_formation", "A", "D", 0.0, 1.0), // FP
+      ("d2", "Complex_formation", "A", "B", 0.0, 1.0)) // TP
+      .toDF("doc_id", "pred", "subj", "obj", "score_neg", "score_pos")
+    val r = Evalsorel.evaluate(gold, pred)
+    assert(r.tp == 2 && r.fp == 1 && r.fn == 1)
+    assert(math.abs(r.precision - 2.0 / 3) < 1e-9)
+    assert(math.abs(r.recall - 2.0 / 3) < 1e-9)
+  }
+
+  test("evalsorel: per-doc isolation (same pair in another doc is no match)") {
+    val gold = Seq(("d1", "Complex_formation", "A", "B"))
+      .toDF("doc_id", "rel_type", "arg1_norm", "arg2_norm")
+    val pred = Seq(("d2", "Complex_formation", "A", "B", 0.0, 1.0))
+      .toDF("doc_id", "pred", "subj", "obj", "score_neg", "score_pos")
+    val r = Evalsorel.evaluate(gold, pred)
+    assert(r.tp == 0 && r.fp == 1 && r.fn == 1)
+  }
+}
