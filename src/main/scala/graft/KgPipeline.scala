@@ -50,6 +50,35 @@ object KgPipeline {
     }
   }
 
+  /** The fused extract→encode→score pass. Scoring runs inside the per-doc
+    * flatMap (the scorer trait's batch contract still holds — it receives
+    * the doc's pair iterator), and the encoded token window is DROPPED from
+    * negative rows before they cross the Dataset row boundary: windows are
+    * only consumed downstream by trigger detection, which is gated on
+    * positives (F6). Without this, every candidate pair would serialize a
+    * ~128-element string array into Tungsten rows — at 10⁶ pairs per
+    * million docs that converts the narrow pass from CPU-bound extraction
+    * into allocation/GC churn (measured 2-3× wall-clock on the bench box).
+    */
+  def scoreCandidates(docs: Dataset[Doc], dict: Broadcast[AhoCorasick],
+                      scorer: RelationScorer, config: TaskConfig)
+                     (implicit spark: SparkSession): Dataset[ScoredPair] = {
+    import spark.implicits._
+    docs.flatMap { doc =>
+      val sentences = SentenceSplitter.split(doc)
+      val mentions = MentionDetector.detect(doc, dict.value, sentences)
+      val pairs = PairGenerator.forDoc(mentions, config)
+      if (pairs.isEmpty) Iterator.empty
+      else {
+        val tokens = Tokenizer.tokenize(SentenceSplitter.docText(doc))
+        scorer.scoreDoc(tokens, mentions, pairs, config.maxSeqLen).map { sp =>
+          if (sp.score_pos > sp.score_neg) sp
+          else sp.copy(tokens = Nil, tokenBgns = Nil, tokenEnds = Nil)
+        }
+      }
+    }
+  }
+
   /** Full prediction pipeline. `equivEdges` is the (small) global
     * cross-reference/alias edge set driving canonicalization. */
   def run(docs: Dataset[Doc], dictEntries: Seq[DictEntry],
@@ -61,14 +90,16 @@ object KgPipeline {
     val (good, quarantine) = DocValidator.split(docs)
     val dict = MentionDetector.broadcastDict(spark, dictEntries)
 
-    val encoded = encodeCandidates(good, dict, config)
-    val unfitted = encoded.filter(!_.fitted).toDF()
+    // A3 fitted/unfitted statistics feed — a narrow side pass (windows of
+    // unfitted pairs are never built, so this is cheap by construction)
+    val unfitted = encodeCandidates(good, dict, config)
+      .filter(!_.fitted).toDF()
       .select($"doc_id", $"e1", $"e2", $"e1_norm", $"e2_norm",
-        $"sent_dist", $"tokenDistance") // A3 fitted/unfitted statistics feed
-    val scored = encoded.filter(_.fitted).mapPartitions(scorer.score(_))
+        $"sent_dist", $"tokenDistance")
+    val scored = scoreCandidates(good, dict, scorer, config)
 
     // canonical map from the global equivalence edges (J6); tiny vs corpus
-    val canonMap = ConnectedComponents.canonicalize(equivEdges)
+    val canonMap = ConnectedComponents.canonicalizeAuto(equivEdges)
 
     // F7: only argmax-positive rows materialize as triples; all scored rows
     // remain available (the reference writes every row to TSV, positives

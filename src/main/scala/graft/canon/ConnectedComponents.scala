@@ -28,6 +28,34 @@ import graft.core.EquivEdge
   */
 object ConnectedComponents {
 
+  /** Adaptive entry point: small edge sets (≲ a broadcast) take a
+    * driver-side union-find — one collect, zero join iterations; large
+    * ones run the distributed min-label loop. Both produce the identical
+    * min-representative map (tested against each other in CanonEvalSpec).
+    * The cutover mirrors Spark's own broadcast-join threshold thinking:
+    * the canonical map must be broadcastable afterwards anyway, so a
+    * below-threshold edge set is by definition driver-safe. */
+  def canonicalizeAuto(edges: Dataset[EquivEdge], driverLimit: Long = 1000000L)
+                      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val n = edges.count()
+    if (n <= driverLimit) {
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.collect().foreach { e =>
+        val (ra, rb) = (find(e.src), find(e.dst))
+        if (ra != rb) { // union by min label keeps the representative rule
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val keys = parent.keySet.toSeq
+      keys.map(k => (k, find(k))).toDF("node_id", "canonical_id")
+    } else canonicalize(edges)
+  }
+
   /** @return DataFrame(node_id, canonical_id) covering every node that
     *         appears in `edges`; callers union isolated nodes as identity. */
   def canonicalize(edges: Dataset[EquivEdge], maxIter: Int = 20)

@@ -50,8 +50,7 @@ object GraphMaterializer {
     val done = completedBuckets(spark, table)
     val pending = withBucket(df, nBuckets)
       .join(done.withColumnRenamed("bucket", BucketCol), Seq(BucketCol), "left_anti")
-    val spark2 = spark
-    spark2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pending.write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol)
       .parquet(s"$table/data")

@@ -52,7 +52,7 @@ object Dedup {
     * `rowsPerBand`; docs sharing any band bucket become a candidate pair.
     * The join is bucket-equality only — never all-pairs. */
   def minhashLshCandidates(docs: DataFrame, shingleN: Int = 3,
-                           bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+                           bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
     val sig = docs
       .withColumn("sig", minhashSignature(shingles(col("text"), shingleN), k))

@@ -34,43 +34,59 @@ object WindowEncoder extends Serializable {
     * ann_io_generator_cross_sentence_MD.py:243-246. */
   val MaskReserve = 4
 
+  /** Per-token mention ownership (mention_id or null), computed ONCE per
+    * document and shared across all of its pair encodings. */
+  def owners(tokens: IndexedSeq[Token], allMentions: Seq[Mention]): Array[String] = {
+    val mentionRanges = allMentions.map(m => (m.bgn, m.end, m.mention_id)).sortBy(_._1)
+    tokens.map { t =>
+      mentionRanges.find(r => t.bgn >= r._1 && t.end <= r._2).map(_._3).orNull
+    }.toArray
+  }
+
+  /** Token-index geometry of one pair: (t1, t1e, t2, t2e, dist, fitted).
+    * Pure binary-search arithmetic — no allocation; lets scorers apply the
+    * F5 fit predicate and positional rules without building a window. */
+  def geometry(tokens: IndexedSeq[Token], p: CandidatePair,
+               maxSeqLen: Int): (Int, Int, Int, Int, Int, Boolean) = {
+    val t1 = Tokenizer.tokenIndexAt(tokens, p.e1_bgn)
+    val t1e = math.max(t1, Tokenizer.tokenIndexAt(tokens, p.e1_end - 1))
+    val t2 = Tokenizer.tokenIndexAt(tokens, p.e2_bgn)
+    val t2e = math.max(t2, Tokenizer.tokenIndexAt(tokens, p.e2_end - 1))
+    val dist = t2e - t1 + 1
+    (t1, t1e, t2, t2e, dist, dist + MaskReserve <= maxSeqLen)
+  }
+
+  /** Encode one pair against the shared owner array (W3 slice + MASK). */
+  def encodeOne(tokens: IndexedSeq[Token], owner: Array[String],
+                p: CandidatePair, maxSeqLen: Int): EncodedPair = {
+    val (t1, _, _, t2e, dist, fitted) = geometry(tokens, p, maxSeqLen)
+    if (!fitted) {
+      EncodedPair(p.doc_id, p.e1, p.e2, p.e1_norm, p.e2_norm,
+        p.sent_dist, p.cross_sentence, Nil, Nil, Nil, dist, fitted = false)
+    } else {
+      val countAround = (maxSeqLen - (dist + MaskReserve)) / 2
+      val wBgn = math.max(0, t1 - countAround)
+      val wEnd = math.min(tokens.length, t2e + 1 + countAround)
+      val sliceIdx = wBgn until wEnd
+      val masked = sliceIdx.map { i =>
+        val o = owner(i)
+        if (o == p.e1 || o == p.e2) FocusMask
+        else if (o != null) OtherMask
+        else tokens(i).text
+      }
+      EncodedPair(p.doc_id, p.e1, p.e2, p.e1_norm, p.e2_norm,
+        p.sent_dist, p.cross_sentence,
+        masked, sliceIdx.map(tokens(_).bgn), sliceIdx.map(tokens(_).end),
+        dist, fitted = true)
+    }
+  }
+
   /** Encode every candidate pair of one document against its token array.
     * `allMentions` = every detected mention (for [unused2] masking). */
   def encodeDoc(tokens: IndexedSeq[Token], pairs: Seq[CandidatePair],
                 allMentions: Seq[Mention], maxSeqLen: Int): Seq[EncodedPair] = {
     if (pairs.isEmpty) return Nil
-    // precompute per-token mention ownership: -1 none, else mention index
-    val mentionRanges = allMentions.map(m => (m.bgn, m.end, m.mention_id)).sortBy(_._1)
-    val owner: Array[String] = tokens.map { t =>
-      mentionRanges.find(r => t.bgn >= r._1 && t.end <= r._2).map(_._3).orNull
-    }.toArray
-
-    pairs.map { p =>
-      val t1 = Tokenizer.tokenIndexAt(tokens, p.e1_bgn)
-      val t1e = math.max(t1, Tokenizer.tokenIndexAt(tokens, p.e1_end - 1))
-      val t2 = Tokenizer.tokenIndexAt(tokens, p.e2_bgn)
-      val t2e = math.max(t2, Tokenizer.tokenIndexAt(tokens, p.e2_end - 1))
-      val dist = t2e - t1 + 1
-      val fitted = dist + MaskReserve <= maxSeqLen
-      if (!fitted) {
-        EncodedPair(p.doc_id, p.e1, p.e2, p.e1_norm, p.e2_norm,
-          p.sent_dist, p.cross_sentence, Nil, Nil, Nil, dist, fitted = false)
-      } else {
-        val countAround = (maxSeqLen - (dist + MaskReserve)) / 2
-        val wBgn = math.max(0, t1 - countAround)
-        val wEnd = math.min(tokens.length, t2e + 1 + countAround)
-        val sliceIdx = wBgn until wEnd
-        val masked = sliceIdx.map { i =>
-          val o = owner(i)
-          if (o == p.e1 || o == p.e2) FocusMask
-          else if (o != null) OtherMask
-          else tokens(i).text
-        }
-        EncodedPair(p.doc_id, p.e1, p.e2, p.e1_norm, p.e2_norm,
-          p.sent_dist, p.cross_sentence,
-          masked, sliceIdx.map(tokens(_).bgn), sliceIdx.map(tokens(_).end),
-          dist, fitted = true)
-      }
-    }
+    val owner = owners(tokens, allMentions)
+    pairs.map(p => encodeOne(tokens, owner, p, maxSeqLen))
   }
 }

@@ -28,6 +28,21 @@ class CanonEvalSpec extends AnyFunSuite {
     assert(canon.values.forall(c => canon(c) == c))
   }
 
+  test("driver union-find fast path agrees with the distributed loop") {
+    val edges = Seq(
+      EquivEdge("b", "a"), EquivEdge("c", "b"), EquivEdge("d", "c"),
+      EquivEdge("x", "y"), EquivEdge("y", "z"), EquivEdge("m", "n"))
+    val ds = spark.createDataset(edges)
+    val dist = ConnectedComponents.canonicalize(ds)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val fast = ConnectedComponents.canonicalizeAuto(ds)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the fast path may omit root self-maps (identity by coalesce); every
+    // mapping it does emit must agree, and all non-identity mappings exist
+    assert(fast.forall { case (k, v) => dist(k) == v })
+    assert(dist.filter { case (k, v) => k != v }.forall { case (k, v) => fast(k) == v })
+  }
+
   test("withCanonical: identity for unmapped ids") {
     val canonMap = Seq(("b", "a")).toDF("node_id", "canonical_id")
     val df = Seq(("d1", "b"), ("d2", "q")).toDF("doc_id", "ent")
