@@ -81,4 +81,20 @@ object GraphMaterializer {
         concat_ws("\t", col("doc_id"), col("e1"), col("e2"), col("pred"),
           format_number(col("score_pos"), 4)).as("tsv_row"))
   }
+
+  /** 9-col trigger TSV (S6 / trigger-row format per
+    * LargeScaleTriggerDetectionPipeline/README.MD:26 and
+    * large_scale_explanation_pipeline.py:490-502):
+    * pmid e1 e2 neg_logit pos_logit trigger_score bgn end text.
+    * Scores come from the pair's ScoredPair row joined on identity. */
+  def triggersToTsv(triggers: DataFrame, scored: DataFrame): DataFrame =
+    triggers.join(
+        scored.select(col("doc_id"), col("e1"), col("e2"),
+          col("score_neg"), col("score_pos")),
+        Seq("doc_id", "e1", "e2"))
+      .select(col("doc_id"),
+        concat_ws("\t", col("doc_id"), col("e1"), col("e2"),
+          format_number(col("score_neg"), 4), format_number(col("score_pos"), 4),
+          format_number(col("score"), 4),
+          col("bgn"), col("end"), col("text")).as("tsv_row"))
 }

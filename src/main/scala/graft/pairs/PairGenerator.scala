@@ -42,6 +42,45 @@ object PairGenerator extends Serializable {
       a.sent_id, b.sent_id, dist, cross_sentence = dist > 0)
   }
 
+  /** J2 — per-document equiv transitive expansion (reference:
+    * example_generation_cross_sentence_MD.py:85-92, :176-208): equiv sets
+    * sharing members are unioned (in-group closure), and each positive
+    * pair is replicated over e1_equivs × e2_equivs. Used in gold/training
+    * mode where `*\tEquiv` lines exist; prediction mode has no positives
+    * to expand. */
+  def unionEquivSets(sets: Seq[Set[String]]): Seq[Set[String]] = {
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    sets.foreach { s =>
+      s.toSeq.sortBy(identity).sliding(2).foreach {
+        case Seq(a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        case _ =>
+      }
+    }
+    sets.flatten.distinct.groupBy(find).values.map(_.toSet).toSeq
+      .sortBy(_.min)
+  }
+
+  /** Replicate (e1, e2) positive pairs over their equiv closures; the
+    * output keeps unordered-pair uniqueness. */
+  def expandPositives(positives: Seq[(String, String)],
+                      equivSets: Seq[Set[String]]): Seq[(String, String)] = {
+    val closed = unionEquivSets(equivSets)
+    val setOf = closed.flatMap(s => s.map(_ -> s)).toMap
+    positives.flatMap { case (a, b) =>
+      for {
+        x <- setOf.getOrElse(a, Set(a)).toSeq
+        y <- setOf.getOrElse(b, Set(b)).toSeq
+        if x != y
+      } yield if (x < y) (x, y) else (y, x)
+    }.distinct
+  }
+
   /** Dataset-level stage (used by tests and exploratory queries; the
     * pipeline hot path uses the fused per-doc pass in KgPipeline). */
   def generate(docs: Dataset[Doc], dict: Broadcast[AhoCorasick],
