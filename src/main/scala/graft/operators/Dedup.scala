@@ -41,12 +41,24 @@ object Dedup {
       c => c.isNotNull))
   }
 
-  /** MinHash signature: for each of k seeded hash functions take the min
-    * over the shingle set. xxhash64(seed-prefixed shingle) is codegen'd. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { s =>
-      array_min(transform(shingleCol, sh => xxhash64(lit(s), sh)))
-    }: _*)
+  /** MinHash signatures as a DataFrame stage: explode the shingle set once
+    * and take k seeded mins in ONE aggregation (map-side combinable).
+    * An expression-level formulation (k× `array_min(transform(...))` over
+    * a shared shingle column) looks cheaper but is not: Catalyst's
+    * CollapseProject inlines the shingle construction into every one of
+    * the k hash expressions, re-splitting the text k times (verified with
+    * .explain — 32 `split` calls for k=16). Explode+agg computes shingles
+    * once and scales: the shuffle key is doc_id, partial mins combine
+    * map-side, and shingle rows never exceed the text size. */
+  def minhashSignatures(docs: DataFrame, shingleN: Int, k: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(col("text"), shingleN)).as("sh"))
+    val mins = (0 until k).map(s => min(xxhash64(lit(s), col("sh"))).as(s"h$s"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(s => col(s"h$s")): _*).as("sig"))
+  }
 
   /** LSH candidate pairs: signatures banded into `bands` groups of
     * `rowsPerBand`; docs sharing any band bucket become a candidate pair.
@@ -54,9 +66,7 @@ object Dedup {
   def minhashLshCandidates(docs: DataFrame, shingleN: Int = 3,
                            bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = docs
-      .withColumn("sig", minhashSignature(shingles(col("text"), shingleN), k))
-      .select(col("doc_id"), col("sig"))
+    val sig = minhashSignatures(docs, shingleN, k)
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -70,23 +80,29 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over word features: sum per-bit contributions (+1/-1
-    * by the word hash's bit) and take signs. The word array is hashed once
-    * (`transform`), then each bit folds over the hash array — pure
-    * higher-order functions, narrow per row. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(array_distinct(split(text, " ")), w => xxhash64(w))
-    (0 until 64).map { i =>
-      val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** 64-bit SimHash over word features, DataFrame-staged for the same
+    * reason as minhashSignatures: explode the distinct words once, hash
+    * once, then 64 conditional-sum aggregates (one shuffle on doc_id,
+    * partial sums map-side) and an OR-fold of the sign bits. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$i"))
+    words.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
   }
 
   /** SimHash near-dup candidates: equal 16-bit blocks (4 rotations) →
     * Hamming-verify ≤ `maxHamming` via bit_count(xor). */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val sh = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val sh = simhashes(docs)
     val blocked = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("blk"),
@@ -111,8 +127,14 @@ object Dedup {
     val toks = docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = toks.as("a").join(toks.as("b"),
-        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+    // length-band prefilter, exact-preserving: jaccard >= t forces
+    // max(|A|,|B|) <= min(|A|,|B|) * 100/t, so disproportionate pairs are
+    // pruned BEFORE the common-word join explodes them
+    val sized = toks.join(sizes, "doc_id")
+    val common = sized.as("a").join(sized.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+          lit(minSharedPct) * greatest(col("a.n"), col("b.n")) <=
+            lit(100) * least(col("a.n"), col("b.n")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     common

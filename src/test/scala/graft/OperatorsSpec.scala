@@ -30,7 +30,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("simhash: identical text → identical hash; near dup within hamming") {
-    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+    val sh = Dedup.simhashes(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <
