@@ -215,6 +215,11 @@ object Queries {
   def simsearchLsh(s: SparkSession, dir: String): DataFrame =
     SimSearch.lshTopK(table(s, dir, "embeddings"), queryVector(s, dir), k = 20, bits = 4)
 
+  /** IVF ANN: coarse-quantizer cells, nProbe probing (rows-only). */
+  def simsearchIvf(s: SparkSession, dir: String): DataFrame =
+    SimSearch.ivfTopK(table(s, dir, "embeddings"), queryVector(s, dir),
+      k = 20, nCells = 16, nProbe = 3)
+
   // ---------------------------------------------------------- text analysis
 
   def textTokenCount(s: SparkSession, dir: String): DataFrame =

@@ -57,6 +57,7 @@ object SparkEntry {
     "simsearch_qdot" -> (Queries.simsearchQdot _),
     "simsearch_cosine" -> (Queries.simsearchCosine _),
     "simsearch_lsh" -> (Queries.simsearchLsh _),
+    "simsearch_ivf" -> (Queries.simsearchIvf _),
     // text analysis
     "text_tokencount" -> (Queries.textTokenCount _),
     "text_quality" -> (Queries.textQuality _),

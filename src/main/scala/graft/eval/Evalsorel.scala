@@ -40,6 +40,22 @@ object Evalsorel {
         least(col(a), col(b)).as("lo"), greatest(col(a), col(b)).as("hi"))
       .distinct() // duplicate dropping (evalsorel.py:341-352)
 
+  /** Per-document equiv-representative resolution (evalsorel.py:100-108):
+    * relation args are replaced by `sorted(equiv_set)[0]` of their
+    * document's equiv closure before matching. `equivs` is
+    * (doc_id, member, representative) — built from brat `*\tEquiv` lines
+    * via PairGenerator.unionEquivSets; args without an equiv entry keep
+    * their id. */
+  def resolveWithEquivs(rels: DataFrame, equivs: DataFrame,
+                        argCols: Seq[String]): DataFrame =
+    argCols.foldLeft(rels) { (df, c) =>
+      df.join(equivs.select(col("doc_id"),
+          col("member").as(c), col("representative").as(s"${c}_rep")),
+          Seq("doc_id", c), "left")
+        .withColumn(c, coalesce(col(s"${c}_rep"), col(c)))
+        .drop(s"${c}_rep")
+    }
+
   /** @param gold   gold relations (doc_id, rel_type, arg1_norm, arg2_norm),
     *               canonical ids
     * @param pred   predicted triples (doc_id, pred, subj, obj), canonical ids

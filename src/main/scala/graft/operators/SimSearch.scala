@@ -85,6 +85,79 @@ object SimSearch {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nCells` centroids is
+    * trained offline (deterministic seeded Lloyd iterations on a driver
+    * sample — IVF training is an offline step even at scale); every vector
+    * is assigned to its nearest centroid in one narrow pass; a query
+    * probes only the `nProbe` nearest cells and runs exact cosine inside
+    * them — the corpus fraction touched is ~nProbe/nCells. */
+  def trainIvfCentroids(emb: DataFrame, nCells: Int, sampleN: Int = 2048,
+                        iters: Int = 5): Array[Array[Double]] = {
+    val sample = emb.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty embedding table")
+    var centroids = Array.tabulate(nCells)(i => sample(i % sample.length).clone())
+    (0 until iters).foreach { _ =>
+      val assign = sample.map(v => (nearestCell(v, centroids), v))
+      centroids = centroids.indices.map { c =>
+        val members = assign.filter(_._1 == c).map(_._2)
+        if (members.isEmpty) centroids(c)
+        else {
+          val dim = members.head.length
+          val mean = new Array[Double](dim)
+          members.foreach(v => (0 until dim).foreach(i => mean(i) += v(i)))
+          (0 until dim).foreach(i => mean(i) /= members.length)
+          mean
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestCell(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val x = v(i) - centroids(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cell assignment as a column expression over the broadcast centroids:
+    * argmin over squared distances, built from HOFs (codegen'd). */
+  private def cellOf(embDouble: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.map { cvec =>
+      aggregate(zip_with(embDouble, array(cvec.map(lit): _*),
+        (x, y) => (x - y) * (x - y)), lit(0.0d), (a, v) => a + v)
+    }
+    // argmin via a struct-min trick: min over (dist, idx) structs
+    array_min(array(dists.zipWithIndex.map { case (d, i) =>
+      struct(d.as("d"), lit(i).as("i"))
+    }: _*)).getField("i")
+  }
+
+  /** IVF top-k: probe the query's nProbe nearest cells only. */
+  def ivfTopK(emb: DataFrame, query: Seq[Float], k: Int,
+              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val centroids = trainIvfCentroids(emb, nCells)
+    val q = query.map(_.toDouble).toArray
+    val probeCells = centroids.indices
+      .sortBy { c => centroids(c).zip(q).map { case (a, b) => (a - b) * (a - b) }.sum }
+      .take(nProbe).toSet
+    val qArr = array(q.map(lit): _*)
+    val e = emb.withColumn("cell",
+      cellOf(transform(col("embedding"), _.cast("double")), centroids))
+    e.filter(col("cell").isin(probeCells.toSeq: _*))
+      .select(col("vec_id"),
+        cosine(transform(col("embedding"), _.cast("double")), qArr).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate groups on a quantized grid: vectors whose
     * floor(x*g) cells all agree are near-dups — exact group-by, no O(n²). */
   def gridNearDupGroups(emb: DataFrame, gridScale: Int = 2): DataFrame =
