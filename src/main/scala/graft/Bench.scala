@@ -73,8 +73,11 @@ object Bench {
     }
 
     // KG throughput at a bench-scale corpus (~38 docs per lineitem-krow,
-    // i.e. ~20k docs at sf0.1 — the FIXTURES.md sf-bench shape)
+    // i.e. ~20k docs at sf0.1 — the FIXTURES.md sf-bench shape). One
+    // warm-up run first: the per-doc hot path is ~10x slower until
+    // C2-compiled and the cold number would measure the JIT, not the engine
     val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "20000").toInt
+    kgRun(spark, kgDocs)
     val (kgSec, nDocs, nTriples) = kgRun(spark, kgDocs)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
