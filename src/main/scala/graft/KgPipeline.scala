@@ -90,12 +90,23 @@ object KgPipeline {
     val (good, quarantine) = DocValidator.split(docs)
     val dict = MentionDetector.broadcastDict(spark, dictEntries)
 
-    // A3 fitted/unfitted statistics feed — a narrow side pass (windows of
-    // unfitted pairs are never built, so this is cheap by construction)
-    val unfitted = encodeCandidates(good, dict, config)
-      .filter(!_.fitted).toDF()
-      .select($"doc_id", $"e1", $"e2", $"e1_norm", $"e2_norm",
-        $"sent_dist", $"tokenDistance")
+    // A3 fitted/unfitted statistics feed — a narrow geometry-only side
+    // pass: token-index arithmetic per pair, no window is ever built
+    val unfitted = good.flatMap { doc =>
+      val sentences = SentenceSplitter.split(doc)
+      val mentions = MentionDetector.detect(doc, dict.value, sentences)
+      val pairs = PairGenerator.forDoc(mentions, config)
+      if (pairs.isEmpty) Nil
+      else {
+        val tokens = Tokenizer.tokenize(SentenceSplitter.docText(doc))
+        pairs.flatMap { p =>
+          val (_, _, _, _, dist, fitted) =
+            WindowEncoder.geometry(tokens, p, config.maxSeqLen)
+          if (fitted) None
+          else Some((p.doc_id, p.e1, p.e2, p.e1_norm, p.e2_norm, p.sent_dist, dist))
+        }
+      }
+    }.toDF("doc_id", "e1", "e2", "e1_norm", "e2_norm", "sent_dist", "tokenDistance")
     val scored = scoreCandidates(good, dict, scorer, config)
 
     // canonical map from the global equivalence edges (J6); tiny vs corpus

@@ -28,8 +28,8 @@ object GraphMaterializer {
 
   val BucketCol = "graft_bucket"
 
-  def withBucket(df: DataFrame, nBuckets: Int): DataFrame =
-    df.withColumn(BucketCol, pmod(hash(col("doc_id")), lit(nBuckets)))
+  def withBucket(df: DataFrame, nBuckets: Int, key: String = "doc_id"): DataFrame =
+    df.withColumn(BucketCol, pmod(hash(col(key)), lit(nBuckets)))
 
   private def lineagePath(table: String) = s"$table/_lineage"
 
@@ -45,10 +45,10 @@ object GraphMaterializer {
     * lineage row says ok; append lineage for newly written buckets.
     * @return number of buckets written this invocation */
   def writeResumable(spark: SparkSession, df: DataFrame, table: String,
-                     nBuckets: Int = 32): Long = {
+                     nBuckets: Int = 32, key: String = "doc_id"): Long = {
     import spark.implicits._
     val done = completedBuckets(spark, table)
-    val pending = withBucket(df, nBuckets)
+    val pending = withBucket(df, nBuckets, key)
       .join(done.withColumnRenamed("bucket", BucketCol), Seq(BucketCol), "left_anti")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pending.write.mode(SaveMode.Overwrite)
@@ -57,7 +57,7 @@ object GraphMaterializer {
     // lineage after data commit: derive per-bucket counts from what we wrote
     val lineage = spark.read.parquet(s"$table/data")
       .groupBy(col(BucketCol).as("bucket"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_triples"))
+      .agg(countDistinct(col(key)).as("n_docs"), count(lit(1)).as("n_triples"))
       .join(done, Seq("bucket"), "left_anti")
       .withColumn("status", lit("ok")).withColumn("error", lit(""))
     val n = lineage.count()

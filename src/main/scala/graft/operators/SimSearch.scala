@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.CosineSimilarity.cosine_sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -29,11 +30,12 @@ object SimSearch {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact cosine top-k against one query vector (broadcast as a literal
-    * array — no join at all). */
+    * array — no join at all). Scoring uses the fused native expression
+    * (graft.functions.CosineSimilarityExpr): one codegen'd loop per row
+    * instead of five interpreted HOF traversals. */
   def bruteForceTopK(emb: DataFrame, query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    emb.select(col("vec_id"),
-        cosine(transform(col("embedding"), x => x.cast("double")), q).as("score"))
+    emb.select(col("vec_id"), cosine_sim(col("embedding"), q).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -79,8 +81,7 @@ object SimSearch {
     val qBucket = qDf.head().getLong(0)
     val qArr = array(query.map(v => lit(v.toDouble)): _*)
     bucketed.filter(col("bucket") === lit(qBucket))
-      .select(col("vec_id"),
-        cosine(transform(col("embedding"), _.cast("double")), qArr).as("score"))
+      .select(col("vec_id"), cosine_sim(col("embedding"), qArr).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -152,8 +153,7 @@ object SimSearch {
     val e = emb.withColumn("cell",
       cellOf(transform(col("embedding"), _.cast("double")), centroids))
     e.filter(col("cell").isin(probeCells.toSeq: _*))
-      .select(col("vec_id"),
-        cosine(transform(col("embedding"), _.cast("double")), qArr).as("score"))
+      .select(col("vec_id"), cosine_sim(col("embedding"), qArr).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -177,7 +177,7 @@ object SimSearch {
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dot(col("a.v"), col("b.v")) / (norm(col("a.v")) * norm(col("b.v")))).as("score"))
+        cosine_sim(col("a.v"), col("b.v")).as("score"))
       .filter(col("score") >= threshold)
   }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.score.LexiconScorer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality guards: the physical-plan properties the engine relies on
+  * at scale, asserted so refactors can't silently regress them. */
+class PlanSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q9: filters and projection reach the parquet scan") {
+    val plan = physical("q9_filter_pushdown")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"missing pushdown:\n$plan")
+    // 5 columns referenced (3 projected + 2 filter-only); plan toString
+    // truncates ReadSchema, so assert on the scan's column list instead
+    assert(plan.contains("FileScan parquet [l_orderkey#"),
+      "scan must start at the projected columns")
+    assert(!plan.contains("l_extendedprice"),
+      "scan must not read unreferenced columns")
+    // "*(n)" prefixes mark whole-stage-codegen spans in the simple plan string
+    assert(plan.contains("*(1) Filter"), "filter+project must be codegen'd")
+  }
+
+  test("q2: dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = physical("q2_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q1: aggregation is map-side partial") {
+    val plan = physical("q1_agg")
+    assert(plan.contains("partial_sum"), "expected partial aggregation")
+  }
+
+  test("extraction hot path is a single narrow pass: no shuffle exchange") {
+    val p = core.CorpusGen.Params(nDocs = 30)
+    val docs = core.CorpusGen.generate(spark, p).map(_.doc)
+    val dict = graft.nlp.MentionDetector.broadcastDict(spark, core.CorpusGen.dictionary(p))
+    val scored = KgPipeline.scoreCandidates(docs, dict, LexiconScorer.default,
+      core.TaskConfig.complexTome)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the fused extract->score pass must not shuffle:\n$plan")
+  }
+
+  test("minhash signatures compute shingles once (no k-fold re-split)") {
+    val docs = Queries.table(spark, dir, "documents")
+    val plan = graft.operators.Dedup.minhashSignatures(docs, 3, 16)
+      .queryExecution.optimizedPlan.toString
+    // the single shingle construction mentions split() a few times (inside
+    // transform + size); the broken form had 2 per hash = 32+ for k=16
+    val splits = "split\\(".r.findAllIn(plan).length
+    assert(splits <= 4, s"text re-split $splits times — shingle construction inlined")
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end job semantics: materialization of all three tables with
+  * lineage, idempotent re-run, quarantine output. */
+class RunJobSpec extends AnyFunSuite {
+  lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  test("RunJob writes triples/nodes/triggers with lineage; re-run is a no-op") {
+    val tmp = Files.createTempDirectory("graft_job").toString
+    val docsDir = s"$tmp/docs"
+    val p = core.CorpusGen.Params(nDocs = 150)
+    core.CorpusGen.generate(spark, p).map(_.doc)
+      .repartition(4).write.parquet(docsDir)
+
+    val c1 = RunJob.run(spark, docsDir, s"synthetic:${p.nEntities}", s"$tmp/out", 8)
+    assert(c1("triples") > 0 && c1("nodes") > 0 && c1("triggers") > 0)
+    assert(c1("buckets_written_triples") == 8)
+    assert(c1("quarantined") == 0)
+
+    val c2 = RunJob.run(spark, docsDir, s"synthetic:${p.nEntities}", s"$tmp/out", 8)
+    assert(c2("buckets_written_triples") == 0, "completed buckets must be skipped")
+    assert(c2("triples") == c1("triples") && c2("nodes") == c1("nodes"))
+  }
+}
