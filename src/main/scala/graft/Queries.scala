@@ -178,6 +178,10 @@ object Queries {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshCandidates(table(s, dir, "documents"))
 
+  /** The scale composition: LSH candidates -> exact Jaccard verify. */
+  def dedupLshVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshVerifiedDups(table(s, dir, "documents"), minSharedPct = 80)
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidates(table(s, dir, "documents"), maxHamming = 12)
 

@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
+    "dedup_lsh_verified" -> (Queries.dedupLshVerified _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_embedding_grid" -> (Queries.dedupEmbeddingGrid _),
     "dedup_embedding_cosine" -> (Queries.dedupEmbeddingCosine _),

@@ -118,6 +118,27 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The composition that actually runs at 100 TB: MinHash-LSH candidate
+    * generation (sub-quadratic) followed by exact Jaccard verification on
+    * the candidates ONLY — the all-pairs `ngramJaccardPairs` below is the
+    * small-scale oracle/verification form. */
+  def lshVerifiedDups(docs: DataFrame, shingleN: Int = 3,
+                      minSharedPct: Int = 60): DataFrame = {
+    val cands = minhashLshCandidates(docs, shingleN)
+    val words = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    // verification is per-candidate-ROW (array_intersect on the two word
+    // sets) — two equi-joins to fetch the sets, no token-level explosion
+    cands
+      .join(words.select(col("doc_id").as("doc_a"), col("ws").as("wa")), "doc_a")
+      .join(words.select(col("doc_id").as("doc_b"), col("ws").as("wb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("wa"), col("wb"))).as("n_common"),
+        size(col("wa")).as("n_a"), size(col("wb")).as("n_b"))
+      .filter(col("n_common") * (lit(100) + lit(minSharedPct)) >=
+        lit(minSharedPct) * (col("n_a") + col("n_b")))
+  }
+
   /** Exact word-set Jaccard pairs via distinct-token explode + self-join —
     * integer-only outputs (n_common, n_a, n_b) so jaccard ≥ t is the
     * integer predicate (1+t)·common ≥ t·(n_a+n_b) with rational t.

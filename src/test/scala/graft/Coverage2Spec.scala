@@ -64,6 +64,46 @@ class Coverage2Spec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("LSH-verified dedup: every emitted pair meets the exact threshold") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "completely different content entirely here now")
+    ).toDF("doc_id", "text")
+    val verified = graft.operators.Dedup.lshVerifiedDups(docs, minSharedPct = 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.contains((1L, 2L)), "exact dup must survive verification")
+    val exact = graft.operators.Dedup.ngramJaccardPairs(docs, minSharedPct = 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(exact), "verification must never pass a below-threshold pair")
+  }
+
+  test("stateful streaming dedup: first occurrence wins across micro-batches") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_sdedup").toString
+    def doc(id: String, text: String) = Doc(id, Seq(Span("text", text, "", 0)))
+    // two files -> two micro-batches (maxFilesPerTrigger=1 in the source)
+    Seq(doc("a1", "alpha text."), doc("a2", "beta text."))
+      .toDS().coalesce(1).write.parquet(s"$tmp/in/f1")
+    Seq(doc("b1", "alpha text."), doc("b2", "gamma text."))
+      .toDS().coalesce(1).write.parquet(s"$tmp/in/f2")
+    val schema = spark.read.parquet(s"$tmp/in/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in/f*")
+      .as[Doc]
+    val deduped = graft.streaming.StreamingIngest.dedupStream(stream)
+    try spark.catalog.dropTempView("graft_sdedup_out") catch { case _: Throwable => }
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("graft_sdedup_out")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("graft_sdedup_out").as[Doc].collect()
+    assert(out.length == 3, s"expected 3 distinct texts, got ${out.map(_.doc_id).toSeq}")
+    val texts = out.map(_.spans.head.text).toSet
+    assert(texts == Set("alpha text.", "beta text.", "gamma text."))
+  }
+
   test("pipeline metrics table covers every stage") {
     val p = CorpusGen.Params(nDocs = 40)
     val gen = CorpusGen.generate(spark, p)
