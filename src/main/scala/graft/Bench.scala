@@ -76,7 +76,7 @@ object Bench {
     // i.e. ~20k docs at sf0.1 — the FIXTURES.md sf-bench shape). One
     // warm-up run first: the per-doc hot path is ~10x slower until
     // C2-compiled and the cold number would measure the JIT, not the engine
-    val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "20000").toInt
+    val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "100000").toInt
     kgRun(spark, kgDocs)
     val (kgSec, nDocs, nTriples) = kgRun(spark, kgDocs)
 

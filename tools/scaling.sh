@@ -5,14 +5,18 @@ set -e
 cd "$(dirname "$0")/.."
 export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}"
 export SPARK_GRAFT_KG_DOCS="${SPARK_GRAFT_KG_DOCS:-400000}"
-r8=$(sbt -batch "runMain graft.Scaling 8" 2>/dev/null | grep -o '{"n_docs".*}')
-r32=$(sbt -batch "runMain graft.Scaling 32" 2>/dev/null | grep -o '{"n_docs".*}')
+CPUS_A="${CPUS_A:-8}"
+CPUS_B="${CPUS_B:-32}"
+r8=$(sbt -batch "runMain graft.Scaling $CPUS_A" 2>/dev/null | grep -o '{"n_docs".*}')
+r32=$(sbt -batch "runMain graft.Scaling $CPUS_B" 2>/dev/null | grep -o '{"n_docs".*}')
 python3 - "$r8" "$r32" <<'EOF'
 import json, sys
 a, b = json.loads(sys.argv[1]), json.loads(sys.argv[2])
 assert a["triples"] == b["triples"], "parallelism changed the result"
 eff = b["docs_per_sec"] / (4 * a["docs_per_sec"])
-print(json.dumps({"n_docs": a["n_docs"], "docs_per_sec_8": a["docs_per_sec"],
-                  "docs_per_sec_32": b["docs_per_sec"], "triples": a["triples"],
+print(json.dumps({"n_docs": a["n_docs"],
+                  f"docs_per_sec_{a['cpus']}": a["docs_per_sec"],
+                  f"docs_per_sec_{b['cpus']}": b["docs_per_sec"],
+                  "triples": a["triples"],
                   "scaling_efficiency": round(eff, 3), "target": 0.8}))
 EOF
