@@ -79,35 +79,69 @@ object KgPipeline {
     }
   }
 
+  /** The SINGLE fused extraction pass: one scan over the corpus emits a
+    * tagged union of scored pairs (kind 0, windows only on positives),
+    * unfitted-pair statistics (kind 1, geometry-only), and mention rows for
+    * the node table (kind 2). Every downstream output derives from this
+    * Dataset — without the fusion, scored/unfitted/node consumers would
+    * each re-run sentence split + automaton scan + pair generation over
+    * the whole corpus (3× the dominant stage's compute). */
+  def extractAll(docs: Dataset[Doc], dict: Broadcast[AhoCorasick],
+                 scorer: RelationScorer, config: TaskConfig)
+                (implicit spark: SparkSession): Dataset[PassRow] = {
+    import spark.implicits._
+    docs.flatMap { doc =>
+      val sentences = SentenceSplitter.split(doc)
+      val mentions = MentionDetector.detect(doc, dict.value, sentences)
+      val mentionRows = mentions.iterator.map(m =>
+        PassRow(2, null, doc.doc_id, null, null, null, null, 0, 0, m.norm_id, m.text))
+      val pairs = PairGenerator.forDoc(mentions, config)
+      if (pairs.isEmpty) mentionRows
+      else {
+        val tokens = Tokenizer.tokenize(SentenceSplitter.docText(doc))
+        val (fitted, unfitted) = pairs.partition(p =>
+          WindowEncoder.geometry(tokens, p, config.maxSeqLen)._6)
+        val unfittedRows = unfitted.iterator.map { p =>
+          val dist = WindowEncoder.geometry(tokens, p, config.maxSeqLen)._5
+          PassRow(1, null, p.doc_id, p.e1, p.e2, p.e1_norm, p.e2_norm,
+            p.sent_dist, dist, null, null)
+        }
+        val scoredRows = scorer.scoreDoc(tokens, mentions, fitted, config.maxSeqLen)
+          .map { sp =>
+            val lean = if (sp.score_pos > sp.score_neg) sp
+            else sp.copy(tokens = Nil, tokenBgns = Nil, tokenEnds = Nil)
+            PassRow(0, lean, doc.doc_id, null, null, null, null, 0, 0, null, null)
+          }
+        mentionRows ++ unfittedRows ++ scoredRows
+      }
+    }
+  }
+
   /** Full prediction pipeline. `equivEdges` is the (small) global
-    * cross-reference/alias edge set driving canonicalization. */
+    * cross-reference/alias edge set driving canonicalization.
+    * @param persistPass cache the fused pass so its three consumer families
+    *        (triples/triggers, unfitted stats, node table) share ONE corpus
+    *        scan. Disable for triples-only consumers that never touch the
+    *        other outputs (they'd pay for materializing rows they drop). */
   def run(docs: Dataset[Doc], dictEntries: Seq[DictEntry],
           equivEdges: Dataset[EquivEdge], scorer: RelationScorer,
-          config: TaskConfig = TaskConfig.complexTome)
+          config: TaskConfig = TaskConfig.complexTome,
+          persistPass: Boolean = false)
          (implicit spark: SparkSession): Output = {
     import spark.implicits._
 
     val (good, quarantine) = DocValidator.split(docs)
     val dict = MentionDetector.broadcastDict(spark, dictEntries)
 
-    // A3 fitted/unfitted statistics feed — a narrow geometry-only side
-    // pass: token-index arithmetic per pair, no window is ever built
-    val unfitted = good.flatMap { doc =>
-      val sentences = SentenceSplitter.split(doc)
-      val mentions = MentionDetector.detect(doc, dict.value, sentences)
-      val pairs = PairGenerator.forDoc(mentions, config)
-      if (pairs.isEmpty) Nil
-      else {
-        val tokens = Tokenizer.tokenize(SentenceSplitter.docText(doc))
-        pairs.flatMap { p =>
-          val (_, _, _, _, dist, fitted) =
-            WindowEncoder.geometry(tokens, p, config.maxSeqLen)
-          if (fitted) None
-          else Some((p.doc_id, p.e1, p.e2, p.e1_norm, p.e2_norm, p.sent_dist, dist))
-        }
-      }
-    }.toDF("doc_id", "e1", "e2", "e1_norm", "e2_norm", "sent_dist", "tokenDistance")
-    val scored = scoreCandidates(good, dict, scorer, config)
+    val pass0 = extractAll(good, dict, scorer, config)
+    val pass = if (persistPass)
+      pass0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else pass0
+
+    val unfitted = pass.filter((r: PassRow) => r.kind == 1).toDF()
+      .select($"doc_id", $"e1", $"e2", $"e1_norm", $"e2_norm",
+        $"sent_dist", $"tokenDistance")
+    val scored = pass.filter((r: PassRow) => r.kind == 0).map(_.scored)
 
     // canonical map from the global equivalence edges (J6); tiny vs corpus
     val canonMap = ConnectedComponents.canonicalizeAuto(equivEdges)
@@ -129,11 +163,10 @@ object KgPipeline {
 
     val triggers = positives.flatMap(TriggerDetector.triggersFor _)
 
-    // node table: canonical id + surfaces + mention counts (A2-style stats)
-    val mentionNorms = good.flatMap { doc =>
-      MentionDetector.detect(doc, dict.value, SentenceSplitter.split(doc))
-        .map(m => (m.norm_id, m.text))
-    }.toDF("norm_id", "surface")
+    // node table: canonical id + surfaces + mention counts (A2-style
+    // stats), derived from the same fused pass — no extra corpus scan
+    val mentionNorms = pass.filter((r: PassRow) => r.kind == 2).toDF()
+      .select($"norm_id", $"surface")
     val nodes = ConnectedComponents.withCanonical(mentionNorms, "norm_id", canonMap, "node_id")
       .groupBy($"node_id")
       .agg(lit("Protein").as("tag"),

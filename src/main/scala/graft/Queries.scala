@@ -183,7 +183,7 @@ object Queries {
     Dedup.lshVerifiedDups(table(s, dir, "documents"), minSharedPct = 80)
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashCandidates(table(s, dir, "documents"), maxHamming = 12)
+    Dedup.simhashCandidates(table(s, dir, "documents"), maxHamming = 3)
 
   /** Embedding near-dup groups on a floor(x*2) grid — first 8 dims as
     * grouping keys (bit-exact vs the SQL oracle). */

@@ -39,7 +39,10 @@ object RunJob {
         (d, e)
       }
 
-    val out = KgPipeline.run(docs, dict, edges, LexiconScorer.default)
+    // all three output families are written — persist the fused pass so
+    // they share one corpus scan
+    val out = KgPipeline.run(docs, dict, edges, LexiconScorer.default,
+      persistPass = true)
     val wroteTriples = GraphMaterializer.writeResumable(
       spark, out.triples.toDF(), s"$outDir/triples", nBuckets)
     val wroteNodes = GraphMaterializer.writeResumable(

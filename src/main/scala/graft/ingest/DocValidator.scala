@@ -27,7 +27,7 @@ object DocValidator extends Serializable {
   def validate(doc: Doc): Option[String] = {
     if (doc.doc_id == null || doc.doc_id.isEmpty) return Some("empty doc_id")
     if (doc.spans == null || doc.spans.isEmpty) return Some("no spans")
-    var prevEnd = Int.MinValue
+    var prevEnd = 0 // offsets are document positions: the first span must sit at >= 0
     var i = 0
     for (sp <- doc.spans) {
       sp.kind match {

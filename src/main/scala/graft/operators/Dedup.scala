@@ -31,14 +31,18 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
 
-  /** Word n-gram shingles as a deduplicated array column. */
+  /** Word n-gram shingles as a deduplicated array column. Documents
+    * shorter than n words fall back to a single whole-text shingle — an
+    * empty shingle set would silently drop the doc from every LSH stage
+    * (short exact duplicates would never be candidates). */
   def shingles(text: Column, n: Int): Column = {
     val words = split(text, " ")
-    array_distinct(filter(
-      transform(words, (_, i) =>
-        when(i <= size(words) - n,
-          concat_ws(" ", slice(words, i + lit(1), lit(n))))),
-      c => c.isNotNull))
+    when(size(words) < n, array(text)).otherwise(
+      array_distinct(filter(
+        transform(words, (_, i) =>
+          when(i <= size(words) - n,
+            concat_ws(" ", slice(words, i + lit(1), lit(n))))),
+        c => c.isNotNull)))
   }
 
   /** MinHash signatures as a DataFrame stage: explode the shingle set once
@@ -100,8 +104,16 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: equal 16-bit blocks (4 rotations) →
-    * Hamming-verify ≤ `maxHamming` via bit_count(xor). */
-  def simhashCandidates(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    * Hamming-verify ≤ `maxHamming` via bit_count(xor).
+    *
+    * Recall contract: 4 blocks guarantee a collision only when the two
+    * hashes differ in ≤ 3 bits (pigeonhole). `maxHamming` beyond 3 is
+    * capped — promising a recall the blocking cannot deliver would
+    * silently miss qualifying pairs. A larger bound needs more blocks
+    * (Manku et al.'s rotation scheme), which trades candidate volume for
+    * recall and is out of scope here. */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hamming = math.min(maxHamming, 3)
     val sh = simhashes(docs)
     val blocked = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { b =>
@@ -115,7 +127,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= hamming)
   }
 
   /** The composition that actually runs at 100 TB: MinHash-LSH candidate

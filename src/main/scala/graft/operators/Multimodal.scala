@@ -49,7 +49,9 @@ object Multimodal {
                       targetBytesPerPartition: Long = 64L << 20)
                      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    val totalBytes = media.select(sum(length(col("media_bytes")))).head().getLong(0)
+    // sum() over zero rows is null — coalesce, or an empty batch NPEs here
+    val totalBytes = media.select(coalesce(sum(length(col("media_bytes"))), lit(0L)))
+      .head().getLong(0)
     val parts = math.max(1, math.min(10000, (totalBytes / targetBytesPerPartition) + 1)).toInt
     media.repartition(parts).mapPartitions(FakeDecoder.decodeBatch _)
   }

@@ -172,7 +172,13 @@ object SimSearch {
   def cosineNearDupPairs(emb: DataFrame, threshold: Double, bits: Int = 6): DataFrame = {
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
-    val dim = 64
+    // dim from the data — a hardcoded dim poisons the plane dots to null
+    // for other dimensions and collapses every row into one bucket
+    val firstRow = e.select(size(col("v"))).head(1)
+    if (firstRow.isEmpty) return e.sparkSession.emptyDataFrame
+      .select(lit(0L).as("vec_a"), lit(0L).as("vec_b"), lit(0.0d).as("score"))
+      .limit(0)
+    val dim = firstRow.head.getInt(0)
     val b = e.withColumn("bucket", lshBucket(col("v"), dim, bits))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -69,10 +69,18 @@ object WindowEncoder extends Serializable {
       val wEnd = math.min(tokens.length, t2e + 1 + countAround)
       val sliceIdx = wBgn until wEnd
       val masked = sliceIdx.map { i =>
-        val o = owner(i)
-        if (o == p.e1 || o == p.e2) FocusMask
-        else if (o != null) OtherMask
-        else tokens(i).text
+        val t = tokens(i)
+        // focus masking decided by the PAIR's char ranges, not the owner
+        // array: with overlapping dictionary surfaces (AhoCorasick emits
+        // overlaps) the owner array may attribute a focus token to an
+        // earlier enclosing mention, which would render it [unused2] and
+        // silently lose the pair — the focus check must win
+        val isFocus =
+          (t.bgn >= p.e1_bgn && t.end <= p.e1_end) ||
+            (t.bgn >= p.e2_bgn && t.end <= p.e2_end)
+        if (isFocus) FocusMask
+        else if (owner(i) != null) OtherMask
+        else t.text
       }
       EncodedPair(p.doc_id, p.e1, p.e2, p.e1_norm, p.e2_norm,
         p.sent_dist, p.cross_sentence,

@@ -42,6 +42,34 @@ class ScorerParitySpec extends AnyFunSuite {
     assert(pairsSeen > 1000, s"too few pairs exercised: $pairsSeen")
   }
 
+  test("overlapping dictionary surfaces: focus masking wins over the owner array") {
+    // 'alpha p53' encloses 'p53' — AhoCorasick emits both. The window path
+    // must focus-mask the p53 token for the (p53, ABC1) pair even though
+    // the owner array attributes it to the enclosing mention; otherwise the
+    // two scorer paths contradict each other and positives are lost.
+    val ac = graft.nlp.AhoCorasick.build(Seq(
+      ("alpha p53", "nA", "Protein"), ("p53", "nB", "Protein"),
+      ("ABC1", "nC", "Protein")))
+    val doc = Doc("d", Seq(Span("text", "alpha p53 binds ABC1.", "", 0)))
+    val sents = SentenceSplitter.split(doc)
+    val mentions = MentionDetector.detect(doc, ac, sents)
+    assert(mentions.length == 3, s"expected overlapping mentions: $mentions")
+    val pairs = PairGenerator.forDoc(mentions, TaskConfig.complexTome)
+    val tokens = Tokenizer.tokenize(SentenceSplitter.docText(doc))
+    val lx = Set("binds")
+    val fast = new LexiconScorer(lx)
+      .scoreDoc(tokens, mentions, pairs, 128).toSeq
+      .map(s => (s.e1, s.e2) -> (s.score_pos > s.score_neg)).toMap
+    val slow = new SlowScorer(lx)
+      .scoreDoc(tokens, mentions, pairs, 128).toSeq
+      .map(s => (s.e1, s.e2) -> (s.score_pos > s.score_neg)).toMap
+    assert(fast == slow, s"paths diverge: fast=$fast slow=$slow")
+    // the p53–ABC1 pair (overlapped focus) must be positive in BOTH paths
+    val p53 = mentions.find(m => m.text == "p53").get.mention_id
+    val abc = mentions.find(m => m.text == "ABC1").get.mention_id
+    assert(fast((p53, abc)), "overlapped focus mention must still score positive")
+  }
+
   test("fast path applies the F5 fit predicate identically") {
     val p = CorpusGen.Params(nDocs = 300)
     val dict = graft.nlp.AhoCorasick.build(
