@@ -133,15 +133,45 @@ object KgPipeline {
     val (good, quarantine) = DocValidator.split(docs)
     val dict = MentionDetector.broadcastDict(spark, dictEntries)
 
-    val pass0 = extractAll(good, dict, scorer, config)
-    val pass = if (persistPass)
-      pass0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else pass0
-
-    val unfitted = pass.filter((r: PassRow) => r.kind == 1).toDF()
-      .select($"doc_id", $"e1", $"e2", $"e1_norm", $"e2_norm",
-        $"sent_dist", $"tokenDistance")
-    val scored = pass.filter((r: PassRow) => r.kind == 0).map(_.scored)
+    // Two physical strategies behind identical semantics:
+    //  - persistPass=true: ONE fused scan, cached; all output families
+    //    share it (the all-outputs job shape, e.g. RunJob).
+    //  - persistPass=false: each output is its own lazy narrow pass —
+    //    consumers that never touch unfitted/nodes never pay for them, and
+    //    the triples path doesn't serialize mention rows it would discard
+    //    (a typed flatMap blocks filter pushdown, so a shared UNcached
+    //    pass would materialize every PassRow kind for every consumer).
+    val (scored, unfitted, mentionNorms) =
+      if (persistPass) {
+        val pass = extractAll(good, dict, scorer, config)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (pass.filter((r: PassRow) => r.kind == 0).map(_.scored),
+          pass.filter((r: PassRow) => r.kind == 1).toDF()
+            .select($"doc_id", $"e1", $"e2", $"e1_norm", $"e2_norm",
+              $"sent_dist", $"tokenDistance"),
+          pass.filter((r: PassRow) => r.kind == 2).toDF()
+            .select($"norm_id", $"surface"))
+      } else {
+        val unf = good.flatMap { doc =>
+          val mentions = MentionDetector.detect(doc, dict.value, SentenceSplitter.split(doc))
+          val pairs = PairGenerator.forDoc(mentions, config)
+          if (pairs.isEmpty) Nil
+          else {
+            val tokens = Tokenizer.tokenize(SentenceSplitter.docText(doc))
+            pairs.flatMap { p =>
+              val (_, _, _, _, dist, fitted) =
+                WindowEncoder.geometry(tokens, p, config.maxSeqLen)
+              if (fitted) None
+              else Some((p.doc_id, p.e1, p.e2, p.e1_norm, p.e2_norm, p.sent_dist, dist))
+            }
+          }
+        }.toDF("doc_id", "e1", "e2", "e1_norm", "e2_norm", "sent_dist", "tokenDistance")
+        val norms = good.flatMap { doc =>
+          MentionDetector.detect(doc, dict.value, SentenceSplitter.split(doc))
+            .map(m => (m.norm_id, m.text))
+        }.toDF("norm_id", "surface")
+        (scoreCandidates(good, dict, scorer, config), unf, norms)
+      }
 
     // canonical map from the global equivalence edges (J6); tiny vs corpus
     val canonMap = ConnectedComponents.canonicalizeAuto(equivEdges)
@@ -163,10 +193,7 @@ object KgPipeline {
 
     val triggers = positives.flatMap(TriggerDetector.triggersFor _)
 
-    // node table: canonical id + surfaces + mention counts (A2-style
-    // stats), derived from the same fused pass — no extra corpus scan
-    val mentionNorms = pass.filter((r: PassRow) => r.kind == 2).toDF()
-      .select($"norm_id", $"surface")
+    // node table: canonical id + surfaces + mention counts (A2-style stats)
     val nodes = ConnectedComponents.withCanonical(mentionNorms, "norm_id", canonMap, "node_id")
       .groupBy($"node_id")
       .agg(lit("Protein").as("tag"),
