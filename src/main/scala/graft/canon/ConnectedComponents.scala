@@ -74,11 +74,19 @@ object ConnectedComponents {
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIter) {
-        // candidate label for each node = min over neighbors' labels ∪ own
+        // candidate label per node = min over: own label, neighbors'
+        // labels (one-hop propagation), and the label's own label
+        // (pointer jumping) — the shortcutting turns O(diameter)
+        // convergence into O(log diameter), so long alias chains don't
+        // exhaust the iteration budget
         val viaNeighbors = sym
           .join(labels, sym("dst") === labels("node_id"))
           .select(sym("src").as("node_id"), $"canonical_id")
-        val next = labels.unionByName(viaNeighbors)
+        val l2 = labels.select($"node_id".as("ptr_node"), $"canonical_id".as("ptr_label"))
+        val viaPointer = labels
+          .join(l2, labels("canonical_id") === l2("ptr_node"))
+          .select(labels("node_id"), $"ptr_label".as("canonical_id"))
+        val next = labels.unionByName(viaNeighbors).unionByName(viaPointer)
           .groupBy($"node_id")
           .agg(min($"canonical_id").as("canonical_id"))
           .localCheckpoint() // cut lineage each round

@@ -21,6 +21,16 @@ class CanonEvalSpec extends AnyFunSuite {
     assert(canon("m") == "m" && canon("n") == "m")
   }
 
+  test("distributed path converges on a 100-hop chain within the iteration cap") {
+    // one-hop min propagation alone needs O(diameter) = 100 rounds and
+    // would blow the maxIter=20 budget; pointer jumping makes it O(log n)
+    val edges = (1 until 100).map(i => EquivEdge(f"n$i%03d", f"n${i - 1}%03d"))
+    val canon = ConnectedComponents.canonicalize(spark.createDataset(edges))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon.size == 100)
+    assert(canon.values.forall(_ == "n000"))
+  }
+
   test("connected components: idempotent (canonical of canonical is itself)") {
     val edges = (0 until 30).map(i => EquivEdge(s"n$i", s"n${i / 3 * 3}"))
     val canon = ConnectedComponents.canonicalize(spark.createDataset(edges))
