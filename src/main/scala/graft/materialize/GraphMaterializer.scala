@@ -82,6 +82,33 @@ object GraphMaterializer {
           format_number(col("score_pos"), 4)).as("tsv_row"))
   }
 
+  /** brat .ann writeback (S7/S8 byte-format parity — reference:
+    * large_scale_prediction_pipeline_pt.py:457-531): one row per doc whose
+    * `ann_text` is the standoff content — `T` entity lines
+    * (`T{n}\t{tag} {bgn} {end}\t{text}`) followed by `R` relation lines
+    * (`R{n}\t{type} Arg1:{e1} Arg2:{e2}`), R-numbering per doc in natural
+    * key order (W2). Round-trips through BratParser (tested). */
+  def toAnn(mentions: DataFrame, triples: DataFrame): DataFrame = {
+    val tLines = mentions.select(col("doc_id"),
+      struct(col("bgn"), col("mention_id")).as("ord"),
+      concat_ws("\t", col("mention_id"),
+        concat(col("tag"), lit(" "), col("bgn"), lit(" "), col("end")),
+        col("text")).as("line"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("subj"), col("obj"), col("e1"), col("e2"))
+    val rLines = triples
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"),
+        struct(lit(Int.MaxValue).as("bgn"), concat(lit("R"), col("rn")).as("mention_id")).as("ord"),
+        concat_ws("\t", concat(lit("R"), col("rn")),
+          concat(col("pred"), lit(" Arg1:"), col("e1"), lit(" Arg2:"), col("e2")))
+          .as("line"))
+    tLines.unionByName(rLines)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("ord"), col("line")))),
+          s => s.getField("line"))).as("ann_text"))
+  }
+
   /** 9-col trigger TSV (S6 / trigger-row format per
     * LargeScaleTriggerDetectionPipeline/README.MD:26 and
     * large_scale_explanation_pipeline.py:490-502):
@@ -97,4 +124,18 @@ object GraphMaterializer {
           format_number(col("score_neg"), 4), format_number(col("score_pos"), 4),
           format_number(col("score"), 4),
           col("bgn"), col("end"), col("text")).as("tsv_row"))
+
+  /** Full trigger TSV including NEGATIVE pairs, which the reference writes
+    * with scores only and no trigger columns
+    * (large_scale_explanation_pipeline.py:383-389: "negative → TSV row
+    * only"). */
+  def triggersToTsvAll(triggers: DataFrame, scored: DataFrame): DataFrame = {
+    val negatives = scored
+      .filter(col("score_pos") <= col("score_neg"))
+      .select(col("doc_id"),
+        concat_ws("\t", col("doc_id"), col("e1"), col("e2"),
+          format_number(col("score_neg"), 4), format_number(col("score_pos"), 4),
+          lit(""), lit(""), lit(""), lit("")).as("tsv_row"))
+    triggersToTsv(triggers, scored).unionByName(negatives)
+  }
 }

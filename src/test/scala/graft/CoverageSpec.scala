@@ -101,6 +101,39 @@ class CoverageSpec extends AnyFunSuite {
     assert(trigTsv.forall(_.getAs[String]("tsv_row").split('\t').length == 9))
   }
 
+  test(".ann writeback round-trips through the brat parser (S7/S8)") {
+    val txt = "AA binds BB."
+    val mentions = Seq(
+      Mention("d9", "T1", "Protein", 0, 2, "AA", "nA", 0),
+      Mention("d9", "T2", "Protein", 9, 11, "BB", "nB", 0)).toDF()
+    val triples = Seq(
+      Triple("d9", "nA", "Complex_formation", "nB", "T1", "T2", 0.0, 2.0)).toDF()
+    val ann = GraphMaterializer.toAnn(mentions, triples).collect()
+    assert(ann.length == 1)
+    val annText = ann.head.getAs[String]("ann_text")
+    assert(annText ==
+      "T1\tProtein 0 2\tAA\nT2\tProtein 9 11\tBB\nR1\tComplex_formation Arg1:T1 Arg2:T2")
+    // round-trip: the parser accepts the writeback byte-for-byte
+    val parsed = graft.ingest.BratParser.parse("d9", annText, txt)
+    assert(parsed.mentions.map(_.t_id) == Seq("T1", "T2"))
+    assert(parsed.relations.head.rel_type == "Complex_formation")
+  }
+
+  test("trigger TSV includes negative pairs with empty trigger columns") {
+    val triggers = Seq(Trigger("d1", "T1", "T2", 3, 8, "binds", 2.0)).toDF()
+    val scored = Seq(
+      ScoredPair("d1", "T1", "T2", "nA", "nB", 0, Nil, Nil, Nil, 0.0, 2.0),
+      ScoredPair("d1", "T1", "T3", "nA", "nC", 1, Nil, Nil, Nil, 1.0, 0.0)).toDF()
+    val rows = GraphMaterializer.triggersToTsvAll(triggers, scored)
+      .collect().map(_.getAs[String]("tsv_row"))
+    assert(rows.length == 2)
+    // split with limit -1: trailing empty fields must survive
+    assert(rows.forall(_.split("\t", -1).length == 9))
+    val neg = rows.find(_.contains("T3")).get
+    assert(neg.split("\t", -1).drop(5).forall(_.isEmpty),
+      s"negative row carries trigger cols: $neg")
+  }
+
   test("streaming ingestion: AvailableNow drain equals the batch pipeline") {
     val p = CorpusGen.Params(nDocs = 120)
     val tmp = Files.createTempDirectory("graft_stream").toString
