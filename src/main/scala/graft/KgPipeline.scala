@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   * boundary). The only shuffles are:
   *   1. canonicalization (iterative self-joins over the tiny entity-edge
   *      Dataset, not the corpus);
-  *   2. the final triple distinct (map-side combinable);
-  *   3. the node-table aggregation;
+  *   2. the node-table aggregation;
+  * Triples are intentionally NOT deduplicated here: the reference writes
+  * every positive prediction row (one per sentence context —
+  * tf.py:400-407), and duplicates collapse only at evaluation time, where
+  * Evalsorel keys on the canonical (doc, type, args) set. A doc with the
+  * same pair positive in two sentences therefore emits two triple rows,
+  * and metrics' positive_triples counts rows, not distinct triples.
   * plus a broadcast each for the dictionary automaton and the canonical
   * map. Nothing ever collects mention- or pair-level data to the driver.
   */

@@ -249,13 +249,20 @@ object Queries {
   private def wordCount(text: Column, wrd: String): Column =
     ((length(text) - length(replace(text, lit(wrd), lit("")))) / wrd.length).cast("int")
 
-  /** Mention counts per (doc, surface) — dictionary-scan semantics. */
+  /** Mention counts per (doc, surface) — dictionary-scan semantics.
+    * ONE projection computes every surface's count, then a literal struct
+    * array explodes into (surface, n) rows: one FileScan total (asserted in
+    * PlanSpec), where a per-word union would re-read the table |dict| times
+    * — a |dict|× read amplification at 100 TB. */
   def kgMentions(s: SparkSession, dir: String): DataFrame = {
-    val d = table(s, dir, "documents")
-    val perWord = kgDictWords.map(wrd =>
-      d.select(col("doc_id"), lit(wrd).as("surface"),
-        wordCount(col("text"), wrd).as("n_mentions")))
-    perWord.reduce(_ unionByName _).filter(col("n_mentions") > 0)
+    val counts = array(kgDictWords.map(wrd =>
+      struct(lit(wrd).as("surface"),
+        wordCount(col("text"), wrd).as("n_mentions"))): _*)
+    table(s, dir, "documents")
+      .select(col("doc_id"), explode(counts).as("m"))
+      .select(col("doc_id"), col("m.surface").as("surface"),
+        col("m.n_mentions").as("n_mentions"))
+      .filter(col("n_mentions") > 0)
   }
 
   /** Per-doc mention totals and unordered candidate-pair counts
@@ -270,7 +277,12 @@ object Queries {
   }
 
   /** Co-occurrence triples: (subj, pred, obj) for distinct dictionary
-    * entities co-present in a doc that also carries a trigger word. */
+    * entities co-present in a doc that also carries a trigger word.
+    * Single-scan shape: one projection computes the per-word presence flags
+    * and the trigger flag, then a literal array of (subj, obj, both-present)
+    * structs — the flags are evaluated per row BEFORE the explode — fans out
+    * to the C(|dict|,2) pair branches. One FileScan (PlanSpec-asserted)
+    * instead of ten filtered re-scans union'd together. */
   def kgTriples(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents")
     val withFlags = kgDictWords.foldLeft(d.select(col("doc_id"), col("text"))) {
@@ -280,11 +292,15 @@ object Queries {
     val pairs = for {
       i <- kgDictWords.indices; j <- (i + 1) until kgDictWords.length
     } yield (kgDictWords(i), kgDictWords(j))
-    pairs.map { case (a, b) =>
-      withFlags.filter(col(s"has_$a") && col(s"has_$b") && col("has_trigger"))
-        .select(col("doc_id"), lit(a).as("subj"),
-          lit("co_complex").as("pred"), lit(b).as("obj"))
-    }.reduce(_ unionByName _)
+    val pairArr = array(pairs.map { case (a, b) =>
+      struct(lit(a).as("subj"), lit(b).as("obj"),
+        (col(s"has_$a") && col(s"has_$b")).as("both"))
+    }: _*)
+    withFlags
+      .select(col("doc_id"), col("has_trigger"), explode(pairArr).as("p"))
+      .filter(col("p.both") && col("has_trigger"))
+      .select(col("doc_id"), col("p.subj").as("subj"),
+        lit("co_complex").as("pred"), col("p.obj").as("obj"))
   }
 
   /** The REAL extraction pipeline over the driver's documents table

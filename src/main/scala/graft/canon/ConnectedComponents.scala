@@ -41,9 +41,15 @@ object ConnectedComponents {
     val n = edges.count()
     if (n <= driverLimit) {
       val parent = scala.collection.mutable.HashMap.empty[String, String]
+      // iterative find + path compression: a recursive find would build a
+      // stack frame per link and overflow on the long alias chains a
+      // root-first insertion order produces (up to driverLimit deep)
       def find(x: String): String = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val next = parent(c); parent(c) = r; c = next }
+        r
       }
       edges.collect().foreach { e =>
         val (ra, rb) = (find(e.src), find(e.dst))

@@ -50,19 +50,26 @@ object GraphMaterializer {
     val done = completedBuckets(spark, table)
     val pending = withBucket(df, nBuckets, key)
       .join(done.withColumnRenamed("bucket", BucketCol), Seq(BucketCol), "left_anti")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    pending.write.mode(SaveMode.Overwrite)
-      .partitionBy(BucketCol)
-      .parquet(s"$table/data")
-    // lineage after data commit: derive per-bucket counts from what we wrote
-    val lineage = spark.read.parquet(s"$table/data")
-      .groupBy(col(BucketCol).as("bucket"))
-      .agg(countDistinct(col(key)).as("n_docs"), count(lit(1)).as("n_triples"))
-      .join(done, Seq("bucket"), "left_anti")
-      .withColumn("status", lit("ok")).withColumn("error", lit(""))
-    val n = lineage.count()
-    if (n > 0) lineage.write.mode(SaveMode.Append).parquet(lineagePath(table))
-    n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-write option, NOT a session conf mutation: a session-level
+      // partitionOverwriteMode=dynamic would silently change the semantics
+      // of every later overwrite write in the same shared session
+      pending.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BucketCol)
+        .parquet(s"$table/data")
+      // lineage after the data commit, derived from the PENDING rows (one
+      // cached pass) — never by re-reading the output table, which at
+      // 100 TB would be a second full scan of every bucket ever written
+      val lineage = pending
+        .groupBy(col(BucketCol).as("bucket"))
+        .agg(countDistinct(col(key)).as("n_docs"), count(lit(1)).as("n_triples"))
+        .withColumn("status", lit("ok")).withColumn("error", lit(""))
+      val n = lineage.count()
+      if (n > 0) lineage.write.mode(SaveMode.Append).parquet(lineagePath(table))
+      n
+    } finally pending.unpersist()
   }
 
   def readTable(spark: SparkSession, table: String): DataFrame =

@@ -34,11 +34,19 @@ object Skew {
     * (key, salt), then final on key. `partial` and `merge` must form the
     * same commutative monoid (e.g. sum/sum, count/sum). Spark's hash
     * aggregate already map-side-combines, so reach for this only when one
-    * group's partial state itself is too large (collect_set on a hot key). */
+    * group's partial state itself is too large (collect_set on a hot key).
+    *
+    * The salt here is row-position-derived, NOT content-derived: a
+    * content hash would map fully duplicate rows of a hot group onto one
+    * salt bucket — exactly the repeated-row hot-key case this spreading
+    * exists for. A nondeterministic salt is safe for aggregation (the
+    * commutative monoid makes the final result salt-independent); the
+    * content-hash salt remains right for saltedJoin, where the salt must
+    * be reproducible across retries. */
   def saltedAgg(df: DataFrame, key: String, salts: Int,
                 partial: Seq[Column], finalAgg: Seq[Column]): DataFrame = {
     val salted = df.withColumn("graft_salt",
-      pmod(hash(struct(df.columns.map(col): _*)), lit(salts)))
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
     val phase1 = salted.groupBy(col(key), col("graft_salt"))
       .agg(partial.head, partial.tail: _*)
     phase1.groupBy(col(key)).agg(finalAgg.head, finalAgg.tail: _*)

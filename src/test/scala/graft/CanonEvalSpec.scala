@@ -53,6 +53,18 @@ class CanonEvalSpec extends AnyFunSuite {
     assert(dist.filter { case (k, v) => k != v }.forall { case (k, v) => fast(k) == v })
   }
 
+  test("driver union-find survives a deep alias chain inserted root-first") {
+    // edges in DESCENDING order build a parent chain as deep as the edge
+    // count; a recursive find() overflowed the stack here — find must be
+    // iterative (walk to root, then compress)
+    val n = 100000
+    val edges = (n to 1 by -1).map(i => EquivEdge(f"n$i%07d", f"n${i - 1}%07d"))
+    val canon = ConnectedComponents.canonicalizeAuto(spark.createDataset(edges))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon.size >= n)
+    assert(canon.filter(_._1 != "n0000000").values.forall(_ == "n0000000"))
+  }
+
   test("withCanonical: identity for unmapped ids") {
     val canonMap = Seq(("b", "a")).toDF("node_id", "canonical_id")
     val df = Seq(("d1", "b"), ("d2", "q")).toDF("doc_id", "ent")

@@ -59,6 +59,27 @@ class LineageSpec extends AnyFunSuite {
     assert(after == full, "resume did not reconstruct the full table")
   }
 
+  test("lineage derives from pending rows, not a re-read of the output table") {
+    // plant a FOREIGN bucket partition in table/data before writing: if
+    // writeResumable built lineage by scanning table/data (the 100 TB
+    // second-full-pass anti-pattern), the foreign bucket would gain a
+    // lineage row; deriving from `pending` must ignore it
+    val table = freshTable()
+    Seq(("docX", "s", "o")).toDF("doc_id", "subj", "obj")
+      .withColumn(GraphMaterializer.BucketCol, lit(99))
+      .write.partitionBy(GraphMaterializer.BucketCol).parquet(s"$table/data")
+    GraphMaterializer.writeResumable(spark, data(100), table, nBuckets = 4)
+    val buckets = spark.read.parquet(s"$table/_lineage")
+      .select("bucket").collect().map(_.getInt(0)).toSet
+    assert(!buckets.contains(99),
+      "lineage contains a bucket writeResumable never wrote — it re-read table/data")
+    assert(buckets == (0 until 4).toSet)
+    // and the per-bucket counts must cover exactly the 100 pending rows
+    val total = spark.read.parquet(s"$table/_lineage")
+      .agg(sum(col("n_triples"))).collect()(0).getLong(0)
+    assert(total == 100)
+  }
+
   test("resumable write is idempotent under re-run of a completed bucket") {
     val table = freshTable()
     GraphMaterializer.writeResumable(spark, data(100), table, nBuckets = 4)

@@ -50,6 +50,16 @@ class PlanSpec extends AnyFunSuite {
       s"the fused extract->score pass must not shuffle:\n$plan")
   }
 
+  test("kg_triples / kg_mentions scan the documents table exactly once") {
+    for (q <- Seq("kg_triples", "kg_mentions", "kg_cooccur_pairs")) {
+      val plan = physical(q)
+      val scans = "FileScan parquet".r.findAllIn(plan).length
+      assert(scans == 1,
+        s"$q reads the table $scans times — flag-projection + literal-array " +
+          s"explode must keep it to ONE FileScan:\n$plan")
+    }
+  }
+
   test("minhash signatures compute shingles once (no k-fold re-split)") {
     val docs = Queries.table(spark, dir, "documents")
     val plan = graft.operators.Dedup.minhashSignatures(docs, 3, 16)
