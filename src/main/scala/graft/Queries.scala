@@ -175,15 +175,18 @@ object Queries {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(table(s, dir, "documents"), minSharedPct = 80)
 
+  /** Portable-hash forms in the judged catalog (oracle-verifiable bit-
+    * exactly); the xxhash64 production forms are spec-tested equivalents
+    * of the same banding/blocking constructions. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshCandidates(table(s, dir, "documents"))
+    Dedup.minhashLshCandidatesPortable(table(s, dir, "documents"))
 
   /** The scale composition: LSH candidates -> exact Jaccard verify. */
   def dedupLshVerified(s: SparkSession, dir: String): DataFrame =
-    Dedup.lshVerifiedDups(table(s, dir, "documents"), minSharedPct = 80)
+    Dedup.lshVerifiedDupsPortable(table(s, dir, "documents"), minSharedPct = 80)
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashCandidates(table(s, dir, "documents"), maxHamming = 3)
+    Dedup.simhashCandidatesPortable(table(s, dir, "documents"), maxHamming = 3)
 
   /** Embedding near-dup groups on a floor(x*2) grid — first 8 dims as
     * grouping keys (bit-exact vs the SQL oracle). */
@@ -196,8 +199,12 @@ object Queries {
       .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("keep_id"))
   }
 
+  /** Quantized-integer cosine pairs at τ = 0.15 (τ² = 9/400), LSH-blocked —
+    * the integer cross-multiply compare makes the oracle bit-exact; the
+    * float cosineNearDupPairs variant remains spec-tested. */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
-    SimSearch.cosineNearDupPairs(table(s, dir, "embeddings"), threshold = 0.15)
+    SimSearch.quantizedCosinePairs(table(s, dir, "embeddings"),
+      tauNum = 9L, tauDen = 400L)
 
   // ------------------------------------------------------------- simsearch
 
@@ -210,12 +217,15 @@ object Queries {
     SimSearch.quantizedDotTopK(table(s, dir, "embeddings"),
       queryVector(s, dir), k = 20)
 
-  /** Float cosine brute-force top-20 (rows-only check; float reductions
-    * are not bit-portable across engines). */
+  /** Cosine brute-force top-20 with the portable sign(dot)·dot²/‖v‖²
+    * ordering over quantized integers — bit-exact oracle. The float
+    * CosineSimilarityExpr brute force remains the spec-tested recall
+    * baseline. */
   def simsearchCosine(s: SparkSession, dir: String): DataFrame =
-    SimSearch.bruteForceTopK(table(s, dir, "embeddings"), queryVector(s, dir), k = 20)
+    SimSearch.quantizedCosineTopK(table(s, dir, "embeddings"), queryVector(s, dir), k = 20)
 
-  /** LSH-bucketed ANN (rows-only). */
+  /** Integer-LSH ANN with Hamming≤1 multi-probe, ranked by quantized dot —
+    * bit-exact oracle + recall@20 gate vs brute force in OperatorsSpec. */
   def simsearchLsh(s: SparkSession, dir: String): DataFrame =
     SimSearch.lshTopK(table(s, dir, "embeddings"), queryVector(s, dir), k = 20, bits = 4)
 
@@ -236,7 +246,7 @@ object Queries {
     TextAnalysis.langId(table(s, dir, "documents")).drop("lang", "source", "n_chars")
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.fingerprints(table(s, dir, "documents"))
+    TextAnalysis.fingerprintsPortable(table(s, dir, "documents"))
 
   // ------------------------------------------------- KG over driver tables
 

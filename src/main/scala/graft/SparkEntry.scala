@@ -73,10 +73,157 @@ object SparkEntry {
     "multimodal_features" -> (Queries.multimodalFeatures _),
   )
 
-  /** DuckDB-equivalent SQL per oracle-checkable query. Omitted entries
-    * (minhash/simhash/lsh/cosine/fingerprint/pipeline) are engine-specific
-    * hash/float semantics → driver records the weaker rows-only check. */
+  // ------- generated oracle SQL for the portable-hash operator family -----
+  // Every hash below is integer LCG arithmetic over dense token ids (see
+  // Dedup "portable" scaladoc), so DuckDB reproduces the Spark results
+  // value-for-value — candidate sets included. The SQL is generated, not
+  // hand-maintained, so constants can never drift from the Scala side.
+
+  private val P = graft.operators.Dedup.HashP
+
+  /** CTE chain ending in `cand(doc_a, doc_b)` — the portable MinHash-LSH
+    * candidate construction (3-gram shingles, k=16, 4 bands × 4 rows). */
+  private def minhashCandCtes: String = {
+    import graft.operators.Dedup.{HashA, HashB}
+    val mins = (0 until 16).map(s =>
+      s"min((${HashA(s)}*tid + ${HashB(s)}) % $P) AS h$s").mkString(", ")
+    val bandSel = (0 until 4).map { b =>
+      val fold = (0 until 4).map(r => s"h${b * 4 + r}")
+        .reduce((acc, h) => s"($acc*1009+$h)")
+      s"SELECT doc_id, $b AS band, $fold AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+       | shx AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 3 THEN [text]
+       |   ELSE list_distinct(list_filter(list_transform(ws, (x,i) ->
+       |     CASE WHEN i+2 <= len(ws) THEN array_to_string(list_slice(ws, i, i+2), ' ') END),
+       |     s -> s IS NOT NULL)) END) AS sh FROM d),
+       | vocab AS (SELECT sh, row_number() OVER (ORDER BY sh) AS tid
+       |           FROM (SELECT DISTINCT sh FROM shx)),
+       | t AS (SELECT doc_id, tid FROM shx JOIN vocab USING (sh)),
+       | sig AS (SELECT doc_id, $mins FROM t GROUP BY doc_id),
+       | bands AS ($bandSel),
+       | cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |   FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def simhashSqlGen: String = {
+    import graft.operators.Dedup.{HashA, HashB}
+    val bitSums = (0 until 64).map(i =>
+      s"sum(CASE WHEN ((${HashA(i)}*tid + ${HashB(i)}) % $P) * 2 < $P" +
+        s" THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val combine = (0 until 64).map(i =>
+      s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH wset AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS sh
+       |   FROM documents),
+       | vocab AS (SELECT sh, row_number() OVER (ORDER BY sh) AS tid
+       |           FROM (SELECT DISTINCT sh FROM wset)),
+       | t AS (SELECT doc_id, tid FROM wset JOIN vocab USING (sh)),
+       | bits AS (SELECT doc_id, $bitSums FROM t GROUP BY doc_id),
+       | shh AS (SELECT doc_id, CAST($combine AS BIGINT) AS sh FROM bits),
+       | keyed AS (SELECT doc_id, sh, blk, (sh >> CAST(blk*16 AS INTEGER)) & 65535 AS key
+       |           FROM (SELECT doc_id, sh, unnest(range(0,4)) AS blk FROM shh))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM keyed a JOIN keyed b
+       |  ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+  }
+
+  /** Quantized (×1000 floor, BIGINT) per-dimension embedding CTE `v`. */
+  private val quantVCte: String =
+    """WITH v AS (SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) AS qx
+      |   FROM (SELECT vec_id, unnest(embedding) AS x,
+      |                unnest(range(0, len(embedding))) AS i FROM embeddings))""".stripMargin
+
+  /** Integer hyperplane-weight CTE `w(b, i, wgt)` for `bits` planes. */
+  private def planeWgtCte(bits: Int): String =
+    s""" w AS (SELECT b, i, ((1103515245*(b*97+i+1)+12345) % 2003) - 1001 AS wgt
+       |   FROM (SELECT unnest(range(0,$bits)) AS b) bs, (SELECT DISTINCT i FROM v) ds)""".stripMargin
+
+  /** DuckDB-equivalent SQL per oracle-checkable query. The only remaining
+    * rows-only entries are kg_pipeline_triples (the full typed pipeline —
+    * positional trigger semantics, not SQL-expressible; covered by the
+    * PipelineSpec P/R gate) and simsearch_ivf (driver-trained float
+    * centroids; covered by a recall gate in OperatorsSpec). */
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      (minhashCandCtes + "\nSELECT doc_a, doc_b FROM cand"),
+    "dedup_lsh_verified" ->
+      (minhashCandCtes +
+        """,
+          | wset AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+          |   FROM documents),
+          | sizes AS (SELECT doc_id, count(*) AS n FROM wset GROUP BY doc_id),
+          | comm AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cand c
+          |   JOIN wset a ON a.doc_id = c.doc_a
+          |   JOIN wset b ON b.doc_id = c.doc_b AND b.w = a.w
+          |   GROUP BY 1, 2)
+          |SELECT comm.doc_a, comm.doc_b, CAST(n_common AS BIGINT) AS n_common,
+          |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+          |FROM comm JOIN sizes sa ON comm.doc_a = sa.doc_id
+          |  JOIN sizes sb ON comm.doc_b = sb.doc_id
+          |WHERE n_common * 180 >= 80 * (sa.n + sb.n)""".stripMargin),
+    "dedup_simhash" -> simhashSqlGen,
+    "dedup_embedding_cosine" ->
+      (quantVCte + "," + planeWgtCte(6) +
+        """,
+          | dots AS (SELECT v.vec_id, w.b, sum(v.qx*w.wgt) AS d
+          |          FROM v JOIN w ON v.i = w.i GROUP BY 1, 2),
+          | buck AS (SELECT vec_id,
+          |     CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+          |   FROM dots GROUP BY 1),
+          | pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          |   FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          | dotp AS (SELECT vec_a, vec_b, CAST(sum(x.qx*y.qx) AS BIGINT) AS qdot
+          |   FROM pairs JOIN v x ON x.vec_id = vec_a
+          |   JOIN v y ON y.vec_id = vec_b AND y.i = x.i
+          |   GROUP BY 1, 2),
+          | norms AS (SELECT vec_id, CAST(sum(qx*qx) AS BIGINT) AS n FROM v GROUP BY 1)
+          |SELECT vec_a, vec_b, qdot, na.n AS qna, nb.n AS qnb
+          |FROM dotp JOIN norms na ON vec_a = na.vec_id
+          |  JOIN norms nb ON vec_b = nb.vec_id
+          |WHERE qdot > 0 AND 400*qdot*qdot >= 9*na.n*nb.n""".stripMargin),
+    "simsearch_cosine" ->
+      (quantVCte +
+        """,
+          | q AS (SELECT i, qx FROM v WHERE vec_id = 0),
+          | s AS (SELECT v.vec_id, CAST(sum(v.qx*q.qx) AS BIGINT) AS qdot,
+          |         CAST(sum(v.qx*v.qx) AS BIGINT) AS qna
+          |       FROM v JOIN q ON v.i = q.i GROUP BY 1)
+          |SELECT vec_id, qdot, qna FROM s WHERE qna > 0
+          |ORDER BY CAST(CASE WHEN qdot < 0 THEN -1 ELSE 1 END AS DOUBLE) *
+          |  (CAST(qdot AS DOUBLE)*CAST(qdot AS DOUBLE)/CAST(qna AS DOUBLE)) DESC, vec_id
+          |LIMIT 20""".stripMargin),
+    "simsearch_lsh" ->
+      (quantVCte + "," + planeWgtCte(4) +
+        """,
+          | q AS (SELECT i, qx FROM v WHERE vec_id = 0),
+          | dots AS (SELECT v.vec_id, w.b, sum(v.qx*w.wgt) AS d
+          |          FROM v JOIN w ON v.i = w.i GROUP BY 1, 2),
+          | buck AS (SELECT vec_id,
+          |     CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+          |   FROM dots GROUP BY 1),
+          | qdots AS (SELECT w.b, sum(q.qx*w.wgt) AS d
+          |           FROM q JOIN w ON q.i = w.i GROUP BY 1),
+          | qb AS (SELECT CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS qbucket
+          |        FROM qdots),
+          | sc AS (SELECT v.vec_id, CAST(sum(v.qx*q.qx) AS BIGINT) AS qdot
+          |        FROM v JOIN q ON v.i = q.i GROUP BY 1)
+          |SELECT sc.vec_id, sc.qdot
+          |FROM sc JOIN buck ON sc.vec_id = buck.vec_id, qb
+          |WHERE buck.bucket = qb.qbucket
+          |   OR xor(buck.bucket, qb.qbucket) IN (1, 2, 4, 8)
+          |ORDER BY sc.qdot DESC, sc.vec_id LIMIT 20""".stripMargin),
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w,
+         |     unnest(range(1, len(string_split(text,' '))+1)) AS pos FROM documents),
+         | vocab AS (SELECT w, row_number() OVER (ORDER BY w) AS tid
+         |           FROM (SELECT DISTINCT w FROM t))
+         |SELECT doc_id,
+         |  CAST(sum(((37*tid+17) % $P) * ((61*pos+29) % $P)) AS BIGINT) AS fp
+         |FROM t JOIN vocab USING (w) GROUP BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,

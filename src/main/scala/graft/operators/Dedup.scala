@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for large-scale training-data curation.
@@ -150,6 +151,143 @@ object Dedup {
       .filter(col("n_common") * (lit(100) + lit(minSharedPct)) >=
         lit(minSharedPct) * (col("n_a") + col("n_b")))
   }
+
+  // -------------- portable (oracle-verifiable) hash family ----------------
+  // The xxhash64 operators above are the 100 TB production path: hashing is
+  // a pure per-row expression, no vocabulary state. The *Portable variants
+  // trade ONE extra distinct+rank (dense token-id assignment over the sorted
+  // distinct token set) for cross-engine bit-exactness: every hash is
+  // integer LCG arithmetic over those ids, reproducible in any SQL engine,
+  // so the driver's DuckDB oracle verifies the candidate sets value-for-
+  // value instead of the weaker rows-only check. Same banding/blocking
+  // construction, same shuffle shape — only the hash family differs.
+
+  /** Prime modulus shared by every portable LCG hash. */
+  val HashP = 1000003L
+
+  /** Per-hash LCG constants: seeded java.util.Random (algorithm specified
+    * by the JDK — stable across versions), multipliers drawn from the FULL
+    * [1, P) range. A small multiplier (an early version used 37+61s) never
+    * wraps P on a small vocabulary, so the "permutation" is monotone in
+    * tid — every min-hash picks the same token (degenerate banding) and
+    * simhash parity bits go globally constant (measured: 93k candidate
+    * pairs of 500 docs, 90× the xxhash operator). Large multipliers wrap
+    * every step and behave like the random permutations the construction
+    * assumes. */
+  private val lcgRng = new java.util.Random(987654321L)
+  val HashA: IndexedSeq[Long] =
+    IndexedSeq.fill(64)(1L + java.lang.Math.floorMod(lcgRng.nextLong(), HashP - 1))
+  val HashB: IndexedSeq[Long] =
+    IndexedSeq.fill(64)(java.lang.Math.floorMod(lcgRng.nextLong(), HashP))
+
+  /** The s-th LCG hash of a token id: (A_s·tid + B_s) mod P. P prime and
+    * A_s ∈ [1, P) make each a bijection on [0, P) — a valid min-hash
+    * permutation over dense ids. tid ≤ vocabulary size, so A·tid ≤ 1e6·|V|
+    * stays BIGINT-safe up to trillion-token vocabularies. */
+  def lcgHash(s: Int, tid: Column): Column =
+    (lit(HashA(s)) * tid + lit(HashB(s))) % lit(HashP)
+
+  /** Exploded (doc_id, sh) shingle rows. */
+  def shingleRows(docs: DataFrame, shingleN: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("sh"))
+
+  /** Dense token ids 1..V by sorted order over the distinct token set.
+    * The rank is the portability price (one sort of the vocabulary — the
+    * DISTINCT set, not the corpus); production paths hash tokens directly. */
+  def tokenVocab(sh: DataFrame): DataFrame =
+    sh.select(col("sh")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy(col("sh"))).cast("long"))
+
+  /** MinHash signatures over LCG-permuted dense token ids (k columns h0..). */
+  def minhashSignaturesPortable(docs: DataFrame, shingleN: Int, k: Int): DataFrame = {
+    val sh = shingleRows(docs, shingleN)
+    val t = sh.join(tokenVocab(sh), "sh").select(col("doc_id"), col("tid"))
+    val mins = (0 until k).map(s => min(lcgHash(s, col("tid"))).as(s"h$s"))
+    t.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over the portable signatures: band bucket is the exact
+    * base-1009 fold of its rowsPerBand min-hashes (h < P ≈ 1e6, so four
+    * folded values stay ≤ ~1e15 — overflow-free BIGINT in any engine). */
+  def minhashLshCandidatesPortable(docs: DataFrame, shingleN: Int = 3,
+                                   bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val sig = minhashSignaturesPortable(docs, shingleN, bands * rowsPerBand)
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        val bucket = (0 until rowsPerBand)
+          .map(r => col(s"h${b * rowsPerBand + r}"))
+          .reduce((acc, h) => acc * lit(1009L) + h)
+        struct(lit(b).as("band"), bucket.as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Portable LSH candidates → exact word-set Jaccard verification (the
+    * same verify stage as lshVerifiedDups; counts cast to BIGINT so the
+    * schema matches the oracle's count(*) outputs). */
+  def lshVerifiedDupsPortable(docs: DataFrame, shingleN: Int = 3,
+                              minSharedPct: Int = 80): DataFrame = {
+    val cands = minhashLshCandidatesPortable(docs, shingleN)
+    val words = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    cands
+      .join(words.select(col("doc_id").as("doc_a"), col("ws").as("wa")), "doc_a")
+      .join(words.select(col("doc_id").as("doc_b"), col("ws").as("wb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("wa"), col("wb"))).cast("long").as("n_common"),
+        size(col("wa")).cast("long").as("n_a"),
+        size(col("wb")).cast("long").as("n_b"))
+      .filter(col("n_common") * (lit(100) + lit(minSharedPct)) >=
+        lit(minSharedPct) * (col("n_a") + col("n_b")))
+  }
+
+  /** Portable 64-bit SimHash: bit i votes +1/−1 by whether the i-th LCG
+    * hash of each distinct word's dense id lands in the lower half of
+    * [0, P) — a balanced threshold extractor (parity of an LCG is
+    * structured; the half-range test is not). The final hash is the
+    * additive combine of the positive bits' powers of two (bit 63 is the
+    * Long.MinValue literal — the same two's-complement value either way,
+    * and engines without a 1<<63 shift can still express it). */
+  def simhashesPortable(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("sh"))
+    val t = w.join(tokenVocab(w), "sh").select(col("doc_id"), col("tid"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(lcgHash(i, col("tid")) * 2L < lit(HashP), 1L).otherwise(-1L)).as(s"b$i"))
+    t.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+  }
+
+  /** Equal-16-bit-block candidates + Hamming verify over a simhash column —
+    * shared by the xxhash and portable variants. */
+  private def simhashBlockCandidates(sh: DataFrame, hamming: Int): DataFrame = {
+    val blocked = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.blk"), col("bb.key"))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= hamming)
+  }
+
+  /** Portable SimHash near-dup candidates (same ≤3-bit recall contract as
+    * simhashCandidates — the 4-block pigeonhole bound). */
+  def simhashCandidatesPortable(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashBlockCandidates(simhashesPortable(docs), math.min(maxHamming, 3))
 
   /** Exact word-set Jaccard pairs via distinct-token explode + self-join —
     * integer-only outputs (n_common, n_a, n_b) so jaccard ≥ t is the

@@ -74,4 +74,28 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       graft.functions.RollingHash.rolling_hash(col("text")).as("doc_fp"),
       xxhash64(col("text")).as("xx_fp"))
+
+  /** PORTABLE positional fingerprint: order-sensitive like the rolling
+    * hash, but built from integer LCG terms over dense token ids so the
+    * DuckDB oracle reproduces it bit-exactly (the rolling/xxhash forms
+    * above stay the production fingerprints — pure per-row expressions,
+    * no vocabulary state).
+    *
+    *   fp(doc) = Σ_i ((37·tid_i + 17) mod P) · ((61·pos_i + 29) mod P)
+    *
+    * with P = 1000003 and pos 1-based; each term ≤ P² ≈ 1e12, so even
+    * 10⁶-token documents stay far from BIGINT overflow. Swapping two
+    * distinct tokens changes fp (distinct position factors), which is the
+    * property a fingerprint needs and a bag-of-words hash lacks. */
+  def fingerprintsPortable(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val vocab = Dedup.tokenVocab(t.select(col("w").as("sh")))
+    t.join(vocab, t("w") === vocab("sh"))
+      .groupBy(col("doc_id"))
+      .agg(sum(
+        ((lit(37L) * col("tid") + lit(17L)) % lit(Dedup.HashP)) *
+          ((lit(61L) * (col("pos") + lit(1)).cast("long") + lit(29L)) % lit(Dedup.HashP)))
+        .as("fp"))
+  }
 }
