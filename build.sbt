@@ -28,5 +28,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the driver's bench runs with no env set, and an 8g heap
+  // under 30+ queries + a streaming sink measured GC-contaminated timings
+  // (BENCH_r01: 17x on the KG headline). The box has 125 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

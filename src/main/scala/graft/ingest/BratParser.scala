@@ -31,7 +31,23 @@ object BratParser {
                     relations: Seq[GoldRelation],
                     equivs: Seq[Set[String]])
 
+  /** brat offsets are Unicode CODEPOINT offsets (the corpus is produced by
+    * Python, where len/slicing count codepoints); Java Strings index UTF-16
+    * code units, which diverge as soon as a document contains an astral
+    * character (the shipped sample's 26904000.txt has U+1D700 twice —
+    * naive substring shifts every later span by +2). BMP-only documents
+    * take the O(1) substring fast path. */
+  private def cpSubstring(s: String, bmpOnly: Boolean, b: Int, e: Int): String =
+    if (bmpOnly) s.substring(b, e)
+    else {
+      val bi = s.offsetByCodePoints(0, b)
+      val ei = s.offsetByCodePoints(bi, e - b)
+      s.substring(bi, ei)
+    }
+
   def parse(docId: String, annContent: String, txtContent: String): AnnDoc = {
+    val bmpOnly =
+      txtContent.codePointCount(0, txtContent.length) == txtContent.length
     val mentions = Seq.newBuilder[(String, String, Int, Int, String)]
     var multiSpan = Set.empty[String]
     val relations = Seq.newBuilder[(String, String, String)]
@@ -54,7 +70,7 @@ object BratParser {
           // (brat_json_converter.py:228-242); single-span only
           if (spans.length == 1) {
             val (b, e) = spans.head
-            val recon = txtContent.substring(b, e)
+            val recon = cpSubstring(txtContent, bmpOnly, b, e)
             require(recon == text,
               s"$docId/$tid: span text '$recon' != annotated '$text'")
           }
@@ -66,9 +82,18 @@ object BratParser {
           val members = parts(1).split(' ').drop(1) // drop the "Equiv" keyword
           equivs += members.toSet
         case '#' =>
-          if (parts.length > 2 && parts(1).startsWith("AnnotatorNotes")) {
-            val target = parts(1).split(' ')(1)
-            notes(target) = parts(2)
+          // standard brat puts the note body after a second TAB; the
+          // ComplexTome corpus writes `#1\tAnnotatorNotes T1 <note>` with a
+          // SPACE (verified on sample_data/input_1/00000.tar.gz) — accept both
+          if (parts(1).startsWith("AnnotatorNotes ")) {
+            val rest = parts(1).stripPrefix("AnnotatorNotes ")
+            val sp = rest.indexOf(' ')
+            val target = if (sp < 0) rest else rest.substring(0, sp)
+            val note =
+              if (parts.length > 2) parts(2)
+              else if (sp >= 0) rest.substring(sp + 1)
+              else ""
+            if (note.nonEmpty) notes(target) = note
           }
         case 'E' | 'A' | 'M' => // parsed-and-ignored (ComplexTome uses none)
         case c =>

@@ -89,6 +89,43 @@ object ExampleGenerator {
     examples.result()
   }
 
+  /** Multi-span entity rejection with FN accounting — the reference drops
+    * entities whose `T` line carries a discontinuous span from the valid-
+    * entity set before ANY example generation
+    * (ann_io_generator_cross_sentence_MD.py:56-61), which means a gold
+    * positive touching one can never be predicted: it must surface as a
+    * FALSE NEGATIVE in evaluation (the FN-aware accounting of
+    * relation_extraction_pipeline_pt.py:489-501), not silently vanish.
+    *
+    * @return (examples generated over single-span mentions only,
+    *          FN rows for gold positives lost to the rejection — shaped
+    *          like LabeledExamples so InternalMetrics unions them with the
+    *          unfitted side output) */
+  def forDocRejectingMultiSpan(mentions: Seq[Mention], gold: Seq[GoldRel],
+                               equivSets: Seq[Set[String]], config: TaskConfig,
+                               multiSpanIds: Set[String])
+      : (Seq[LabeledExample], Seq[LabeledExample]) = {
+    val usable = mentions.filterNot(m => multiSpanIds.contains(m.mention_id))
+    val examples = forDoc(usable, gold, equivSets, config)
+    val byId = mentions.map(m => m.mention_id -> m).toMap
+    val fns = gold.flatMap { r =>
+      val rejected = multiSpanIds.contains(r.arg1) || multiSpanIds.contains(r.arg2)
+      if (!rejected) None
+      else for {
+        a <- byId.get(r.arg1); b <- byId.get(r.arg2)
+        if config.entities.contains(a.tag) && config.entities.contains(b.tag)
+      } yield {
+        val label =
+          if (!r.directed) r.rel_type
+          else if (a.bgn < b.bgn || (a.bgn == b.bgn && a.end <= b.end)) r.rel_type + ">"
+          else r.rel_type + "<"
+        val dist = math.abs(a.sent_id - b.sent_id)
+        LabeledExample(r.doc_id, r.arg1, r.arg2, Seq(label), dist, dist > 0)
+      }
+    }
+    (examples, fns)
+  }
+
   /** Dataset-level stage: one cogroup on doc_id joins mentions with gold. */
   def generate(mentions: Dataset[Mention], gold: Dataset[GoldRel],
                equivs: Dataset[(String, Seq[String])], // (doc_id, members)

@@ -33,6 +33,28 @@ object WindowEncoder extends Serializable {
   /** MASK strategy reserves 4 positions (CLS/SEP + 2 masks) per
     * ann_io_generator_cross_sentence_MD.py:243-246. */
   val MaskReserve = 4
+  /** MARK strategy reserves 6 positions — CLS/SEP + 4 boundary markers
+    * (ann_io_generator_cross_sentence_MD.py:178-181). */
+  val MarkReserve = 6
+
+  /** Representation strategies — the reference's main extension point
+    * (helpers/pipeline_variables.py:3-6; dispatch ann_io:312-347; the
+    * unimplemented MASK_FOCUS halts there, :313-315, and is likewise
+    * absent here). The shipped best model uses MASK_EVERYTHING
+    * (ct_train_pipeline.py:105); MARK is the published alternative. */
+  sealed trait RepresentationStrategy { def reserve: Int }
+  case object MaskEverything extends RepresentationStrategy { val reserve: Int = MaskReserve }
+
+  /** MARK: typed boundary markers `[unused3+2k]`/`[unused4+2k]` inserted
+    * around both focus entities, k = the entity type's index in the config
+    * (ann_io:23-35 marker table, :158-219 window build). Unlike MASK,
+    * document tokens — other entities included — pass through unmasked. */
+  final case class Mark(entityTypes: Seq[String]) extends RepresentationStrategy {
+    val reserve: Int = MarkReserve
+    private val idx = entityTypes.zipWithIndex.toMap
+    def bgnMarker(tag: String): String = s"[unused${3 + 2 * idx.getOrElse(tag, 0)}]"
+    def endMarker(tag: String): String = s"[unused${4 + 2 * idx.getOrElse(tag, 0)}]"
+  }
 
   /** Per-token mention ownership (mention_id or null), computed ONCE per
     * document and shared across all of its pair encodings. */
@@ -97,4 +119,63 @@ object WindowEncoder extends Serializable {
     val owner = owners(tokens, allMentions)
     pairs.map(p => encodeOne(tokens, owner, p, maxSeqLen))
   }
+
+  /** Encode one pair under MARK (ann_io:158-219): W3 slice with the +6
+    * reserve, typed bgn/end markers inserted around each focus entity,
+    * NO masking anywhere else. Marker rows carry the entity boundary as a
+    * zero-width (bgn==end) offset so offset tracking stays monotone.
+    *
+    * Fit predicate: window content = dist + 4 markers + CLS/SEP must fit,
+    * i.e. dist + 6 ≤ max_seq_len. (The reference's :178-181 additionally
+    * adds both entity token LENGTHS into the distance before comparing —
+    * a conservative over-reserve, since the marked window it then builds
+    * only grows by the 6 reserved positions; the engine applies the exact
+    * geometric requirement.) */
+  def encodeOneMark(tokens: IndexedSeq[Token], tagOf: Map[String, String],
+                    p: CandidatePair, maxSeqLen: Int,
+                    mark: Mark): EncodedPair = {
+    val (t1, t1e, t2, t2e, dist, _) = geometry(tokens, p, maxSeqLen)
+    val fitted = dist + mark.reserve <= maxSeqLen
+    if (!fitted) {
+      EncodedPair(p.doc_id, p.e1, p.e2, p.e1_norm, p.e2_norm,
+        p.sent_dist, p.cross_sentence, Nil, Nil, Nil, dist, fitted = false)
+    } else {
+      val countAround = (maxSeqLen - (dist + mark.reserve)) / 2
+      val wBgn = math.max(0, t1 - countAround)
+      val wEnd = math.min(tokens.length, t2e + 1 + countAround)
+      def emit(range: Range): Seq[(String, Int, Int)] =
+        range.map(i => (tokens(i).text, tokens(i).bgn, tokens(i).end))
+      val tag1 = tagOf.getOrElse(p.e1, "")
+      val tag2 = tagOf.getOrElse(p.e2, "")
+      val window =
+        emit(wBgn until t1) ++
+          Seq((mark.bgnMarker(tag1), p.e1_bgn, p.e1_bgn)) ++
+          emit(t1 until (t1e + 1)) ++
+          Seq((mark.endMarker(tag1), p.e1_end, p.e1_end)) ++
+          emit((t1e + 1) until t2) ++
+          Seq((mark.bgnMarker(tag2), p.e2_bgn, p.e2_bgn)) ++
+          emit(t2 until (t2e + 1)) ++
+          Seq((mark.endMarker(tag2), p.e2_end, p.e2_end)) ++
+          emit((t2e + 1) until wEnd)
+      EncodedPair(p.doc_id, p.e1, p.e2, p.e1_norm, p.e2_norm,
+        p.sent_dist, p.cross_sentence,
+        window.map(_._1), window.map(_._2), window.map(_._3),
+        dist, fitted = true)
+    }
+  }
+
+  /** Strategy-dispatched document encoding (the engine twin of the
+    * reference's strategy switch, ann_io:312-347). */
+  def encodeDocWith(strategy: RepresentationStrategy)(
+      tokens: IndexedSeq[Token], pairs: Seq[CandidatePair],
+      allMentions: Seq[Mention], maxSeqLen: Int): Seq[EncodedPair] =
+    strategy match {
+      case MaskEverything => encodeDoc(tokens, pairs, allMentions, maxSeqLen)
+      case m: Mark =>
+        if (pairs.isEmpty) Nil
+        else {
+          val tagOf = allMentions.map(x => x.mention_id -> x.tag).toMap
+          pairs.map(p => encodeOneMark(tokens, tagOf, p, maxSeqLen, m))
+        }
+    }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import graft.ingest.{DocValidator, ShardReader}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real brat tar.gz shard ingestion parity against the reference's shipped
+  * sample shard (BASELINE.md row 5: 525 docs, 17,523 T entities in
+  * sample_data/input_1/00000.tar.gz — measured on the reference repo). */
+class ShardIngestSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  val sampleShard =
+    "/root/reference/LargeScaleRelationExtractionPipeline/sample_data/input_1/00000.tar.gz"
+
+  lazy val shard = ShardReader.parseShardDir(spark, sampleShard)
+
+  test("sample shard parity: 525 docs, 17,523 T entities, zero quarantine") {
+    assert(shard.docs.count() == 525)
+    assert(shard.goldMentions.count() == 17523)
+    assert(shard.quarantine.count() == 0,
+      shard.quarantine.take(3).mkString("; "))
+  }
+
+  test("AnnotatorNotes STRING ids are captured as norm_ids") {
+    // the corpus's entity-linking ground truth rides in '#' notes
+    // (brat_json_converter.py:77-78 skips them; the engine keeps them)
+    val withNorm = shard.goldMentions.filter(length(col("norm_id")) > 0).count()
+    assert(withNorm > 15000, s"only $withNorm mentions carry a STRING id")
+    val sample = shard.goldMentions
+      .filter(col("doc_id") === "10212000" && col("t_id") === "T1")
+      .head()
+    assert(sample.norm_id.endsWith("9606.ENSP00000269305"))
+  }
+
+  test("ingested docs pass DocValidator and keep the span invariant") {
+    val (good, bad) = DocValidator.split(shard.docs)
+    assert(good.count() == 525 && bad.count() == 0)
+    // span-sequence shape: exactly one text span at offset 0, no media
+    val shapes = shard.docs.map { d =>
+      (d.spans.length, d.spans.head.kind, d.spans.head.offset,
+        d.spans.head.media_ref.isEmpty)
+    }.distinct().collect()
+    assert(shapes.toSeq == Seq((1, "text", 0, true)))
+  }
+
+  test("member-integrity check quarantines unpaired members, keeps the rest") {
+    // synthesize a shard stream with a missing twin: the reference HALTS
+    // the whole shard here (tf.py:308-322); the engine isolates the doc
+    val members = Seq(
+      ShardReader.ShardMember("s1", "a.ann", "T1\tProtein 0 2\tab"),
+      ShardReader.ShardMember("s1", "a.txt", "ab"),
+      ShardReader.ShardMember("s1", "orphan.ann", "T1\tProtein 0 1\tx"),
+      ShardReader.ShardMember("s1", "readme.md", "ignored")
+    ).toDS()
+    val (docs, quarantine) = ShardReader.pairMembers(members)
+    assert(docs.collect().map(_.doc_id).toSeq == Seq("a"))
+    val q = quarantine.collect()
+    assert(q.length == 1 && q.head.doc_id == "orphan" &&
+      q.head.reason.contains("missing .txt"))
+  }
+
+  test("a doc failing brat validation quarantines with its error, shard survives") {
+    val members = Seq(
+      ShardReader.ShardMember("s1", "good.ann", "T1\tProtein 0 2\tab"),
+      ShardReader.ShardMember("s1", "good.txt", "abc"),
+      ShardReader.ShardMember("s1", "bad.ann", "T1\tProtein 0 2\tZZ"), // recon mismatch
+      ShardReader.ShardMember("s1", "bad.txt", "ab")
+    ).toDS()
+    val (raw, _) = ShardReader.pairMembers(members)
+    // route through the same parse-or-quarantine map parseShardDir uses
+    val parsed = raw.map { d =>
+      try { graft.ingest.BratParser.parse(d.doc_id, d.ann, d.txt); (d.doc_id, "") }
+      catch { case e: Exception => (d.doc_id, e.getMessage) }
+    }.collect().toMap
+    assert(parsed("good") == "")
+    assert(parsed("bad").contains("span text"))
+  }
+
+  test("full KG pipeline runs end-to-end on the real shard's documents") {
+    // dictionary from the shard's own gold surfaces (top mentions) — proves
+    // the ingested Doc shape drives the actual extraction pass
+    val dict = shard.goldMentions
+      .groupBy(col("text")).count().orderBy(col("count").desc, col("text"))
+      .limit(50).collect()
+      .map(r => graft.core.DictEntry(r.getString(0), s"str:${r.getString(0)}", "Protein"))
+      .toSeq
+    val out = KgPipeline.run(shard.docs, dict,
+      spark.emptyDataset[graft.core.EquivEdge],
+      graft.score.LexiconScorer.default)
+    assert(out.scoredAll.count() > 0)
+    assert(out.nodes.count() > 0)
+  }
+}
