@@ -42,18 +42,20 @@ object Multimodal {
       }
   }
 
-  /** Decode/feature-extract stage: byte-budget repartition, then batched
-    * per-partition decode. `targetBytesPerPartition` sizes partitions by
-    * payload, the knob that matters when one row can be 100 MB of video. */
-  def extractFeatures(media: Dataset[MediaRow],
-                      targetBytesPerPartition: Long = 64L << 20)
+  /** Decode/feature-extract stage: batched per-partition decode IN PLACE —
+    * zero shuffle of media bytes. Partition byte-sizing belongs to the
+    * SCAN, not this operator: file sources already split by
+    * `spark.sql.files.maxPartitionBytes`, so a table whose rows are
+    * 100 MB videos arrives in byte-bounded splits without moving a byte.
+    * (An earlier version sized partitions itself — a driver count job plus
+    * a full shuffle of ALL payload bytes; at 100 TB of media that shuffle
+    * IS the job.) For a non-file upstream with pathological partitioning,
+    * `explicitParts > 0` opts into a one-off repartition. */
+  def extractFeatures(media: Dataset[MediaRow], explicitParts: Int = 0)
                      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    // sum() over zero rows is null — coalesce, or an empty batch NPEs here
-    val totalBytes = media.select(coalesce(sum(length(col("media_bytes"))), lit(0L)))
-      .head().getLong(0)
-    val parts = math.max(1, math.min(10000, (totalBytes / targetBytesPerPartition) + 1)).toInt
-    media.repartition(parts).mapPartitions(FakeDecoder.decodeBatch _)
+    val sized = if (explicitParts > 0) media.repartition(explicitParts) else media
+    sized.mapPartitions(FakeDecoder.decodeBatch _)
   }
 
   /** Bind a (doc_id, text) table into media rows for plumbing tests — the

@@ -60,6 +60,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal decode moves zero media bytes: no Exchange in the plan") {
+    val plan = physical("multimodal_features")
+    assert(!plan.contains("Exchange"),
+      s"media bytes must decode at scan partitions, never shuffle:\n$plan")
+  }
+
   test("minhash signatures compute shingles once (no k-fold re-split)") {
     val docs = Queries.table(spark, dir, "documents")
     val plan = graft.operators.Dedup.minhashSignatures(docs, 3, 16)
