@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for large-scale training-data curation.
@@ -191,12 +190,28 @@ object Dedup {
   def shingleRows(docs: DataFrame, shingleN: Int): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("sh"))
 
-  /** Dense token ids 1..V by sorted order over the distinct token set.
-    * The rank is the portability price (one sort of the vocabulary — the
-    * DISTINCT set, not the corpus); production paths hash tokens directly. */
-  def tokenVocab(sh: DataFrame): DataFrame =
+  /** Dense token ids 1..V by sorted order over the distinct token set —
+    * semantically `row_number() OVER (ORDER BY sh)`, which is what the
+    * DuckDB oracle runs, but built WITHOUT the single-partition global
+    * Window (a 100 TB vocabulary would serialize through one task):
+    * range-repartition the distinct set, sort within partitions, and
+    * assign global ranks with zipWithIndex (one lightweight count job for
+    * the per-partition offsets, then local arithmetic). The ids equal the
+    * global sorted rank wherever the range boundaries fall, so the result
+    * is deterministic and engine-portable. The rank is the portability
+    * price (one range shuffle of the VOCABULARY, not the corpus);
+    * production paths hash tokens directly. */
+  def tokenVocab(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
     sh.select(col("sh")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy(col("sh"))).cast("long"))
+      .repartitionByRange(col("sh"))
+      .sortWithinPartitions(col("sh"))
+      .as[String]
+      .rdd.zipWithIndex()
+      .map { case (s, i) => (s, i + 1L) }
+      .toDF("sh", "tid")
+  }
 
   /** MinHash signatures over LCG-permuted dense token ids (k columns h0..). */
   def minhashSignaturesPortable(docs: DataFrame, shingleN: Int, k: Int): DataFrame = {

@@ -45,6 +45,31 @@ class ShardIngestSpec extends AnyFunSuite {
     assert(shapes.toSeq == Seq((1, "text", 0, true)))
   }
 
+  val reOutputShard =
+    "/root/reference/LargeScaleTriggerDetectionPipeline/sample_data/1/06000.tar.gz"
+
+  test("RE-output shard: real R relations parse and round-trip evalsorel at P=R=1") {
+    // the trigger pipeline's sample input IS the RE pipeline's output —
+    // .ann files with Complex_formation R lines (67 docs, 11,010 T, 466 R
+    // in 06000.tar.gz, counted on the reference repo)
+    val shard = ShardReader.parseShardDir(spark, reOutputShard)
+    assert(shard.docs.count() == 67)
+    assert(shard.goldMentions.count() == 11010)
+    assert(shard.goldRelations.count() == 466)
+    assert(shard.quarantine.count() == 0,
+      shard.quarantine.take(3).mkString("; "))
+    // representation round-trip: feeding the parsed relations back as
+    // predictions must score perfectly (symmetric matching + duplicate
+    // dropping must not lose or invent pairs on real data)
+    val gold = shard.goldRelations.toDF()
+    val pred = gold.select(col("doc_id"), col("rel_type").as("pred"),
+      col("arg1_norm").as("subj"), col("arg2_norm").as("obj"),
+      lit(0.0).as("score_neg"), lit(1.0).as("score_pos"))
+    val r = graft.eval.Evalsorel.evaluate(gold, pred)
+    assert(r.fp == 0 && r.fn == 0 && r.precision == 1.0 && r.recall == 1.0,
+      s"round-trip must be exact: $r")
+  }
+
   test("member-integrity check quarantines unpaired members, keeps the rest") {
     // synthesize a shard stream with a missing twin: the reference HALTS
     // the whole shard here (tf.py:308-322); the engine isolates the doc
