@@ -38,9 +38,14 @@ object KgPipeline {
                     nodes: DataFrame, quarantine: Dataset[QuarantineRow])
 
   /** The fused narrow pass: docs → encoded candidate pairs.
-    * Exposed separately so tests/queries can observe the intermediate. */
+    * Exposed separately so tests/queries can observe the intermediate.
+    * `strategy` selects the representation (MASK_EVERYTHING default — the
+    * shipped best model's; MARK for typed boundary markers), dispatched
+    * per doc with no change to the plan shape. */
   def encodeCandidates(docs: Dataset[Doc], dict: Broadcast[AhoCorasick],
-                       config: TaskConfig)
+                       config: TaskConfig,
+                       strategy: WindowEncoder.RepresentationStrategy =
+                         WindowEncoder.MaskEverything)
                       (implicit spark: SparkSession): Dataset[EncodedPair] = {
     import spark.implicits._
     docs.flatMap { doc =>
@@ -50,7 +55,7 @@ object KgPipeline {
       if (pairs.isEmpty) Nil
       else {
         val tokens = Tokenizer.tokenize(SentenceSplitter.docText(doc))
-        WindowEncoder.encodeDoc(tokens, pairs, mentions, config.maxSeqLen)
+        WindowEncoder.encodeDocWith(strategy)(tokens, pairs, mentions, config.maxSeqLen)
       }
     }
   }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.core.{CandidatePair, Mention, ScoredPair}
 import graft.ingest.{DocValidator, ShardReader}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -68,6 +69,54 @@ class ShardIngestSpec extends AnyFunSuite {
     val r = graft.eval.Evalsorel.evaluate(gold, pred)
     assert(r.fp == 0 && r.fn == 0 && r.precision == 1.0 && r.recall == 1.0,
       s"round-trip must be exact: $r")
+  }
+
+  test("trigger detection on real RE-output positives: junk-free, offset-exact") {
+    // the R pairs of the RE-output shard are real positives on real
+    // biomedical text — window-encode each and run trigger detection;
+    // every emitted trigger must be non-junk and its (bgn, end, text) must
+    // reconstruct exactly from the document (the C2 invariant on the
+    // trigger TSV columns)
+    val shard = ShardReader.parseShardDir(spark, reOutputShard)
+    val docById = shard.docs.collect().map(d => d.doc_id -> d).toMap
+    val mentionsByDoc = shard.goldMentions.collect().groupBy(_.doc_id)
+    val rels = shard.goldRelations.collect()
+    var windows = 0
+    var triggers = 0
+    rels.foreach { r =>
+      val doc = docById(r.doc_id)
+      val text = doc.spans.head.text
+      // gold offsets are codepoint-based; restrict to BMP-only docs where
+      // they coincide with JVM char offsets
+      if (text.codePointCount(0, text.length) == text.length) {
+        val ms = mentionsByDoc(r.doc_id)
+        def find(arg: String) = ms.find(m => m.norm_id == arg || m.t_id == arg)
+        for (a <- find(r.arg1_norm); b <- find(r.arg2_norm); if a.bgn != b.bgn) {
+          val (e1, e2) = if (a.bgn <= b.bgn) (a, b) else (b, a)
+          val pair = CandidatePair(r.doc_id, e1.t_id, e2.t_id,
+            e1.norm_id, e2.norm_id, e1.bgn, e1.end, e2.bgn, e2.end, 0, 0, 0,
+            cross_sentence = false)
+          val tokens = graft.nlp.Tokenizer.tokenize(text)
+          val asMentions = ms.map(m =>
+            Mention(m.doc_id, m.t_id, m.tag, m.bgn, m.end, m.text, m.norm_id, 0)).toSeq
+          val enc = graft.score.WindowEncoder
+            .encodeDoc(tokens, Seq(pair), asMentions, 128).head
+          if (enc.fitted) {
+            windows += 1
+            val sp = ScoredPair(r.doc_id, e1.t_id, e2.t_id, e1.norm_id, e2.norm_id,
+              0, enc.tokens, enc.tokenBgns, enc.tokenEnds, 0.0, 1.0)
+            graft.triggers.TriggerDetector.triggersFor(sp).foreach { t =>
+              triggers += 1
+              assert(!graft.triggers.TriggerDetector.isJunk(t.text))
+              assert(text.substring(t.bgn, t.end) == t.text,
+                s"trigger span must reconstruct: '${text.substring(t.bgn, t.end)}' vs '${t.text}'")
+            }
+          }
+        }
+      }
+    }
+    assert(windows > 200, s"too few fitted real windows: $windows")
+    assert(triggers > 200, s"too few triggers: $triggers")
   }
 
   test("member-integrity check quarantines unpaired members, keeps the rest") {

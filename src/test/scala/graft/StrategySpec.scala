@@ -76,6 +76,20 @@ class StrategySpec extends AnyFunSuite {
       !markW.contains(WindowEncoder.FocusMask))
   }
 
+  test("pipeline-level strategy dispatch: encodeCandidates under MARK") {
+    val p = CorpusGen.Params(nDocs = 20)
+    val docs = CorpusGen.generate(spark, p).map(_.doc)
+    val dict = MentionDetector.broadcastDict(spark, CorpusGen.dictionary(p))
+    val enc = KgPipeline.encodeCandidates(docs, dict, TaskConfig.complexTome,
+      WindowEncoder.Mark(Seq("Protein"))).filter((e: EncodedPair) => e.fitted)
+    val windows = enc.take(50)
+    assert(windows.nonEmpty)
+    assert(windows.forall(w =>
+      w.tokens.count(_ == "[unused3]") == 2 && w.tokens.count(_ == "[unused4]") == 2),
+      "every fitted MARK window carries both typed marker pairs")
+    assert(windows.forall(w => !w.tokens.contains(WindowEncoder.FocusMask)))
+  }
+
   test("multi-span entities are rejected and their gold positives become FNs") {
     val mentions = Seq(
       Mention("d", "T1", "Protein", 0, 3, "p53", "nA", 0),
