@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.CosineSimilarity.cosine_sim
+import graft.functions.QuantizedDot.{quantized_dot, weighted_dot}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -40,16 +41,14 @@ object SimSearch {
       .limit(k)
   }
 
-  /** Integer-quantized dot-product top-k (oracle-verifiable bit-exactly).
-    * floor(x*1000) per element, BIGINT accumulate. */
+  /** Integer-quantized dot-product top-k (oracle-verifiable bit-exactly):
+    * floor(double(x)·1000) per element, BIGINT accumulate — as ONE fused
+    * codegen'd loop (graft.functions.QuantizedDotExpr) instead of the
+    * interpreted zip_with/aggregate HOF chain. */
   def quantizedDotTopK(emb: DataFrame, query: Seq[Float], k: Int): DataFrame = {
-    // widen float→double BEFORE ×1000 — float arithmetic would round
-    // differently from the (double-based) SQL oracle near integer boundaries
-    val q = array(query.map(v => lit(math.floor(v.toDouble * 1000).toLong)): _*)
-    val qe = transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long"))
+    val qArr = array(query.map(v => lit(v.toDouble)): _*)
     emb.select(col("vec_id"),
-        aggregate(zip_with(qe, q, (x, y) => x * y), lit(0L), (a, v) => a + v)
-          .as("qdot"))
+        quantized_dot(col("embedding"), qArr).as("qdot"))
       .orderBy(col("qdot").desc, col("vec_id"))
       .limit(k)
   }
@@ -75,31 +74,28 @@ object SimSearch {
   // ×1000 BIGINT quantization (the simsearch_qdot convention): float→double
   // widen, ×1000, floor — exact and identical in any engine, so dot
   // products, norms and hyperplane signs built from it are bit-portable.
+  // Column-side arithmetic runs through graft.functions.QuantizedDotExpr —
+  // one fused codegen'd loop per dot, no intermediate arrays.
 
-  /** Quantize an array<float> column to array<bigint> (×1000, floor). */
-  def quantize1000(emb: Column): Column =
-    transform(emb, x => floor(x.cast("double") * 1000).cast("long"))
-
-  /** Quantize a driver-side query vector with the same arithmetic. */
+  /** Quantize a driver-side query vector with the expression's arithmetic. */
   def quantizeQuery(query: Seq[Float]): Array[Long] =
     query.map(v => math.floor(v.toDouble * 1000).toLong).toArray
 
   /** Deterministic integer hyperplane weight for (plane b, dim i): an LCG
     * over the flattened index, in [-1001, 1001]. Pure integer — the SQL
     * oracle reproduces it exactly. */
-  private def planeWgtExpr(b: Int, i: Column): Column =
-    pmod(lit(1103515245L) * (lit(b * 97L) + i + lit(1L)) + lit(12345L),
-      lit(2003L)) - lit(1001L)
-
   private def planeWgt(b: Int, i: Int): Long =
     java.lang.Math.floorMod(1103515245L * (b * 97L + i + 1) + 12345L, 2003L) - 1001L
 
-  /** Integer LSH bucket of a quantized vector: sign bits of the integer
-    * plane dots, additively combined (distinct powers of two). */
-  def intLshBucket(q: Column, dim: Int, bits: Int): Column = {
+  /** Integer LSH bucket of a RAW embedding column: sign bits of the
+    * quantized integer plane dots (one fused codegen'd loop per plane via
+    * QuantizedDotExpr — the weights ride as an exact integer-valued double
+    * literal array with scale 1, so floor is the identity on them),
+    * additively combined (distinct powers of two). */
+  def intLshBucket(emb: Column, dim: Int, bits: Int): Column = {
     val dots = (0 until bits).map { b =>
-      aggregate(zip_with(q, sequence(lit(0), lit(dim - 1)),
-        (x, i) => x * planeWgtExpr(b, i)), lit(0L), (a, v) => a + v)
+      val w = array((0 until dim).map(i => lit(planeWgt(b, i).toDouble)): _*)
+      weighted_dot(emb, w)
     }
     dots.zipWithIndex.map { case (d, i) =>
       when(d > 0, lit(1L << i)).otherwise(lit(0L))
@@ -131,16 +127,14 @@ object SimSearch {
     * captures genuine directional signal. */
   def lshTopK(emb: DataFrame, query: Seq[Float], k: Int, bits: Int = 4): DataFrame = {
     val dim = query.length
-    val qq = quantizeQuery(query)
-    val qBucket = intBucketOf(qq, bits)
+    val qBucket = intBucketOf(quantizeQuery(query), bits)
     val probes = qBucket +: (0 until bits).map(b => qBucket ^ (1L << b))
-    val qArr = array(qq.map(lit): _*)
-    emb.select(col("vec_id"), quantize1000(col("embedding")).as("q"))
-      .withColumn("bucket", intLshBucket(col("q"), dim, bits))
+    val qArr = array(query.map(v => lit(v.toDouble)): _*)
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", intLshBucket(col("embedding"), dim, bits))
       .filter(col("bucket").isin(probes: _*))
       .select(col("vec_id"),
-        aggregate(zip_with(col("q"), qArr, (x, y) => x * y),
-          lit(0L), (a, v) => a + v).as("qdot"))
+        quantized_dot(col("embedding"), qArr).as("qdot"))
       .orderBy(col("qdot").desc, col("vec_id"))
       .limit(k)
   }
@@ -152,12 +146,10 @@ object SimSearch {
     * division is bit-identical in any engine. Output columns are the
     * integers themselves — no float crosses the comparison boundary. */
   def quantizedCosineTopK(emb: DataFrame, query: Seq[Float], k: Int): DataFrame = {
-    val qq = quantizeQuery(query)
-    val qArr = array(qq.map(lit): _*)
-    val q = quantize1000(col("embedding"))
-    val qdot = aggregate(zip_with(q, qArr, (x, y) => x * y), lit(0L), (a, v) => a + v)
-    val qna = aggregate(transform(q, x => x * x), lit(0L), (a, v) => a + v)
-    emb.select(col("vec_id"), qdot.as("qdot"), qna.as("qna"))
+    val qArr = array(query.map(v => lit(v.toDouble)): _*)
+    emb.select(col("vec_id"),
+        quantized_dot(col("embedding"), qArr).as("qdot"),
+        quantized_dot(col("embedding"), col("embedding")).as("qna"))
       .filter(col("qna") > 0)
       .orderBy(
         (when(col("qdot") < 0, lit(-1.0d)).otherwise(lit(1.0d)) *
@@ -176,21 +168,20 @@ object SimSearch {
     * 3.2e14, ×400 ≈ 1.3e17 and ‖a‖²·‖b‖²·9 ≈ 2.9e15 — BIGINT-safe. */
   def quantizedCosinePairs(emb: DataFrame, tauNum: Long = 9L, tauDen: Long = 400L,
                            bits: Int = 6): DataFrame = {
-    val e = emb.select(col("vec_id"), quantize1000(col("embedding")).as("q"))
-    val firstRow = e.select(size(col("q"))).head(1)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val firstRow = e.select(size(col("embedding"))).head(1)
     if (firstRow.isEmpty) return e.sparkSession.emptyDataFrame
       .select(lit(0L).as("vec_a"), lit(0L).as("vec_b"),
         lit(0L).as("qdot"), lit(0L).as("qna"), lit(0L).as("qnb"))
       .limit(0)
     val dim = firstRow.head.getInt(0)
-    val b = e.withColumn("bucket", intLshBucket(col("q"), dim, bits))
+    val b = e.withColumn("bucket", intLshBucket(col("embedding"), dim, bits))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => x * y),
-          lit(0L), (a, v) => a + v).as("qdot"),
-        aggregate(transform(col("a.q"), x => x * x), lit(0L), (a, v) => a + v).as("qna"),
-        aggregate(transform(col("b.q"), x => x * x), lit(0L), (a, v) => a + v).as("qnb"))
+        quantized_dot(col("a.embedding"), col("b.embedding")).as("qdot"),
+        quantized_dot(col("a.embedding"), col("a.embedding")).as("qna"),
+        quantized_dot(col("b.embedding"), col("b.embedding")).as("qnb"))
       .filter(col("qdot") > 0 &&
         lit(tauDen) * col("qdot") * col("qdot") >=
           lit(tauNum) * col("qna") * col("qnb"))

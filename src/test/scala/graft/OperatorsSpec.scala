@@ -107,8 +107,8 @@ class OperatorsSpec extends AnyFunSuite {
     val qq = SimSearch.quantizeQuery(q)
     val qBucket = SimSearch.intBucketOf(qq, bits)
     val probes = qBucket +: (0 until bits).map(b => qBucket ^ (1L << b))
-    val bucketed = emb.select(SimSearch.quantize1000(col("embedding")).as("qv"))
-      .withColumn("bucket", SimSearch.intLshBucket(col("qv"), q.length, bits))
+    val bucketed = emb.select(col("embedding"))
+      .withColumn("bucket", SimSearch.intLshBucket(col("embedding"), q.length, bits))
     val frac = bucketed.filter(col("bucket").isin(probes: _*)).count().toDouble /
       bucketed.count()
     assert(recall >= 1.5 * frac && recall >= 0.5,
@@ -172,6 +172,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f1.n_bytes == 43 && f1.width == 64 + 43 % 640)
     assert(f1.feature.toSeq == f2.feature.toSeq, "same bytes → same features")
     assert(f1.feature.length == 8)
+  }
+
+  test("quantized_dot expression: floor semantics, HOF agreement, SQL registration") {
+    import graft.functions.QuantizedDot
+    val emb = Seq((0L, Seq(0.0015f, -0.9995f)), (1L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = emb.select(col("vec_id"),
+        QuantizedDot.quantized_dot(col("embedding"), col("embedding")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // floor(0.0015f→double ·1000)=1, floor(-0.9995f·1000)=-1000 (floor, not trunc)
+    assert(got(0L) == 1L * 1L + 1000L * 1000L, s"got ${got(0L)}")
+    assert(got(1L) == 1000L * 1000L + 2000L * 2000L)
+    // agreement with the interpreted HOF formulation on real data
+    val real = spark.read.parquet(sfEmb).limit(50)
+    val q = transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long"))
+    val hof = real.select(col("vec_id"),
+        aggregate(zip_with(q, q, (x, y) => x * y), lit(0L), (a, v) => a + v).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expr = real.select(col("vec_id"),
+        QuantizedDot.quantized_dot(col("embedding"), col("embedding")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expr == hof, "fused expression must equal the HOF form exactly")
+    // SQL registration path
+    QuantizedDot.register(spark)
+    emb.createOrReplaceTempView("qd_emb")
+    val viaSql = spark.sql(
+      "SELECT quantized_dot(embedding, embedding) FROM qd_emb WHERE vec_id = 1")
+      .head().getLong(0)
+    assert(viaSql == got(1L))
   }
 
   test("rolling hash expression: codegen and interpreted agree, distinct texts differ") {
