@@ -143,11 +143,38 @@ object SparkEntry {
        |   FROM (SELECT unnest(range(0,$bits)) AS b) bs, (SELECT DISTINCT i FROM v) ds)""".stripMargin
 
   /** DuckDB-equivalent SQL per oracle-checkable query. The only remaining
-    * rows-only entries are kg_pipeline_triples (the full typed pipeline —
-    * positional trigger semantics, not SQL-expressible; covered by the
-    * PipelineSpec P/R gate) and simsearch_ivf (driver-trained float
-    * centroids; covered by a recall gate in OperatorsSpec). */
+    * rows-only entry is simsearch_ivf (driver-trained float centroids;
+    * covered by a recall gate in OperatorsSpec). */
   def oracleSql: Map[String, String] = Map(
+    // The FULL typed pipeline (Aho-Corasick mentions → pair generation →
+    // window fit → lexicon scoring → canonical triples), SQL-mirrored.
+    // The mirror is exact because of testdata-shape facts each verified in
+    // specs/oracles: text is punctuation-free lowercase words (tokenizer
+    // tokens == space-split words; one sentence per doc so sent_dist = 0
+    // and the F4 prune never binds), and no vocabulary word contains a
+    // dictionary/trigger surface (mention token positions == word
+    // positions — OperatorsSpec's replace-counting check). Semantics
+    // mirrored per mention PAIR (multiset — repeated surfaces emit
+    // repeated triples), trigger strictly between the mentions, window
+    // fit (p2-p1+1) + 4 <= 128, subj/obj = least/greatest canonical id.
+    "kg_pipeline_triples" -> {
+      val dict = Queries.kgDictWords.map(w => s"'$w'").mkString(", ")
+      val trig = Queries.kgTriggerWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w,
+         |     unnest(range(1, len(string_split(text,' '))+1)) AS pos FROM documents),
+         | m AS (SELECT doc_id, pos, w FROM t WHERE w IN ($dict)),
+         | trg AS (SELECT doc_id, pos FROM t WHERE w IN ($trig))
+         |SELECT a.doc_id,
+         |  least('ent:' || a.w, 'ent:' || b.w) AS subj,
+         |  'Complex_formation' AS pred,
+         |  greatest('ent:' || a.w, 'ent:' || b.w) AS obj
+         |FROM m a JOIN m b
+         |  ON a.doc_id = b.doc_id AND a.pos < b.pos
+         |  AND (b.pos - a.pos + 1) + 4 <= 128
+         |WHERE EXISTS (SELECT 1 FROM trg
+         |              WHERE trg.doc_id = a.doc_id
+         |                AND trg.pos > a.pos AND trg.pos < b.pos)""".stripMargin
+    },
     "dedup_minhash_lsh" ->
       (minhashCandCtes + "\nSELECT doc_a, doc_b FROM cand"),
     "dedup_lsh_verified" ->
