@@ -142,6 +142,20 @@ object Queries {
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
         sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"))
 
+  /** Native session windows (Spark's session_window generator — the
+    * built-in gaps-and-islands operator, vs q11's hand-rolled lag form):
+    * one session per user per ≥30-min silence, boundaries at millisecond
+    * precision, end = last event + gap. */
+  def q14SessionWindow(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start"),
+        unix_timestamp(col("sw.end")).as("session_end"),
+        col("n_events"))
+
   /** Structured Streaming: the same tumbling window computed through
     * readStream → watermark → windowed agg → memory sink, drained with
     * processAllAvailable (batch parquet drives the stream synchronously).

@@ -46,6 +46,7 @@ object SparkEntry {
     "q11_sessionize" -> (Queries.q11Sessionize _),
     "q12_conditional_agg" -> (Queries.q12ConditionalAgg _),
     "q13_streaming" -> (Queries.q13Streaming _),
+    "q14_session_window" -> (Queries.q14SessionWindow _),
     // deduplication suite
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
@@ -320,6 +321,26 @@ object SparkEntry {
       """SELECT CAST(floor(epoch_ms(ts)/1000.0/300.0) AS BIGINT) * 300 AS bucket_start,
         | event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // session_window semantics: events merge while the gap is STRICTLY
+    // below 30 min (windows [t, t+gap) overlap-merge); boundaries at ms
+    // precision, start = first event, end = last event + gap
+    "q14_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | s AS (SELECT user_id, ms,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |       FROM e)
+        |SELECT user_id,
+        |  CAST(floor(min(ms)/1000.0) AS BIGINT) AS session_start,
+        |  CAST(floor((max(ms) + 1800000)/1000.0) AS BIGINT) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,

@@ -69,6 +69,24 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming session windows: the q14 batch aggregation on streaming
+    * rails — watermarked event time + the native `session_window`
+    * generator. In append mode Spark finalizes and emits a session only
+    * once the watermark passes its end (no late event can merge into it
+    * anymore) — exactly-once session rows without a line of custom state
+    * code, where the reference has no streaming story at all. */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+                       watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start"),
+        unix_timestamp(col("sw.end")).as("session_end"),
+        col("n_events"))
+
   /** Drain-everything-and-stop run (AvailableNow): writes the streaming
     * triples to a parquet sink with a checkpoint, returns the query for
     * the caller to await. Restarting with the same checkpoint skips
