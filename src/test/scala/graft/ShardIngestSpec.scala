@@ -46,6 +46,19 @@ class ShardIngestSpec extends AnyFunSuite {
     assert(shapes.toSeq == Seq((1, "text", 0, true)))
   }
 
+  test("directory scan ingests all 5 shards in one pass (2,533 docs)") {
+    // the shard FOLDER is the reference's SLURM job unit; the engine's
+    // binaryFile scan covers it in one distributed pass, shards extracted
+    // independently per task (counts per shard: 525/517/500/498/493,
+    // measured on the reference repo)
+    val all = ShardReader.parseShardDir(spark,
+      "/root/reference/LargeScaleRelationExtractionPipeline/sample_data/input_1")
+    assert(all.docs.count() == 2533)
+    assert(all.quarantine.count() == 0)
+    // shard provenance survives into per-doc rows via distinct doc ids
+    assert(all.docs.select("doc_id").distinct().count() == 2533)
+  }
+
   val reOutputShard =
     "/root/reference/LargeScaleTriggerDetectionPipeline/sample_data/1/06000.tar.gz"
 

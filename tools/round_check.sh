@@ -2,8 +2,9 @@
 # One-command round validation: everything the driver gates on.
 #   1. sbt -batch test            (BASELINE verification entry point)
 #   2. Verify + DuckDB oracle     (the correctness gate, sf0.01)
-#   3. Bench                      (BENCH_r{N}.json preview, sf0.1)
-# Scaling evidence is separate (tools/scaling.sh) — it needs a quiet box.
+#   3. Bench                      (BENCH_r{N}.json preview, sf0.1 —
+#      includes the N->4N scaling legs in fresh per-leg JVMs since r2)
+# Run on a QUIET box: concurrent sbt/spark work contaminates the legs.
 set -e
 cd "$(dirname "$0")/.."
 echo "== tests =="
