@@ -150,6 +150,25 @@ class OperatorsSpec extends AnyFunSuite {
       "near dup must be closer in hamming space than unrelated text")
   }
 
+  test("portable fingerprint is order-sensitive; portable simhash is bag-of-words") {
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "beta alpha gamma delta"), // adjacent swap — fp must differ
+      (3L, "delta gamma beta alpha"), // reversal — fp differs, simhash equal
+      (4L, "alpha beta gamma delta")  // identical — fp equal
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprintsPortable(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(1L) != fp(2L), "a fingerprint blind to token order is a bag hash")
+    assert(fp(1L) != fp(3L))
+    val sh = Dedup.simhashesPortable(d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L) && sh(1L) == sh(3L),
+      "simhash is defined on the distinct word SET — order must not matter")
+  }
+
   test("quantized cosine pairs: symmetric-threshold integer filter is exact") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
