@@ -345,6 +345,26 @@ object Queries {
       .select(col("doc_id"), col("subj"), col("pred"), col("obj"))
   }
 
+  /** The pipeline's NODE table (S7 entity writeback) over the driver
+    * documents: canonical id + tag + mention count + surface-set shape.
+    * Arrays don't compare portably across engines, so the query exposes
+    * the set's size and minimum — with the single-surface dictionary both
+    * are exact. */
+  def kgNodes(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      .as[(String, String)]
+      .map { case (id, text) => Doc(id, Seq(Span("text", text, "", 0))) }
+    val dict = kgDictWords.map(w => DictEntry(w, s"ent:$w", "Protein"))
+    val scorer = new LexiconScorer(kgTriggerWords.toSet)
+    KgPipeline.run(docs, dict, s.emptyDataset[EquivEdge], scorer).nodes
+      .select(col("node_id"), col("tag"), col("n_mentions"),
+        size(col("surfaces")).cast("long").as("n_surfaces"),
+        element_at(col("surfaces"), 1).as("first_surface"))
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal plumbing: binary payload → batched (stub) decode →

@@ -70,6 +70,7 @@ object SparkEntry {
     "kg_cooccur_pairs" -> (Queries.kgCooccurPairs _),
     "kg_triples" -> (Queries.kgTriples _),
     "kg_pipeline_triples" -> (Queries.kgPipelineTriples _),
+    "kg_nodes" -> (Queries.kgNodes _),
     // multimodal plumbing
     "multimodal_features" -> (Queries.multimodalFeatures _),
   )
@@ -434,6 +435,16 @@ object SparkEntry {
         s"""SELECT doc_id, '${ws(i)}' AS subj, 'co_complex' AS pred, '${ws(j)}' AS obj
            |FROM documents WHERE ${has(ws(i))} AND ${has(ws(j))} AND $trig""".stripMargin
       branches.mkString("\nUNION ALL\n")
+    },
+    // node table (S7): one row per canonical entity, mention count over
+    // the corpus; same word-position grounds as kg_pipeline_triples
+    "kg_nodes" -> {
+      val dict = Queries.kgDictWords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT 'ent:' || w AS node_id, 'Protein' AS tag,
+         |  count(*) AS n_mentions, CAST(1 AS BIGINT) AS n_surfaces,
+         |  min(w) AS first_surface
+         |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+         |WHERE w IN ($dict) GROUP BY w""".stripMargin
     },
     "multimodal_features" ->
       """SELECT doc_id,
