@@ -21,8 +21,11 @@ object BenchLeg {
     spark.sparkContext.setLogLevel("WARN")
     Bench.kgRun(spark, nDocs) // warm-up: JIT + page cache
     val (s1, _, _) = Bench.kgRun(spark, nDocs)
-    val (s2, docs, triples) = Bench.kgRun(spark, nDocs)
-    val sec = math.min(s1, s2)
+    val (s2, _, _) = Bench.kgRun(spark, nDocs)
+    val (s3, docs, triples) = Bench.kgRun(spark, nDocs)
+    // best-of-3: each run is a window sample on a shared box — the min is
+    // the least-contended estimate of the engine's own speed
+    val sec = math.min(s1, math.min(s2, s3))
     println(s"""BENCHLEG {"cpus":$cpus,"docs":$docs,"triples":$triples,""" +
       s""""sec":$sec,"docs_per_sec":${docs / sec}}""")
     spark.stop()

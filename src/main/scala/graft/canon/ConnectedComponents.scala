@@ -35,11 +35,14 @@ object ConnectedComponents {
     * The cutover mirrors Spark's own broadcast-join threshold thinking:
     * the canonical map must be broadcastable afterwards anyway, so a
     * below-threshold edge set is by definition driver-safe. */
-  def canonicalizeAuto(edges: Dataset[EquivEdge], driverLimit: Long = 1000000L)
+  def canonicalizeAuto(edges: Dataset[EquivEdge], driverLimit: Int = 1000000)
                       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val n = edges.count()
-    if (n <= driverLimit) {
+    // ONE take(limit+1) decides the path AND fetches the driver-side data —
+    // a count()-then-collect() pair costs two scheduler round-trips of pure
+    // fixed overhead per pipeline run (visible in short high-core runs)
+    val taken = edges.take(driverLimit + 1)
+    if (taken.length <= driverLimit) {
       val parent = scala.collection.mutable.HashMap.empty[String, String]
       // iterative find + path compression: a recursive find would build a
       // stack frame per link and overflow on the long alias chains a
@@ -51,7 +54,7 @@ object ConnectedComponents {
         while (c != r) { val next = parent(c); parent(c) = r; c = next }
         r
       }
-      edges.collect().foreach { e =>
+      taken.foreach { e =>
         val (ra, rb) = (find(e.src), find(e.dst))
         if (ra != rb) { // union by min label keeps the representative rule
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
