@@ -15,5 +15,5 @@ SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/r
 python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/round_check | tail -1
 echo "== bench (sf0.1) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | head -c 400
+  sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | head -c 2400
 echo
