@@ -191,16 +191,23 @@ object Queries {
 
   /** Portable-hash forms in the judged catalog (oracle-verifiable bit-
     * exactly); the xxhash64 production forms are spec-tested equivalents
-    * of the same banding/blocking constructions. */
+    * of the same banding/blocking constructions. The vocabKey shares the
+    * token-rank vocabulary across queries within the session: minhash_lsh
+    * and lsh_verified read one staged shingle-3 vocab, simhash and
+    * text_fingerprint one staged word vocab — 2 vocab builds per corpus
+    * instead of one per query call. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshCandidatesPortable(table(s, dir, "documents"))
+    Dedup.minhashLshCandidatesPortable(table(s, dir, "documents"),
+      vocabKey = Some(s"$dir#documents#sh3"))
 
   /** The scale composition: LSH candidates -> exact Jaccard verify. */
   def dedupLshVerified(s: SparkSession, dir: String): DataFrame =
-    Dedup.lshVerifiedDupsPortable(table(s, dir, "documents"), minSharedPct = 80)
+    Dedup.lshVerifiedDupsPortable(table(s, dir, "documents"), minSharedPct = 80,
+      vocabKey = Some(s"$dir#documents#sh3"))
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashCandidatesPortable(table(s, dir, "documents"), maxHamming = 3)
+    Dedup.simhashCandidatesPortable(table(s, dir, "documents"), maxHamming = 3,
+      vocabKey = Some(s"$dir#documents#words"))
 
   /** Embedding near-dup groups on a floor(x*2) grid — first 8 dims as
     * grouping keys (bit-exact vs the SQL oracle). */
@@ -238,15 +245,25 @@ object Queries {
   def simsearchCosine(s: SparkSession, dir: String): DataFrame =
     SimSearch.quantizedCosineTopK(table(s, dir, "embeddings"), queryVector(s, dir), k = 20)
 
-  /** Integer-LSH ANN with Hamming≤1 multi-probe, ranked by quantized dot —
-    * bit-exact oracle + recall@20 gate vs brute force in OperatorsSpec. */
-  def simsearchLsh(s: SparkSession, dir: String): DataFrame =
-    SimSearch.lshTopK(table(s, dir, "embeddings"), queryVector(s, dir), k = 20, bits = 4)
+  /** Session-scoped MATERIALIZED ANN index over the corpus: built once
+    * (stored bucket + cell partition columns, persisted centroids), then
+    * every LSH/IVF query prunes partitions instead of recomputing plane
+    * dots / centroid distances over the full corpus per call. */
+  private def annIndex(s: SparkSession, dir: String): graft.sources.AnnIndex.Handle =
+    graft.sources.AnnIndex.forTable(
+      table(s, dir, "embeddings"), s, s"$dir#embeddings", bits = 4, nCells = 16)
 
-  /** IVF ANN: coarse-quantizer cells, nProbe probing (rows-only). */
+  /** Integer-LSH ANN with Hamming≤1 multi-probe, ranked by quantized dot —
+    * bit-exact oracle + recall@20 gate vs brute force in OperatorsSpec.
+    * Served from the materialized index (partition prune on `bucket`). */
+  def simsearchLsh(s: SparkSession, dir: String): DataFrame =
+    annIndex(s, dir).lshTopK(queryVector(s, dir), k = 20)
+
+  /** IVF ANN with the integer-quantized coarse quantizer (bit-exact oracle
+    * — training included) served from the materialized index (partition
+    * prune on `cell`, centroids trained once at build). */
   def simsearchIvf(s: SparkSession, dir: String): DataFrame =
-    SimSearch.ivfTopK(table(s, dir, "embeddings"), queryVector(s, dir),
-      k = 20, nCells = 16, nProbe = 3)
+    annIndex(s, dir).ivfTopK(queryVector(s, dir), k = 20, nProbe = 3)
 
   // ---------------------------------------------------------- text analysis
 
@@ -260,7 +277,8 @@ object Queries {
     TextAnalysis.langId(table(s, dir, "documents")).drop("lang", "source", "n_chars")
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.fingerprintsPortable(table(s, dir, "documents"))
+    TextAnalysis.fingerprintsPortable(table(s, dir, "documents"),
+      vocabKey = Some(s"$dir#documents#words"))
 
   // ------------------------------------------------- KG over driver tables
 
@@ -330,7 +348,9 @@ object Queries {
   /** The REAL extraction pipeline over the driver's documents table
     * (adapted to the Doc shape): Aho-Corasick mention detection → pair
     * generation → window encoding → lexicon scoring → triples. Positional
-    * trigger-between semantics — not SQL-expressible, rows-only check. */
+    * trigger-between semantics, mirrored exactly by the oracle SQL in
+    * SparkEntry (valid on this corpus: punctuation-free single-sentence
+    * word soup, no vocab word contains a dict/trigger surface). */
   def kgPipelineTriples(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
@@ -342,7 +362,11 @@ object Queries {
     val edges = s.emptyDataset[EquivEdge]
     val scorer = new LexiconScorer(kgTriggerWords.toSet)
     KgPipeline.run(docs, dict, edges, scorer).triples
-      .select(col("doc_id"), col("subj"), col("pred"), col("obj"))
+      // Doc ids ride through the typed pipeline as STRING; cast back to the
+      // source table's BIGINT so the driver's dtype-sensitive hash matches
+      // (same convention as multimodalFeatures below).
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("subj"), col("pred"), col("obj"))
   }
 
   /** The pipeline's NODE table (S7 entity writeback) over the driver

@@ -144,10 +144,75 @@ object SparkEntry {
     s""" w AS (SELECT b, i, ((1103515245*(b*97+i+1)+12345) % 2003) - 1001 AS wgt
        |   FROM (SELECT unnest(range(0,$bits)) AS b) bs, (SELECT DISTINCT i FROM v) ds)""".stripMargin
 
-  /** DuckDB-equivalent SQL per oracle-checkable query. The only remaining
-    * rows-only entry is simsearch_ivf (driver-trained float centroids;
-    * covered by a recall gate in OperatorsSpec). */
+  /** simsearch_ivf oracle: the ENTIRE integer-quantized IVF — Lloyd
+    * training included — unrolled in generated SQL. Mirrors
+    * SimSearch.trainIvfCentroidsQuantized step for step: ×1000-floor
+    * BIGINT vectors; sample = first `sampleN` rows by vec_id; init
+    * centroid c = sample(c mod n); per-iteration argmin by integer squared
+    * distance with ties to the lowest cell (row_number ORDER BY dist,
+    * cell); centroid mean = floor(sum/count) — exact because coordinate
+    * sums of ≤2048 values ≤~531 fit a double — with empty cells keeping
+    * their previous centroid (LEFT JOIN + coalesce); then nProbe nearest
+    * cells for the vec_id-0 query and the portable sign(dot)·dot²/‖v‖²
+    * ranking. Every step is integer arithmetic, so the match is bit-exact. */
+  private def ivfSqlGen(nCells: Int, sampleN: Int, iters: Int,
+                        nProbe: Int, k: Int): String = {
+    def dist(v: String, c: String) =
+      s"list_sum(list_transform($v, (x,i) -> (x - $c[i])*(x - $c[i])))"
+    val iterCtes = (0 until iters).map { t =>
+      s""" a$t AS (SELECT rn, qv, cell FROM (
+         |    SELECT s.rn, s.qv, c.cell,
+         |      row_number() OVER (PARTITION BY s.rn
+         |        ORDER BY ${dist("s.qv", "c.cv")}, c.cell) AS rk
+         |    FROM samp s CROSS JOIN c$t c) WHERE rk = 1),
+         | m$t AS (SELECT cell, ii.i AS idx,
+         |      CAST(floor(CAST(sum(qv[ii.i]) AS DOUBLE)/count(*)) AS BIGINT) AS mu
+         |    FROM a$t CROSS JOIN dims ii GROUP BY cell, ii.i),
+         | c${t + 1} AS (SELECT p.cell, coalesce(n.cv, p.cv) AS cv
+         |    FROM c$t p LEFT JOIN
+         |      (SELECT cell, list(mu ORDER BY idx) AS cv FROM m$t GROUP BY cell) n
+         |      ON n.cell = p.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |     x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv FROM embeddings),
+       | samp AS (SELECT qv, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+       |          FROM v ORDER BY vec_id LIMIT $sampleN),
+       | nsamp AS (SELECT count(*) AS n FROM samp),
+       | dims AS (SELECT unnest(range(1, (SELECT max(len(qv)) FROM samp)+1)) AS i),
+       | c0 AS (SELECT cs.cell, s.qv AS cv
+       |        FROM (SELECT unnest(range(0,$nCells)) AS cell) cs, nsamp, samp s
+       |        WHERE s.rn = cs.cell % nsamp.n),
+       |$iterCtes,
+       | qq AS (SELECT qv FROM v WHERE vec_id = 0),
+       | probe AS (SELECT cell FROM (
+       |     SELECT c.cell, row_number() OVER (
+       |       ORDER BY ${dist("q.qv", "c.cv")}, c.cell) AS rk
+       |     FROM c$iters c, qq q) WHERE rk <= $nProbe),
+       | asg AS (SELECT vec_id, cell FROM (
+       |     SELECT e.vec_id, c.cell,
+       |       row_number() OVER (PARTITION BY e.vec_id
+       |         ORDER BY ${dist("e.qv", "c.cv")}, c.cell) AS rk
+       |     FROM v e CROSS JOIN c$iters c) WHERE rk = 1),
+       | sc AS (SELECT v.vec_id,
+       |     CAST(list_sum(list_transform(v.qv, (x,i) -> x * q.qv[i])) AS BIGINT) AS qdot,
+       |     CAST(list_sum(list_transform(v.qv, x -> x*x)) AS BIGINT) AS qna
+       |   FROM v, qq q)
+       |SELECT sc.vec_id, sc.qdot, sc.qna
+       |FROM sc JOIN asg ON sc.vec_id = asg.vec_id
+       |  JOIN probe ON asg.cell = probe.cell
+       |WHERE sc.qna > 0
+       |ORDER BY CAST(CASE WHEN sc.qdot < 0 THEN -1 ELSE 1 END AS DOUBLE) *
+       |  (CAST(sc.qdot AS DOUBLE)*CAST(sc.qdot AS DOUBLE)/CAST(sc.qna AS DOUBLE)) DESC,
+       |  sc.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB-equivalent SQL per oracle-checkable query — every catalog
+    * entry now has one (simsearch_ivf joined the family this round via the
+    * integer-quantized Lloyd above). */
   def oracleSql: Map[String, String] = Map(
+    "simsearch_ivf" ->
+      ivfSqlGen(nCells = 16, sampleN = 2048, iters = 5, nProbe = 3, k = 20),
     // The FULL typed pipeline (Aho-Corasick mentions → pair generation →
     // window fit → lexicon scoring → canonical triples), SQL-mirrored.
     // The mirror is exact because of testdata-shape facts each verified in

@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.concurrent.TrieMap
 
 /** Document deduplication operators for large-scale training-data curation.
   * All operate on a (doc_id, text) table and scale by construction:
@@ -213,10 +216,42 @@ object Dedup {
       .toDF("sh", "tid")
   }
 
+  /** Session-scoped vocabulary cache. The four portable catalog operators
+    * share a (corpus, tokenization)-keyed vocabulary instead of each
+    * rebuilding the distinct + range-shuffle + zipWithIndex rank per query
+    * call — the rank is a per-CORPUS artifact, exactly like a staged
+    * dictionary at 100 TB (compute once, read many). Keyed by SparkSession
+    * identity too so a cached plan never leaks into a different (possibly
+    * stopped) session. Callers that pass no key — every spec test — keep
+    * the uncached single-shot path and identical semantics: the cached
+    * DataFrame is bit-identical to a recomputation (tokenVocab is
+    * deterministic). */
+  private val vocabCache = TrieMap.empty[(Int, String), DataFrame]
+
+  def tokenVocabCached(sh: DataFrame, key: Option[String]): DataFrame =
+    key match {
+      case None => tokenVocab(sh)
+      case Some(k) =>
+        vocabCache.getOrElseUpdate(
+          (System.identityHashCode(sh.sparkSession), k), {
+            val v = tokenVocab(sh).persist(StorageLevel.MEMORY_AND_DISK)
+            v.count() // materialize now so every consumer reads the cache
+            v
+          })
+    }
+
+  def clearVocabCache(): Unit = {
+    vocabCache.values.foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    vocabCache.clear()
+  }
+
   /** MinHash signatures over LCG-permuted dense token ids (k columns h0..). */
-  def minhashSignaturesPortable(docs: DataFrame, shingleN: Int, k: Int): DataFrame = {
+  def minhashSignaturesPortable(docs: DataFrame, shingleN: Int, k: Int,
+                                vocabKey: Option[String] = None): DataFrame = {
     val sh = shingleRows(docs, shingleN)
-    val t = sh.join(tokenVocab(sh), "sh").select(col("doc_id"), col("tid"))
+    val t = sh.join(tokenVocabCached(sh, vocabKey), "sh")
+      .select(col("doc_id"), col("tid"))
     val mins = (0 until k).map(s => min(lcgHash(s, col("tid"))).as(s"h$s"))
     t.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
@@ -225,8 +260,9 @@ object Dedup {
     * base-1009 fold of its rowsPerBand min-hashes (h < P ≈ 1e6, so four
     * folded values stay ≤ ~1e15 — overflow-free BIGINT in any engine). */
   def minhashLshCandidatesPortable(docs: DataFrame, shingleN: Int = 3,
-                                   bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val sig = minhashSignaturesPortable(docs, shingleN, bands * rowsPerBand)
+                                   bands: Int = 4, rowsPerBand: Int = 4,
+                                   vocabKey: Option[String] = None): DataFrame = {
+    val sig = minhashSignaturesPortable(docs, shingleN, bands * rowsPerBand, vocabKey)
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map { b =>
         val bucket = (0 until rowsPerBand)
@@ -246,8 +282,9 @@ object Dedup {
     * same verify stage as lshVerifiedDups; counts cast to BIGINT so the
     * schema matches the oracle's count(*) outputs). */
   def lshVerifiedDupsPortable(docs: DataFrame, shingleN: Int = 3,
-                              minSharedPct: Int = 80): DataFrame = {
-    val cands = minhashLshCandidatesPortable(docs, shingleN)
+                              minSharedPct: Int = 80,
+                              vocabKey: Option[String] = None): DataFrame = {
+    val cands = minhashLshCandidatesPortable(docs, shingleN, vocabKey = vocabKey)
     val words = docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ws"))
     cands
@@ -268,10 +305,12 @@ object Dedup {
     * additive combine of the positive bits' powers of two (bit 63 is the
     * Long.MinValue literal — the same two's-complement value either way,
     * and engines without a 1<<63 shift can still express it). */
-  def simhashesPortable(docs: DataFrame): DataFrame = {
+  def simhashesPortable(docs: DataFrame,
+                        vocabKey: Option[String] = None): DataFrame = {
     val w = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("sh"))
-    val t = w.join(tokenVocab(w), "sh").select(col("doc_id"), col("tid"))
+    val t = w.join(tokenVocabCached(w, vocabKey), "sh")
+      .select(col("doc_id"), col("tid"))
     val bitSums = (0 until 64).map(i =>
       sum(when(lcgHash(i, col("tid")) * 2L < lit(HashP), 1L).otherwise(-1L)).as(s"b$i"))
     t.groupBy(col("doc_id"))
@@ -301,8 +340,9 @@ object Dedup {
 
   /** Portable SimHash near-dup candidates (same ≤3-bit recall contract as
     * simhashCandidates — the 4-block pigeonhole bound). */
-  def simhashCandidatesPortable(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    simhashBlockCandidates(simhashesPortable(docs), math.min(maxHamming, 3))
+  def simhashCandidatesPortable(docs: DataFrame, maxHamming: Int = 3,
+                                vocabKey: Option[String] = None): DataFrame =
+    simhashBlockCandidates(simhashesPortable(docs, vocabKey), math.min(maxHamming, 3))
 
   /** Exact word-set Jaccard pairs via distinct-token explode + self-join —
     * integer-only outputs (n_common, n_a, n_b) so jaccard ≥ t is the

@@ -145,19 +145,8 @@ object SimSearch {
     * dot² (≤ ~3e14) and ‖v‖² are exact in a double, so the one IEEE
     * division is bit-identical in any engine. Output columns are the
     * integers themselves — no float crosses the comparison boundary. */
-  def quantizedCosineTopK(emb: DataFrame, query: Seq[Float], k: Int): DataFrame = {
-    val qArr = array(query.map(v => lit(v.toDouble)): _*)
-    emb.select(col("vec_id"),
-        quantized_dot(col("embedding"), qArr).as("qdot"),
-        quantized_dot(col("embedding"), col("embedding")).as("qna"))
-      .filter(col("qna") > 0)
-      .orderBy(
-        (when(col("qdot") < 0, lit(-1.0d)).otherwise(lit(1.0d)) *
-          (col("qdot").cast("double") * col("qdot").cast("double") /
-            col("qna").cast("double"))).desc,
-        col("vec_id"))
-      .limit(k)
-  }
+  def quantizedCosineTopK(emb: DataFrame, query: Seq[Float], k: Int): DataFrame =
+    rankQuantizedCosine(emb, query, k)
 
   /** Exact quantized-cosine near-dup PAIRS above τ² = tauNum/tauDen,
     * blocked by the integer LSH bucket (per-bucket self-join only, the
@@ -256,6 +245,109 @@ object SimSearch {
     e.filter(col("cell").isin(probeCells.toSeq: _*))
       .select(col("vec_id"), cosine_sim(col("embedding"), qArr).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ---------- integer-quantized IVF (oracle-portable) ----------
+  // The float Lloyd trainer above stays as the API-parity variant; the
+  // quantized family below is bit-portable end to end: ×1000-floor BIGINT
+  // vectors, integer squared distances, strict-< argmin (lowest cell wins
+  // ties), floorDiv centroid means — every step exact integer arithmetic a
+  // SQL engine reproduces, so the WHOLE operator (training included) is
+  // oracle-verifiable like the rest of the quantized family.
+
+  /** Integer-quantized Lloyd training. Deterministic: the sample is the
+    * first `sampleN` rows by vec_id, init centroid c = sample(c mod n),
+    * assignment ties break to the lowest cell, empty cells keep their
+    * previous centroid, means are floorDiv (exactly mirrored by
+    * floor(sum/count) in SQL — sums of ≤2048 coords ≤~531 are exact in a
+    * double). Training stays a bounded offline step at any corpus size
+    * (2048-row sample), exactly like production IVF. */
+  def trainIvfCentroidsQuantized(emb: DataFrame, nCells: Int, sampleN: Int = 2048,
+                                 iters: Int = 5): Array[Array[Long]] = {
+    val sample = emb.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(f => math.floor(f.toDouble * 1000).toLong).toArray)
+    require(sample.nonEmpty, "empty embedding table")
+    var centroids = Array.tabulate(nCells)(i => sample(i % sample.length).clone())
+    (0 until iters).foreach { _ =>
+      val assign = sample.map(v => (nearestCellQ(v, centroids), v))
+      centroids = centroids.indices.map { c =>
+        val members = assign.collect { case (`c`, v) => v }
+        if (members.isEmpty) centroids(c)
+        else Array.tabulate(members.head.length)(i =>
+          Math.floorDiv(members.iterator.map(_(i)).sum, members.length.toLong))
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Integer squared distance argmin; strict < keeps the lowest cell on
+    * ties (== ORDER BY dist, cell in the SQL mirror). */
+  private def nearestCellQ(v: Array[Long], centroids: Array[Array[Long]]): Int = {
+    var best = 0; var bestD = Long.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0L; var i = 0
+      while (i < v.length) { val x = v(i) - centroids(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cell assignment as a codegen'd column: argmin_c ‖q(v)−c‖² ≡
+    * argmin_c (‖c‖² − 2·q(v)·c) because ‖q(v)‖² is constant per row — one
+    * fused weighted_dot per centroid (integer-valued double literals, so
+    * floor is the identity), struct-min ties to the lowest cell. */
+  def quantizedCellOf(emb: Column, centroids: Array[Array[Long]]): Column = {
+    val scores = centroids.map { cvec =>
+      val cArr = array(cvec.map(x => lit(x.toDouble)): _*)
+      lit(cvec.map(x => x * x).sum) - lit(2L) * weighted_dot(emb, cArr)
+    }
+    array_min(array(scores.zipWithIndex.map { case (s0, i) =>
+      struct(s0.as("d"), lit(i).as("i"))
+    }: _*)).getField("i")
+  }
+
+  /** The query's nProbe nearest cells by integer distance (ties → lower
+    * cell), identical arithmetic to the SQL mirror. */
+  def probeCellsQ(q: Array[Long], centroids: Array[Array[Long]], nProbe: Int): Seq[Int] =
+    centroids.indices.sortBy { c =>
+      var d = 0L; var i = 0
+      while (i < q.length) { val x = q(i) - centroids(c)(i); d += x * x; i += 1 }
+      (d, c)
+    }.take(nProbe)
+
+  /** Portable IVF top-k: integer-trained cells, probe the nProbe nearest,
+    * rank by the portable sign(dot)·dot²/‖v‖² ordering (the
+    * quantizedCosineTopK convention — integer outputs only). Pass
+    * precomputed centroids to skip retraining (the materialized-index
+    * path); without them this is the self-contained single-call form. */
+  def ivfTopKQuantized(emb: DataFrame, query: Seq[Float], k: Int,
+                       nCells: Int = 16, nProbe: Int = 3,
+                       centroidsOpt: Option[Array[Array[Long]]] = None): DataFrame = {
+    val centroids = centroidsOpt.getOrElse(trainIvfCentroidsQuantized(emb, nCells))
+    val probes = probeCellsQ(quantizeQuery(query), centroids, nProbe)
+    rankQuantizedCosine(
+      emb.withColumn("cell", quantizedCellOf(col("embedding"), centroids))
+        .filter(col("cell").isin(probes: _*)),
+      query, k)
+  }
+
+  /** Shared portable ranking tail: quantized dot + self-norm, ordered by
+    * sign(dot)·dot²/‖v‖² (one exact IEEE division), tie-break vec_id. */
+  def rankQuantizedCosine(candidates: DataFrame, query: Seq[Float], k: Int): DataFrame = {
+    val qArr = array(query.map(v => lit(v.toDouble)): _*)
+    candidates.select(col("vec_id"),
+        quantized_dot(col("embedding"), qArr).as("qdot"),
+        quantized_dot(col("embedding"), col("embedding")).as("qna"))
+      .filter(col("qna") > 0)
+      .orderBy(
+        (when(col("qdot") < 0, lit(-1.0d)).otherwise(lit(1.0d)) *
+          (col("qdot").cast("double") * col("qdot").cast("double") /
+            col("qna").cast("double"))).desc,
+        col("vec_id"))
       .limit(k)
   }
 

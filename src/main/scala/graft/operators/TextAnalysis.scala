@@ -87,10 +87,12 @@ object TextAnalysis {
     * 10⁶-token documents stay far from BIGINT overflow. Swapping two
     * distinct tokens changes fp (distinct position factors), which is the
     * property a fingerprint needs and a bag-of-words hash lacks. */
-  def fingerprintsPortable(docs: DataFrame): DataFrame = {
+  def fingerprintsPortable(docs: DataFrame,
+                           vocabKey: Option[String] = None): DataFrame = {
     val t = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-    val vocab = Dedup.tokenVocab(t.select(col("w").as("sh")))
+    // same distinct-word vocabulary as simhashesPortable → shared cache key
+    val vocab = Dedup.tokenVocabCached(t.select(col("w").as("sh")), vocabKey)
     t.join(vocab, t("w") === vocab("sh"))
       .groupBy(col("doc_id"))
       .agg(sum(

@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.functions.QuantizedDot.quantized_dot
+import graft.operators.SimSearch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
+
+/** MATERIALIZED ANN index over an embeddings table.
+  *
+  * The single remaining scale-killer in the round-2 ANN operators was
+  * query-time indexing: `lshTopK`/`ivfTopK` recomputed the LSH bucket /
+  * IVF cell of EVERY corpus vector on every query call (and IVF re-trained
+  * its centroids per call). At 100 TB an ANN query must prune on a STORED
+  * index column instead. This object writes the embeddings once with the
+  * int-LSH `bucket` and integer-IVF `cell` as PARTITION columns of the
+  * parquet layout — queries then carry a partition filter, so the scan
+  * touches only ~(bits+1)/2^bits (LSH multi-probe) or nProbe/nCells (IVF)
+  * of the files; everything else is pruned before any byte is read.
+  *
+  * Build cost at scale: one extra narrow projection on a write the
+  * pipeline performs anyway, plus one bounded 2048-row driver sample for
+  * the Lloyd training (an offline step in any IVF system). Centroids are
+  * persisted in an underscore-prefixed sidecar (invisible to the parquet
+  * reader), so an index can be reopened with `load` and never retrained.
+  *
+  * Results are bit-identical to the direct single-call operators: the
+  * bucket/cell expressions are the same integer arithmetic, evaluated at
+  * build time instead of query time.
+  */
+object AnnIndex {
+
+  val MetaFile = "_graft_ann_meta.txt"
+
+  final case class Handle(spark: SparkSession, path: String, bits: Int,
+                          nCells: Int, centroids: Array[Array[Long]]) {
+
+    def table: DataFrame = spark.read.parquet(path)
+
+    /** LSH ANN over the stored `bucket` partition column: Hamming≤1
+      * multi-probe, ranked by quantized dot — same semantics and output
+      * shape as SimSearch.lshTopK, but the probe is a partition prune. */
+    def lshTopK(query: Seq[Float], k: Int): DataFrame = {
+      val qBucket = SimSearch.intBucketOf(SimSearch.quantizeQuery(query), bits)
+      val probes = (qBucket +: (0 until bits).map(b => qBucket ^ (1L << b)))
+        .map(_.toInt) // partition-dir values are type-inferred as INT
+      val qArr = array(query.map(v => lit(v.toDouble)): _*)
+      table.filter(col("bucket").isin(probes: _*))
+        .select(col("vec_id"), quantized_dot(col("embedding"), qArr).as("qdot"))
+        .orderBy(col("qdot").desc, col("vec_id"))
+        .limit(k)
+    }
+
+    /** IVF ANN over the stored `cell` partition column with the persisted
+      * centroids — no retraining, no corpus-wide assignment pass. */
+    def ivfTopK(query: Seq[Float], k: Int, nProbe: Int = 3): DataFrame = {
+      val probes = SimSearch.probeCellsQ(
+        SimSearch.quantizeQuery(query), centroids, nProbe)
+      SimSearch.rankQuantizedCosine(
+        table.filter(col("cell").isin(probes: _*)), query, k)
+    }
+  }
+
+  /** Build the index: train the quantized coarse quantizer once, compute
+    * bucket + cell in one narrow pass, write partitioned by both. */
+  def build(emb: DataFrame, path: String, bits: Int = 4, nCells: Int = 16): Handle = {
+    val spark = emb.sparkSession
+    val centroids = SimSearch.trainIvfCentroidsQuantized(emb, nCells)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", SimSearch.intLshBucket(col("embedding"), dim, bits))
+      .withColumn("cell", SimSearch.quantizedCellOf(col("embedding"), centroids))
+      .write.mode("overwrite").partitionBy("bucket", "cell").parquet(path)
+    writeMeta(path, bits, nCells, centroids)
+    Handle(spark, path, bits, nCells, centroids)
+  }
+
+  /** Reopen a previously built index without retraining. */
+  def load(spark: SparkSession, path: String): Handle = {
+    val lines = Files.readAllLines(
+      Paths.get(path, MetaFile), StandardCharsets.UTF_8)
+    val head = lines.get(0).split(' ')
+    val (bits, nCells) = (head(0).toInt, head(1).toInt)
+    val centroids = (1 to nCells).map(i =>
+      lines.get(i).split(',').map(_.toLong)).toArray
+    Handle(spark, path, bits, nCells, centroids)
+  }
+
+  private def writeMeta(path: String, bits: Int, nCells: Int,
+                        centroids: Array[Array[Long]]): Unit = {
+    val body = s"$bits $nCells\n" +
+      centroids.map(_.mkString(",")).mkString("\n") + "\n"
+    Files.write(Paths.get(path, MetaFile), body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  // Session-scoped build-once registry (same pattern as Dedup.vocabCache):
+  // the first catalog query against a corpus builds the index; every later
+  // LSH/IVF call — including the other operator and bench re-attempts —
+  // reads the stored layout. Keyed by SparkSession identity so a handle
+  // never outlives its session.
+  private val handles = TrieMap.empty[(Int, String), Handle]
+
+  def forTable(emb: => DataFrame, spark: SparkSession, key: String,
+               bits: Int = 4, nCells: Int = 16): Handle =
+    handles.getOrElseUpdate((System.identityHashCode(spark), key), {
+      val dir = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_ann_${System.identityHashCode(spark)}_${math.abs(key.hashCode.toLong)}")
+      build(emb, dir.toString, bits, nCells)
+    })
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.SimSearch
+import graft.sources.AnnIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The materialized ANN index: build-once layout with stored bucket/cell
+  * partition columns must return bit-identical results to the direct
+  * single-call operators, reopen without retraining, and keep the recall
+  * contract of the quantized IVF. */
+class AnnIndexSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val sfEmb = "/root/testdata/sf0.001/embeddings.parquet"
+  private lazy val emb = spark.read.parquet(sfEmb)
+  private lazy val query = emb.filter(col("vec_id") === 0)
+    .select(col("embedding")).head().getSeq[Float](0)
+  private lazy val idx = AnnIndex.build(emb,
+    s"${sys.props("java.io.tmpdir")}/graft_ann_spec", bits = 4, nCells = 16)
+
+  test("quantized Lloyd training is deterministic") {
+    val a = SimSearch.trainIvfCentroidsQuantized(emb, nCells = 16)
+    val b = SimSearch.trainIvfCentroidsQuantized(emb, nCells = 16)
+    assert(a.length == 16 && a.zip(b).forall { case (x, y) => x.sameElements(y) })
+  }
+
+  test("index LSH top-k equals the direct recompute-per-query operator") {
+    val direct = SimSearch.lshTopK(emb, query, k = 20, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val indexed = idx.lshTopK(query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(indexed == direct)
+  }
+
+  test("index IVF top-k equals the direct quantized operator") {
+    val direct = SimSearch.ivfTopKQuantized(emb, query, k = 20,
+        nCells = 16, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val indexed = idx.ivfTopK(query, k = 20, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(indexed == direct)
+  }
+
+  test("load reopens the index without retraining (same centroids, same rows)") {
+    val reopened = AnnIndex.load(spark, idx.path)
+    assert(reopened.bits == idx.bits && reopened.nCells == idx.nCells)
+    assert(reopened.centroids.zip(idx.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    assert(reopened.ivfTopK(query, 20).collect().map(_.getLong(0)).toSeq ==
+      idx.ivfTopK(query, 20).collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("quantized IVF keeps the recall contract on clustered embeddings") {
+    val rng = new java.util.Random(11)
+    val dim = 64
+    val centers = Array.fill(10)(Array.fill(dim)(rng.nextGaussian() * 0.1))
+    val rows = (0 until 500).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.005).toFloat).toSeq)
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val q = centers(0).map(v => (v + rng.nextGaussian() * 0.005).toFloat).toSeq
+    // brute force with the SAME ranking family (quantized cosine), so the
+    // gate isolates what IVF changes: the probed subset
+    val brute = SimSearch.quantizedCosineTopK(clustered, q, 20)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = SimSearch.ivfTopKQuantized(clustered, q, 20, nCells = 16, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (ivf & brute).size / 20.0
+    assert(recall >= 0.75, s"quantized IVF recall@20 = $recall")
+  }
+}

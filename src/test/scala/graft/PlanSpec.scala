@@ -66,6 +66,28 @@ class PlanSpec extends AnyFunSuite {
       s"media bytes must decode at scan partitions, never shuffle:\n$plan")
   }
 
+  test("ANN queries prune partitions of the materialized index") {
+    // the catalog queries serve LSH/IVF from the stored bucket/cell layout;
+    // the probe must reach the scan as a PartitionFilter (directories are
+    // skipped before any byte is read), not as a recomputed expression
+    for (q <- Seq("simsearch_lsh", "simsearch_ivf")) {
+      val plan = physical(q)
+      val key = if (q == "simsearch_lsh") "bucket" else "cell"
+      val pf = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(plan)
+        .getOrElse(fail(s"$q scan carries no PartitionFilters:\n$plan"))
+      assert(pf.contains(s"$key#") && pf.contains("IN ("),
+        s"$q must prune on the stored $key column, got: $pf")
+      // and the full-corpus bucket/cell recomputation is gone: the ranking
+      // needs at most 2 quantized dots (qdot, qna), each printed twice in
+      // the plan string (Project + TakeOrderedAndProject); the recompute
+      // form evaluated `bits`=4 plane dots / `nCells`=16 centroid dots on
+      // every row, i.e. 10+ occurrences
+      val dots = "quantized_dot".r.findAllIn(plan).length
+      assert(dots <= 4,
+        s"$q still computes $dots quantized dots per row — index not used")
+    }
+  }
+
   test("minhash signatures compute shingles once (no k-fold re-split)") {
     val docs = Queries.table(spark, dir, "documents")
     val plan = graft.operators.Dedup.minhashSignatures(docs, 3, 16)

@@ -21,6 +21,38 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
 
 oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
+def dtype_kind(col_: pd.Series) -> str:
+    """Coarse dtype class so STRING-vs-BIGINT drift fails locally (the
+    driver's hash is dtype-sensitive; stringifying cells hid this)."""
+    k = col_.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "timestamp"
+    # object column: classify by first non-null value
+    nn = col_.dropna()
+    if len(nn) == 0:
+        return "empty"
+    v = nn.iloc[0]
+    if isinstance(v, Decimal):
+        return "decimal"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, str):
+        return "string"
+    return type(v).__name__
+
+def dtypes_of(df: pd.DataFrame) -> dict:
+    return {c: dtype_kind(df[c]) for c in df.columns}
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     def norm(v):
@@ -38,12 +70,19 @@ for name in sorted(oracles):
     if not os.path.isdir(spark_path):
         print(f"MISSING {name}: no spark output"); fail += 1; continue
     try:
-        got = canon(pd.read_parquet(spark_path))
-        want = canon(con.execute(oracles[name]).df())
+        got_raw = pd.read_parquet(spark_path)
+        want_raw = con.execute(oracles[name]).df()
+        got, want = canon(got_raw), canon(want_raw)
     except Exception as e:
         print(f"ERROR   {name}: {e}"); fail += 1; continue
     if list(got.columns) != list(want.columns):
         print(f"SCHEMA  {name}: spark={list(got.columns)} duckdb={list(want.columns)}")
+        fail += 1; continue
+    gd, wd = dtypes_of(got_raw[sorted(got_raw.columns)]), dtypes_of(want_raw[sorted(want_raw.columns)])
+    mismatched = {c: (gd[c], wd[c]) for c in gd
+                  if gd[c] != wd[c] and "empty" not in (gd[c], wd[c])}
+    if mismatched:
+        print(f"DTYPE   {name}: spark-vs-duckdb {mismatched}")
         fail += 1; continue
     if len(got) != len(want):
         print(f"ROWS    {name}: spark={len(got)} duckdb={len(want)}"); fail += 1; continue
