@@ -51,10 +51,12 @@ object RunJob {
       spark, out.triggers.toDF(), s"$outDir/triggers", nBuckets)
     out.quarantine.toDF().write.mode("overwrite").parquet(s"$outDir/quarantine")
 
+    // metrics from the LINEAGE aggregates — three tiny metadata reads, not
+    // three post-write full scans of the freshly written tables
     Map(
-      "triples" -> GraphMaterializer.readTable(spark, s"$outDir/triples").count(),
-      "nodes" -> GraphMaterializer.readTable(spark, s"$outDir/nodes").count(),
-      "triggers" -> GraphMaterializer.readTable(spark, s"$outDir/triggers").count(),
+      "triples" -> GraphMaterializer.lineageRowCount(spark, s"$outDir/triples"),
+      "nodes" -> GraphMaterializer.lineageRowCount(spark, s"$outDir/nodes"),
+      "triggers" -> GraphMaterializer.lineageRowCount(spark, s"$outDir/triggers"),
       "quarantined" -> out.quarantine.count(),
       "buckets_written_triples" -> wroteTriples,
       "buckets_written_nodes" -> wroteNodes,

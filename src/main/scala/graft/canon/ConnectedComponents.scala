@@ -40,7 +40,12 @@ object ConnectedComponents {
     import spark.implicits._
     // ONE take(limit+1) decides the path AND fetches the driver-side data —
     // a count()-then-collect() pair costs two scheduler round-trips of pure
-    // fixed overhead per pipeline run (visible in short high-core runs)
+    // fixed overhead per pipeline run (visible in short high-core runs).
+    // Accepted, bounded cost of the fusion: when the edge set is huge and
+    // the distributed path is then taken, the take() has still pulled up to
+    // driverLimit+1 EquivEdge rows (two short ids each — tens of MB at the
+    // 1M default) to the driver before discarding them. Tune driverLimit
+    // down if driver memory is tighter than a broadcast of the same map.
     val taken = edges.take(driverLimit + 1)
     if (taken.length <= driverLimit) {
       val parent = scala.collection.mutable.HashMap.empty[String, String]
@@ -64,6 +69,12 @@ object ConnectedComponents {
       keys.map(k => (k, find(k))).toDF("node_id", "canonical_id")
     } else canonicalize(edges)
   }
+
+  /** Long-limit overload (source compatibility with the original Long
+    * signature); take() is Int-bounded, so larger limits clamp. */
+  def canonicalizeAuto(edges: Dataset[EquivEdge], driverLimit: Long)
+                      (implicit spark: SparkSession): DataFrame =
+    canonicalizeAuto(edges, math.min(driverLimit, (Int.MaxValue - 1).toLong).toInt)
 
   /** @return DataFrame(node_id, canonical_id) covering every node that
     *         appears in `edges`; callers union isolated nodes as identity. */

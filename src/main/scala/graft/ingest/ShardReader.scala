@@ -37,12 +37,16 @@ object ShardReader {
   case class RawBratDoc(shard: String, doc_id: String, ann: String, txt: String)
 
   /** Parsed shard output: the input-table Doc shape + gold tables +
-    * quarantine. */
+    * quarantine. All five views share ONE cached parse pass; call
+    * `unpersist()` after materializing the outputs to release it. */
   case class ShardDocs(docs: Dataset[Doc],
                        goldMentions: Dataset[GoldMention],
                        goldRelations: Dataset[GoldRelation],
                        multiSpan: Dataset[(String, String)],
-                       quarantine: Dataset[QuarantineRow])
+                       quarantine: Dataset[QuarantineRow],
+                       private val cached: Option[Dataset[_]] = None) {
+    def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
 
   /** Every file member of every `*.tar.gz` under `dir`. */
   def readMembers(spark: SparkSession, dir: String): Dataset[ShardMember] = {
@@ -74,8 +78,10 @@ object ShardReader {
     * becomes a quarantine row (the reference HALTS the shard on this,
     * tf.py:308-322 — the engine isolates the doc instead, keeping the
     * shard's remaining docs). */
-  def pairMembers(members: Dataset[ShardMember])
-  : (Dataset[RawBratDoc], Dataset[QuarantineRow]) = {
+  /** Paired (shard, stem, ann?, txt?) rows — the single extraction +
+    * grouping pass that both pairMembers and parseShardDir derive from. */
+  def pairedMembers(members: Dataset[ShardMember])
+  : Dataset[(String, String, Option[String], Option[String])] = {
     val spark = members.sparkSession
     import spark.implicits._
     val keyed = members.flatMap { m =>
@@ -87,7 +93,7 @@ object ShardReader {
         else None
       }
     }
-    val grouped = keyed.groupByKey(r => (r._1, r._2))
+    keyed.groupByKey(r => (r._1, r._2))
       .mapGroups { (key: (String, String), rows: Iterator[(String, String, String, String)]) =>
         var ann: Option[String] = None
         var txt: Option[String] = None
@@ -96,6 +102,13 @@ object ShardReader {
         }
         (key._1, key._2, ann, txt)
       }
+  }
+
+  def pairMembers(members: Dataset[ShardMember])
+  : (Dataset[RawBratDoc], Dataset[QuarantineRow]) = {
+    val spark = members.sparkSession
+    import spark.implicits._
+    val grouped = pairedMembers(members)
     val docs = grouped.flatMap { case (shard, stem, ann, txt) =>
       for (a <- ann; t <- txt) yield RawBratDoc(shard, stem, a, t)
     }
@@ -112,18 +125,27 @@ object ShardReader {
     * program_halt conditions) quarantine the DOC with the error message. */
   def parseShardDir(spark: SparkSession, dir: String): ShardDocs = {
     import spark.implicits._
-    val (raw, pairQuarantine) = pairMembers(readMembers(spark, dir))
-    // tagged per-doc parse: Left = quarantine, Right = parsed
-    val parsed = raw.map { d =>
-      try {
-        val p = BratParser.parse(d.doc_id, d.ann, d.txt)
-        (d.doc_id, d.txt, p.mentions, p.relations,
-          p.multiSpanIds.toSeq.sorted, "")
-      } catch {
-        case e: Exception =>
-          (d.doc_id, d.txt, Seq.empty[GoldMention], Seq.empty[GoldRelation],
-            Seq.empty[String], Option(e.getMessage).getOrElse(e.toString))
-      }
+    // ONE extraction + grouping + parse pass, cached: the missing-twin
+    // check folds into the same tagged map as parse failures, so the
+    // quarantine output no longer re-extracts every tar.gz a second time,
+    // and every downstream view (docs, gold tables, quarantine) reads the
+    // cache. The caller releases it with ShardDocs.unpersist().
+    val parsed = pairedMembers(readMembers(spark, dir)).map {
+      case (_, stem, Some(ann), Some(txt)) =>
+        try {
+          val p = BratParser.parse(stem, ann, txt)
+          (stem, txt, p.mentions, p.relations, p.multiSpanIds.toSeq.sorted, "")
+        } catch {
+          case e: Exception =>
+            (stem, txt, Seq.empty[GoldMention], Seq.empty[GoldRelation],
+              Seq.empty[String], Option(e.getMessage).getOrElse(e.toString))
+        }
+      case (_, stem, None, _) =>
+        (stem, "", Seq.empty[GoldMention], Seq.empty[GoldRelation],
+          Seq.empty[String], "missing .ann for .txt")
+      case (_, stem, _, None) =>
+        (stem, "", Seq.empty[GoldMention], Seq.empty[GoldRelation],
+          Seq.empty[String], "missing .txt for .ann")
     }.persist()
     val ok = parsed.filter(_._6.isEmpty)
     val docs = ok.map { case (id, txt, _, _, _, _) =>
@@ -134,9 +156,9 @@ object ShardReader {
     val multiSpan = ok.flatMap { case (id, _, _, _, multi, _) =>
       multi.map(tid => (id, tid))
     }
-    val quarantine = pairQuarantine.unionByName(
-      parsed.filter(_._6.nonEmpty)
-        .map { case (id, _, _, _, _, err) => QuarantineRow(id, err) })
-    ShardDocs(docs, goldMentions, goldRelations, multiSpan, quarantine)
+    val quarantine = parsed.filter(_._6.nonEmpty)
+      .map { case (id, _, _, _, _, err) => QuarantineRow(id, err) }
+    ShardDocs(docs, goldMentions, goldRelations, multiSpan, quarantine,
+      cached = Some(parsed))
   }
 }

@@ -75,6 +75,22 @@ object GraphMaterializer {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(s"$table/data").drop(BucketCol)
 
+  /** Cumulative row count of a table from its LINEAGE — one tiny metadata
+    * read, never a re-scan of `<table>/data` (at 100 TB a post-write
+    * count() is another full pass over every bucket ever written; the
+    * lineage aggregate already has the numbers). One ok row per completed
+    * bucket; a bucket re-processed after a crash between data commit and
+    * lineage append re-appends the same idempotent counts, so duplicates
+    * collapse with max. */
+  def lineageRowCount(spark: SparkSession, table: String): Long = {
+    import spark.implicits._
+    try spark.read.parquet(lineagePath(table))
+      .filter($"status" === "ok")
+      .groupBy($"bucket").agg(max($"n_triples").as("n"))
+      .agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
+    catch { case _: Throwable => 0L }
+  }
+
   /** TSV export with the reference's per-file sequential ids (W2):
     * `R{n}` assigned by row_number over (doc_id) ordered by the natural key
     * (large_scale_prediction_pipeline_pt.py:457-516 writeback numbering).
@@ -113,6 +129,49 @@ object GraphMaterializer {
       .groupBy(col("doc_id"))
       .agg(concat_ws("\n",
         transform(array_sort(collect_list(struct(col("ord"), col("line")))),
+          s => s.getField("line"))).as("ann_text"))
+  }
+
+  /** The reference's per-output-file TSV header line
+    * (large_scale_prediction_pipeline_tf.py:240-244): the task's
+    * confidence-index mapping rendered exactly as Python's str(dict) —
+    * `# confidence indices:\t{0: 'neg', 1: 'Complex_formation'}`. */
+  def confidenceHeader(labels: Seq[String] = Seq("neg", "Complex_formation")): String =
+    "# confidence indices:\t" + labels.zipWithIndex
+      .map { case (l, i) => s"$i: '$l'" }.mkString("{", ", ", "}")
+
+  /** RE TSV export WITH the header as row 0 — the first thing a user
+    * diffing exports against reference shards hits. `ord` is the export
+    * sort key (header < every data row); doc_id widens to string so the
+    * header row unions cleanly. */
+  def triplesToTsvWithHeader(triples: DataFrame,
+                             labels: Seq[String] = Seq("neg", "Complex_formation")): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val header = Seq((0, "", confidenceHeader(labels))).toDF("ord", "doc_id", "tsv_row")
+    val rows = triplesToTsv(triples)
+      .select(lit(1).as("ord"), col("doc_id").cast("string").as("doc_id"),
+        col("tsv_row"))
+    header.unionByName(rows)
+  }
+
+  /** Trigger .ann writeback (the reference re-emits best-trigger spans as
+    * standoff T lines — large_scale_explanation_pipeline.py:514-519, with
+    * per-file numbering from 1 in example order, :370/:463):
+    * `T{n}\tTrigger {bgn} {end}\t{text}`, n per doc over the natural pair
+    * key. Round-trips through BratParser (Trigger parses as an entity tag). */
+  def triggersToAnn(triggers: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("e1"), col("e2"), col("bgn"), col("end"))
+    triggers
+      .withColumn("tn", row_number().over(w))
+      .select(col("doc_id"), col("tn"),
+        concat_ws("\t", concat(lit("T"), col("tn")),
+          concat(lit("Trigger "), col("bgn"), lit(" "), col("end")),
+          col("text")).as("line"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("tn"), col("line")))),
           s => s.getField("line"))).as("ann_text"))
   }
 

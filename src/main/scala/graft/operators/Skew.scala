@@ -36,17 +36,31 @@ object Skew {
     * aggregate already map-side-combines, so reach for this only when one
     * group's partial state itself is too large (collect_set on a hot key).
     *
-    * The salt here is row-position-derived, NOT content-derived: a
-    * content hash would map fully duplicate rows of a hot group onto one
-    * salt bucket — exactly the repeated-row hot-key case this spreading
-    * exists for. A nondeterministic salt is safe for aggregation (the
-    * commutative monoid makes the final result salt-independent); the
-    * content-hash salt remains right for saltedJoin, where the salt must
-    * be reproducible across retries. */
+    * Salt derivation (retry-safety): pass `uniqueCol` — a column whose
+    * values distinguish rows within a group (an event id, a mention id, a
+    * file+offset) — and the salt is `pmod(xxhash64(key, uniqueCol), S)`:
+    * fully deterministic, reproducible across task retries, and it still
+    * spreads repeated-CONTENT rows of a hot group (their unique ids
+    * differ, unlike a whole-row content hash which would map exact
+    * duplicates onto one salt bucket — the repeated-row hot-key case this
+    * spreading exists for).
+    *
+    * Without `uniqueCol` the fallback salt is row-position-derived
+    * (monotonically_increasing_id), which is deterministic ONLY on
+    * deterministically-ordered inputs (e.g. straight off a file scan). On
+    * post-shuffle inputs a task retried after a fetch failure can emit
+    * different salts than map output other reducers already consumed —
+    * Spark does not roll the stage back for expression nondeterminism, so
+    * rows can be double-counted or dropped in the partial aggregate.
+    * Prefer `uniqueCol` anywhere a shuffle precedes the salt. */
   def saltedAgg(df: DataFrame, key: String, salts: Int,
-                partial: Seq[Column], finalAgg: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("graft_salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+                partial: Seq[Column], finalAgg: Seq[Column],
+                uniqueCol: Option[String] = None): DataFrame = {
+    val saltExpr = uniqueCol match {
+      case Some(u) => pmod(xxhash64(col(key), col(u)), lit(salts))
+      case None => pmod(hash(monotonically_increasing_id()), lit(salts))
+    }
+    val salted = df.withColumn("graft_salt", saltExpr)
     val phase1 = salted.groupBy(col(key), col("graft_salt"))
       .agg(partial.head, partial.tail: _*)
     phase1.groupBy(col(key)).agg(finalAgg.head, finalAgg.tail: _*)

@@ -89,13 +89,15 @@ object ExampleGenerator {
     examples.result()
   }
 
-  /** Multi-span entity rejection with FN accounting — the reference drops
-    * entities whose `T` line carries a discontinuous span from the valid-
-    * entity set before ANY example generation
-    * (ann_io_generator_cross_sentence_MD.py:56-61), which means a gold
-    * positive touching one can never be predicted: it must surface as a
-    * FALSE NEGATIVE in evaluation (the FN-aware accounting of
-    * relation_extraction_pipeline_pt.py:489-501), not silently vanish.
+  /** Multi-span entity rejection with FN accounting. The reference HALTS
+    * the whole program on a `T` line with a discontinuous span
+    * ("multi-span entities are not supported",
+    * ann_io_generator_cross_sentence_MD.py:56-61); the engine deviates
+    * intentionally (same policy as ShardReader's quarantine): it isolates
+    * the entity instead of halting, and any gold positive touching one —
+    * which can then never be predicted — surfaces as a FALSE NEGATIVE in
+    * evaluation (the FN-aware accounting of
+    * relation_extraction_pipeline_pt.py:489-501), not a silent vanish.
     *
     * @return (examples generated over single-span mentions only,
     *          FN rows for gold positives lost to the rejection — shaped

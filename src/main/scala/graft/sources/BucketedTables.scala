@@ -2,29 +2,40 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-/** Bucketed-table support for shuffle-free co-located joins (SURVEY.md §4
-  * shard-parallelism row; the Spark-native answer to "pre-partition the
-  * corpus so repeated joins on the same key never exchange").
+/** Bucketed table layout for shuffle-free co-located joins — the
+  * catalog-table analog of Iceberg's `bucket(N, key)` partition transform
+  * (SURVEY §2.1 S1 mapping; §4 "co-locate joins via bucketing").
   *
-  * `bucketBy` persists the hash-partitioning in the table metadata: two
-  * tables bucketed on the same key with the same bucket count sort-merge
-  * join WITHOUT an Exchange on either side (asserted in BucketingSpec by
-  * inspecting the physical plan). At 100 TB this is the difference between
-  * shuffling the fact table on every join and shuffling it once at write
-  * time — e.g. the mention table bucketed by doc_id joins sentences,
-  * pairs, and triples for free.
+  * Why it matters at 100 TB: the KG outputs are re-joined on their keys
+  * constantly — triples⋈nodes on the canonical id, triples⋈triples across
+  * runs on doc_id, gold⋈pred in evaluation. A plain parquet table pays a
+  * full shuffle of both sides on EVERY such join; a table written
+  * `bucketBy(N, key).sortBy(key)` carries its hash-partitioning and order
+  * in the catalog, so Catalyst plans the sort-merge join with ZERO
+  * Exchange and zero Sort on every subsequent join against a co-bucketed
+  * table, and groupBy on the bucket key reuses the layout too (both
+  * asserted in BucketedTablesSpec). Write once, shuffle never again.
   */
 object BucketedTables {
 
-  /** Save as a bucketed managed table (requires a warehouse-backed
-    * session; bucket metadata only survives in the catalog). */
+  /** Write `df` as a managed parquet table bucketed (and by default
+    * sorted) on `key` — bucket metadata only survives in the catalog, so
+    * this needs a warehouse-backed session. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int, sorted: Boolean = true): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).bucketBy(buckets, key)
+                    nBuckets: Int = 32, sorted: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet").bucketBy(nBuckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Equi-join two co-bucketed tables on their bucket key. With matching
+    * bucket counts Catalyst plans SortMergeJoin over the existing layout —
+    * no Exchange, no Sort. */
+  def colocatedJoin(spark: SparkSession, tableA: String, tableB: String,
+                    key: String): DataFrame =
+    spark.table(tableA).join(spark.table(tableB), key)
 
   /** True if the executed plan contains any shuffle exchange. */
   def hasShuffle(df: DataFrame): Boolean =

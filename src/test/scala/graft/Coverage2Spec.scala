@@ -64,6 +64,26 @@ class Coverage2Spec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salted aggregation with uniqueCol: deterministic salt, duplicates spread") {
+    // duplicate-CONTENT rows in a hot group carry distinct ids, so the
+    // (key, uniqueCol) salt both reproduces across retries and spreads them
+    val df = (0 until 1200)
+      .map(i => (if (i % 2 == 0) "HOT" else s"k${i % 50}", i.toLong, 1L))
+      .toDF("key", "row_id", "v")
+    val plain = df.groupBy("key").agg(sum("v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedAgg(df, "key", 8,
+        partial = Seq(sum("v").as("pn")), finalAgg = Seq(sum("pn").as("n")),
+        uniqueCol = Some("row_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    // the hot group's 600 identical-content rows land in ALL 8 salt buckets
+    val buckets = df.filter(col("key") === "HOT")
+      .select(pmod(xxhash64(col("key"), col("row_id")), lit(8)).as("s"))
+      .distinct().count()
+    assert(buckets == 8, s"hot group used only $buckets of 8 salt buckets")
+  }
+
   test("LSH-verified dedup: every emitted pair meets the exact threshold") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

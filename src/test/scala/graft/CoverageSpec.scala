@@ -119,6 +119,33 @@ class CoverageSpec extends AnyFunSuite {
     assert(parsed.relations.head.rel_type == "Complex_formation")
   }
 
+  test("TSV export header matches the reference's confidence-indices line") {
+    // byte shape per large_scale_prediction_pipeline_tf.py:240-244 —
+    // "# confidence indices:" TAB Python-dict-literal
+    assert(GraphMaterializer.confidenceHeader() ==
+      "# confidence indices:\t{0: 'neg', 1: 'Complex_formation'}")
+    val triples = Seq(
+      Triple("d9", "nA", "Complex_formation", "nB", "T1", "T2", 0.0, 2.0)).toDF()
+    val rows = GraphMaterializer.triplesToTsvWithHeader(triples)
+      .orderBy("ord", "doc_id").collect().map(_.getAs[String]("tsv_row"))
+    assert(rows.head.startsWith("# confidence indices:\t{0: 'neg'"))
+    assert(rows.length == 2 && rows(1).split('\t').length == 5)
+  }
+
+  test("trigger .ann writeback round-trips through the brat parser") {
+    val txt = "AA binds BB and CC."
+    val triggers = Seq(
+      Trigger("d9", "T1", "T2", 3, 8, "binds", 2.0),
+      Trigger("d9", "T1", "T3", 12, 15, "and", 1.0)).toDF()
+    val ann = GraphMaterializer.triggersToAnn(triggers).collect()
+    assert(ann.length == 1)
+    val annText = ann.head.getAs[String]("ann_text")
+    assert(annText == "T1\tTrigger 3 8\tbinds\nT2\tTrigger 12 15\tand")
+    val parsed = graft.ingest.BratParser.parse("d9", annText, txt)
+    assert(parsed.mentions.map(m => (m.t_id, m.tag, m.bgn, m.end, m.text)) ==
+      Seq(("T1", "Trigger", 3, 8, "binds"), ("T2", "Trigger", 12, 15, "and")))
+  }
+
   test("trigger TSV includes negative pairs with empty trigger columns") {
     val triggers = Seq(Trigger("d1", "T1", "T2", 3, 8, "binds", 2.0)).toDF()
     val scored = Seq(

@@ -24,5 +24,16 @@ class RunJobSpec extends AnyFunSuite {
     val c2 = RunJob.run(spark, docsDir, s"synthetic:${p.nEntities}", s"$tmp/out", 8)
     assert(c2("buckets_written_triples") == 0, "completed buckets must be skipped")
     assert(c2("triples") == c1("triples") && c2("nodes") == c1("nodes"))
+
+    // lineage counts agree with the data, and come from lineage ALONE:
+    // after the data files are gone the count still answers — proof the
+    // metrics job never scans <table>/data
+    val fromData = materialize.GraphMaterializer
+      .readTable(spark, s"$tmp/out/triples").count()
+    assert(c1("triples") == fromData)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$tmp/out/triples/data")).deleteRecursively()
+    assert(materialize.GraphMaterializer
+      .lineageRowCount(spark, s"$tmp/out/triples") == fromData)
   }
 }

@@ -5,7 +5,7 @@
 set -e
 cd "$(dirname "$0")/.."
 export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}"
-export SPARK_GRAFT_KG_DOCS="${SPARK_GRAFT_KG_DOCS:-400000}"
+export SPARK_GRAFT_KG_DOCS="${SPARK_GRAFT_KG_DOCS:-800000}"
 CPUS_A="${CPUS_A:-2}"
 CPUS_B="${CPUS_B:-8}"
 r8=$(sbt -batch "runMain graft.Scaling $CPUS_A" 2>/dev/null | grep -o '{"n_docs".*}')
