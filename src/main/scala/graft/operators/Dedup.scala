@@ -349,6 +349,63 @@ object Dedup {
     * integer predicate (1+t)·common ≥ t·(n_a+n_b) with rational t.
     * At scale this runs on LSH candidates, not all pairs; the standalone
     * form below blocks on a cheap length band to bound the join. */
+  /** EXACT word-set Jaccard pairs via PREFIX FILTERING — the published
+    * exact similarity self-join (Chaudhuri/Ganti/Kaushik SSJoin ICDE'06;
+    * Xiao et al. PPJoin WWW'08): under ANY global token order,
+    * J(A,B) ≥ t forces the first (|A| − ⌈t·|A|⌉ + 1) tokens of A to share
+    * a token with the same prefix of B (pigeonhole on the required
+    * overlap ⌈t·|A|⌉). So the candidate join runs on PREFIX tokens only —
+    * rarest-first ordering keeps prefixes maximally selective — and each
+    * candidate pair is verified exactly with one array_intersect.
+    * Identical output to ngramJaccardPairs (property-tested equal), but
+    * the token-level join shrinks from EVERY shared token per pair to the
+    * few rarest per doc: on Zipfian real-corpus vocabularies this is the
+    * difference between an unrunnable quadratic explode and the exact
+    * join production systems ship. The naive form below stays as the
+    * spec-level ground truth. */
+  def ngramJaccardPairsPrefix(docs: DataFrame, minSharedPct: Int = 60): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    val toks = words.select(col("doc_id"), explode(col("ws")).as("w"))
+    // global rarest-first token rank — vocabulary-sized, built with the
+    // same scale-safe construction as tokenVocab (no global Window)
+    val ranked = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .repartitionByRange(col("df"), col("w"))
+      .sortWithinPartitions(col("df"), col("w"))
+      .as[(String, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((w, _), i) => (w, i) }
+      .toDF("w", "rank")
+    val sets = toks.join(ranked, "w")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("rank"))).as("ranks"))
+      .select(col("doc_id"), col("ranks"), size(col("ranks")).as("n"))
+      // prefix length |A| − ⌈t·|A|⌉ + 1; integer ceil = floor((pct·n+99)/100),
+      // exact in a double for any realistic set size
+      .withColumn("plen",
+        col("n") - floor((col("n") * minSharedPct + 99) / 100).cast("int") + 1)
+    val pref = sets.select(col("doc_id"), col("n"),
+      explode(slice(col("ranks"), lit(1), col("plen"))).as("pt"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.pt") === col("b.pt") && col("a.doc_id") < col("b.doc_id") &&
+          // the same exact-preserving length band as the naive form
+          lit(minSharedPct) * greatest(col("a.n"), col("b.n")) <=
+            lit(100) * least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(words.select(col("doc_id").as("doc_a"), col("ws").as("wa")), "doc_a")
+      .join(words.select(col("doc_id").as("doc_b"), col("ws").as("wb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("wa"), col("wb"))).cast("long").as("n_common"),
+        size(col("wa")).cast("long").as("n_a"),
+        size(col("wb")).cast("long").as("n_b"))
+      .filter(col("n_common") * (lit(100) + lit(minSharedPct)) >=
+        lit(minSharedPct) * (col("n_a") + col("n_b")))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, minSharedPct: Int = 60): DataFrame = {
     val toks = docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))

@@ -78,6 +78,22 @@ object AnnIndex {
     Handle(spark, path, bits, nCells, centroids)
   }
 
+  /** Incrementally add vectors to an existing index: assign bucket + cell
+    * with the PERSISTED quantizer (LSH planes are data-independent; IVF
+    * centroids stay fixed after build — the standard IVF contract) and
+    * append the new partitioned files. Queries see the union immediately;
+    * no rebuild, no retraining, no touch of existing files — at 100 TB
+    * this is how a daily embedding delta lands. */
+  def append(handle: Handle, newEmb: DataFrame): Handle = {
+    val dim = newEmb.select(size(col("embedding"))).head.getInt(0)
+    newEmb.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", SimSearch.intLshBucket(col("embedding"), dim, handle.bits))
+      .withColumn("cell", SimSearch.quantizedCellOf(col("embedding"), handle.centroids))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("bucket", "cell").parquet(handle.path)
+    handle
+  }
+
   /** Reopen a previously built index without retraining. */
   def load(spark: SparkSession, path: String): Handle = {
     val lines = Files.readAllLines(

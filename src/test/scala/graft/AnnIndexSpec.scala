@@ -52,6 +52,29 @@ class AnnIndexSpec extends AnyFunSuite {
       idx.ivfTopK(query, 20).collect().map(_.getLong(0)).toSeq)
   }
 
+  test("append: delta vectors land under the fixed quantizer, no rebuild") {
+    val full = emb
+    val half1 = full.filter(col("vec_id") % 2 === 0)
+    val half2 = full.filter(col("vec_id") % 2 =!= 0)
+    val idx2 = AnnIndex.build(half1,
+      s"${sys.props("java.io.tmpdir")}/graft_ann_append_spec", bits = 4, nCells = 16)
+    AnnIndex.append(idx2, half2)
+    // LSH buckets are data-independent → incremental build answers exactly
+    // like a query over the full corpus
+    val direct = SimSearch.lshTopK(full, query, k = 20, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(idx2.lshTopK(query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == direct)
+    // IVF: the quantizer stays the one trained at build (on half1); the
+    // appended rows are assigned with it — equal to the direct operator
+    // run over the full corpus with those same centroids
+    val ivfDirect = SimSearch.ivfTopKQuantized(full, query, k = 20,
+        nProbe = 3, centroidsOpt = Some(idx2.centroids))
+      .collect().map(_.getLong(0)).toSeq
+    assert(idx2.ivfTopK(query, k = 20, nProbe = 3)
+      .collect().map(_.getLong(0)).toSeq == ivfDirect)
+  }
+
   test("quantized IVF keeps the recall contract on clustered embeddings") {
     val rng = new java.util.Random(11)
     val dim = 64

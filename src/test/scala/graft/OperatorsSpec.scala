@@ -127,6 +127,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.75, s"IVF recall@20 = $recall")
   }
 
+  test("prefix-filtered jaccard join equals the naive all-pairs form") {
+    // prefix filtering is exact for ANY global token order — equality with
+    // the naive quadratic form on random corpora is the whole contract
+    val rng = new scala.util.Random(5)
+    val vocabW = ('a' to 'z').map(_.toString)
+    val docs = (0 until 120).map { i =>
+      val n = 3 + rng.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocabW(rng.nextInt(vocabW.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (pct <- Seq(50, 60, 80)) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val naive = rows(Dedup.ngramJaccardPairs(docs, pct))
+      val prefix = rows(Dedup.ngramJaccardPairsPrefix(docs, pct))
+      assert(prefix == naive,
+        s"pct=$pct: prefix-filtered join diverged from the naive form " +
+          s"(missing=${(naive -- prefix).take(3)}, extra=${(prefix -- naive).take(3)})")
+    }
+  }
+
   test("portable minhash-LSH candidates are verification-sound and find dups") {
     val pairs = Dedup.minhashLshCandidatesPortable(docs, shingleN = 3,
         bands = 8, rowsPerBand = 2)
