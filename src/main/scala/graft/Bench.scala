@@ -187,6 +187,9 @@ object Bench {
     // surviving peak-of-legs; far-off ratios are real and retries stop
     if (!spawnFailed && effNow.exists(e => e >= 0.7 && e < 0.8)) attemptPair()
     val bestEff = effNow.getOrElse(-1.0)
+    // headline: TWO child-JVM attempts, keep the peak — the same
+    // peak-of-legs defense the scaling legs use (one measured box-state
+    // swing put single-attempt headlines anywhere in 190k-315k docs/s)
     var legMax = runLeg(cpus.toInt, headDocs).orElse {
       // fallback: in-JVM measurement (warm-up + best of 2), old protocol
       kgRun(spark, headDocs)
@@ -195,8 +198,10 @@ object Bench {
       val sec = math.min(a, b)
       Some(Leg(cpus.toInt, sec, d, t, d / sec))
     }
-    // same noise guard for the headline: this box sustains >200k docs/s at
-    // 32 cores; a leg far below the 8-core throughput is a contended sample
+    for (r <- runLeg(cpus.toInt, headDocs);
+         if legMax.forall(_.docsPerSec < r.docsPerSec)) legMax = Some(r)
+    // and the floor guard: a headline below the 8-core leg is a contended
+    // sample — one more attempt
     for (m <- legMax; b <- leg4N; if m.docsPerSec < b.docsPerSec) {
       val retry = runLeg(cpus.toInt, headDocs)
       for (r <- retry; if r.docsPerSec > m.docsPerSec) legMax = Some(r)

@@ -106,6 +106,33 @@ object Dedup {
           .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
   }
 
+  /** Per-ROW 64-bit SimHash — identical arithmetic to `simhashes` (same
+    * xxhash64 bit votes over the distinct-word set) but folded inside one
+    * row with higher-order functions instead of an explode+groupBy:
+    * stateless, so it runs on a STREAM (aggregations on an unwindowed
+    * stream never finalize in append mode; a per-row expression just
+    * flows). Hashes are bound once per word via a transform() before the
+    * vote fold; the vote struct and the bit combine live in separate
+    * projections so the non-cheap aggregate is never duplicated. Parity
+    * with the batch operator is spec-asserted. */
+  def withSimhash(df: DataFrame, textCol: String = "text",
+                  out: String = "sh"): DataFrame = {
+    val hashes = transform(array_distinct(split(col(textCol), " ")),
+      w => xxhash64(w))
+    val votes = aggregate(hashes,
+      struct((0 until 64).map(i => lit(0L).as(s"b$i")): _*),
+      (acc, h) => struct((0 until 64).map(i =>
+        (acc.getField(s"b$i") +
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)).as(s"b$i")): _*))
+    df.withColumn("graft_votes", votes)
+      .withColumn(out, (0 until 64).map(i =>
+        when(col("graft_votes").getField(s"b$i") > 0, shiftleft(lit(1L), i))
+          .otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)))
+      .drop("graft_votes")
+  }
+
   /** SimHash near-dup candidates: equal 16-bit blocks (4 rotations) →
     * Hamming-verify ≤ `maxHamming` via bit_count(xor).
     *

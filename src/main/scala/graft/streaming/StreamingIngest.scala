@@ -69,6 +69,53 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming SimHash near-dup CANDIDATES: per-row simhash (a stateless
+    * column — Dedup.withSimhash), the 4 16-bit blocks exploded as bucket
+    * keys, and per-bucket state of previously seen (doc_id, sh); each
+    * arriving doc emits a candidate pair for every stored neighbor within
+    * `maxHamming`. The streaming analog of Dedup.simhashCandidates for
+    * continuous ingestion — candidates accumulate across micro-batches and
+    * survive restarts via the checkpointed state.
+    *
+    * Differences from the batch form, by design: a pair colliding in k
+    * blocks is emitted once per colliding block and per direction of
+    * arrival (batch distinct()s; downstream exact verification is
+    * idempotent, so duplicates are harmless), and state grows with bucket
+    * occupancy — production deployments bound it with a state TTL
+    * (GroupStateTimeout) at the cost of missing dups older than the TTL. */
+  def nearDupCandidatesStream(docs: DataFrame, maxHamming: Int = 3)
+      (implicit spark: SparkSession): Dataset[(Long, Long, Int)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val hamming = math.min(maxHamming, 3)
+    val blocked = graft.operators.Dedup.withSimhash(docs)
+      .select(col("doc_id").cast("long").as("doc_id"), col("sh"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+        }: _*)).as("bb"))
+      .select(col("bb.blk").as[Int], col("bb.key").as[Long],
+        col("doc_id").as[Long], col("sh").as[Long])
+    blocked.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
+         state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.Buffer.empty[(Long, Long, Int)]
+          rows.foreach { case (_, _, id, sh) =>
+            seen.foreach { case (pid, psh) =>
+              val d = java.lang.Long.bitCount(sh ^ psh)
+              if (d <= hamming && pid != id)
+                out += (if (pid < id) (pid, id, d) else (id, pid, d))
+            }
+            seen = (id, sh) :: seen
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Streaming session windows: the q14 batch aggregation on streaming
     * rails — watermarked event time + the native `session_window`
     * generator. In append mode Spark finalizes and emits a session only
