@@ -414,12 +414,24 @@ object Dedup {
       .withColumn("plen",
         col("n") - floor((col("n") * minSharedPct + 99) / 100).cast("int") + 1)
     val pref = sets.select(col("doc_id"), col("n"),
-      explode(slice(col("ranks"), lit(1), col("plen"))).as("pt"))
+      posexplode(slice(col("ranks"), lit(1), col("plen"))).as(Seq("pos", "pt")))
+    // PPJoin positional filter, exact: J ≥ t needs overlap ≥
+    // α = ⌈t/(1+t)·(n_a+n_b)⌉, and at a prefix match at (1-based) sorted
+    // positions (i, j) the overlap is ≤ 1 + min(n_a−i, n_b−j) — the other
+    // common tokens all rank later. The MINIMUM common token of a
+    // qualifying pair sits in both prefixes and passes this bound (every
+    // other common token ranks after it), so filtering match rows on it
+    // never drops a qualifying pair — it only prunes late-prefix-only
+    // collisions before the distinct.
+    val alpha = floor((lit(minSharedPct) * (col("a.n") + col("b.n")) +
+      lit(100 + minSharedPct - 1)) / lit(100 + minSharedPct))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.pt") === col("b.pt") && col("a.doc_id") < col("b.doc_id") &&
           // the same exact-preserving length band as the naive form
           lit(minSharedPct) * greatest(col("a.n"), col("b.n")) <=
-            lit(100) * least(col("a.n"), col("b.n")))
+            lit(100) * least(col("a.n"), col("b.n")) &&
+          lit(1) + least(col("a.n") - (col("a.pos") + 1),
+            col("b.n") - (col("b.pos") + 1)) >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
