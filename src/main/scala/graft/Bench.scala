@@ -222,7 +222,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""kg_docs":$nDocs,"kg_triples":$nTriples,"kg_sec":$kgSec,""" +
       s""""kg_docs_per_sec":$kgDps,"kg_triples_per_sec":${nTriples / kgSec},""" +
-      s""""protocol":"best-of-2 per query; streaming isolated last; kg + scaling legs in fresh per-leg JVMs"""" +
+      s""""protocol":"best-of-2 per query; streaming isolated last; kg headline peak-of-2 + scaling legs in fresh per-leg JVMs"""" +
       scaling + s""","cpus":"$cpus","sf":"$sfDir"}""")
     spark.stop()
   }

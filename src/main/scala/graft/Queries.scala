@@ -214,6 +214,13 @@ object Queries {
     Dedup.simhashCandidatesPortable(table(s, dir, "documents"), maxHamming = 3,
       vocabKey = Some(s"$dir#documents#words"))
 
+  /** The corpus dedup deliverable: per-doc keep_id over the transitive
+    * closure of exact-dup + LSH-verified near-dup edges (shares the staged
+    * shingle-3 vocab with the other LSH queries). */
+  def dedupKeepList(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepList(table(s, dir, "documents"), minSharedPct = 80,
+      vocabKey = Some(s"$dir#documents#sh3"))
+
   /** Embedding near-dup groups on a floor(x*2) grid — first 8 dims as
     * grouping keys (bit-exact vs the SQL oracle). */
   def dedupEmbeddingGrid(s: SparkSession, dir: String): DataFrame = {

@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "dedup_lsh_verified" -> (Queries.dedupLshVerified _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
+    "dedup_keep_list" -> (Queries.dedupKeepList _),
     "dedup_embedding_grid" -> (Queries.dedupEmbeddingGrid _),
     "dedup_embedding_cosine" -> (Queries.dedupEmbeddingCosine _),
     // similarity search
@@ -109,6 +110,25 @@ object SparkEntry {
        |   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |   GROUP BY 1, 2)""".stripMargin
   }
+
+  /** minhashCandCtes extended with the exact word-Jaccard verification —
+    * ends in `verif(doc_a, doc_b, n_common, n_a, n_b)`, shared by
+    * dedup_lsh_verified and dedup_keep_list. */
+  private def lshVerifiedCtes: String =
+    minhashCandCtes +
+      """,
+        | wset AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+        |   FROM documents),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM wset GROUP BY doc_id),
+        | comm AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cand c
+        |   JOIN wset a ON a.doc_id = c.doc_a
+        |   JOIN wset b ON b.doc_id = c.doc_b AND b.w = a.w
+        |   GROUP BY 1, 2),
+        | verif AS (SELECT comm.doc_a, comm.doc_b, CAST(n_common AS BIGINT) AS n_common,
+        |   CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+        |  FROM comm JOIN sizes sa ON comm.doc_a = sa.doc_id
+        |   JOIN sizes sb ON comm.doc_b = sb.doc_id
+        |  WHERE n_common * 180 >= 80 * (sa.n + sb.n))""".stripMargin
 
   private def simhashSqlGen: String = {
     import graft.operators.Dedup.{HashA, HashB}
@@ -245,20 +265,27 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       (minhashCandCtes + "\nSELECT doc_a, doc_b FROM cand"),
     "dedup_lsh_verified" ->
-      (minhashCandCtes +
+      (lshVerifiedCtes +
+        "\nSELECT doc_a, doc_b, n_common, n_a, n_b FROM verif"),
+    // the corpus dedup deliverable: exact-dup edges ∪ the verified
+    // near-dup pairs, closed transitively (recursive min-label
+    // propagation == the engine's connected components; numeric min ==
+    // the engine's %020d-padded string min for non-negative ids)
+    "dedup_keep_list" ->
+      ("WITH RECURSIVE" + lshVerifiedCtes.stripPrefix("WITH") +
         """,
-          | wset AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
-          |   FROM documents),
-          | sizes AS (SELECT doc_id, count(*) AS n FROM wset GROUP BY doc_id),
-          | comm AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cand c
-          |   JOIN wset a ON a.doc_id = c.doc_a
-          |   JOIN wset b ON b.doc_id = c.doc_b AND b.w = a.w
-          |   GROUP BY 1, 2)
-          |SELECT comm.doc_a, comm.doc_b, CAST(n_common AS BIGINT) AS n_common,
-          |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
-          |FROM comm JOIN sizes sa ON comm.doc_a = sa.doc_id
-          |  JOIN sizes sb ON comm.doc_b = sb.doc_id
-          |WHERE n_common * 180 >= 80 * (sa.n + sb.n)""".stripMargin),
+          | exg AS (SELECT md5(text) AS h, min(doc_id) AS m FROM documents GROUP BY 1),
+          | ex AS (SELECT d.doc_id AS a, g.m AS b FROM documents d
+          |        JOIN exg g ON md5(d.text) = g.h WHERE d.doc_id <> g.m),
+          | ed AS (SELECT a, b FROM ex UNION
+          |        SELECT doc_a AS a, doc_b AS b FROM verif),
+          | sym AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+          | lp AS (SELECT DISTINCT a AS doc, a AS label FROM sym
+          |        UNION
+          |        SELECT s.b AS doc, lp.label FROM lp JOIN sym s ON s.a = lp.doc),
+          | comp AS (SELECT doc, min(label) AS keep FROM lp GROUP BY doc)
+          |SELECT d.doc_id, CAST(coalesce(c.keep, d.doc_id) AS BIGINT) AS keep_id
+          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc""".stripMargin),
     "dedup_simhash" -> simhashSqlGen,
     "dedup_embedding_cosine" ->
       (quantVCte + "," + planeWgtCte(6) +

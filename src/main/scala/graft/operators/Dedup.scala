@@ -371,6 +371,44 @@ object Dedup {
                                 vocabKey: Option[String] = None): DataFrame =
     simhashBlockCandidates(simhashesPortable(docs, vocabKey), math.min(maxHamming, 3))
 
+  /** The corpus-level dedup DELIVERABLE: one (doc_id, keep_id) row per
+    * document, where keep_id is the minimum doc id of its duplicate
+    * CLUSTER — exact-duplicate edges (same text) unioned with
+    * LSH-verified near-dup edges, closed transitively by connected
+    * components — and the doc's own id when it is unique. This is the
+    * table a 100 TB curation run anti-joins its corpus against; pairwise
+    * operators alone under-dedup because near-duplication is transitive
+    * (a~b, b~c ⟹ one survivor, even when a~c misses the threshold).
+    *
+    * Ids ride through the string-keyed component engine as %020d-padded
+    * strings, so the min-string representative rule equals numeric min
+    * for non-negative ids (the DuckDB oracle mirrors with numeric min +
+    * a recursive label-propagation CTE). */
+  def keepList(docs: DataFrame, minSharedPct: Int = 80,
+               vocabKey: Option[String] = None): DataFrame = {
+    implicit val spark: org.apache.spark.sql.SparkSession = docs.sparkSession
+    import spark.implicits._
+    val pad = (c: Column) => format_string("%020d", c)
+    val exactEdges = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("m", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("a"), col("m").as("b"))
+    val nearEdges = lshVerifiedDupsPortable(docs, minSharedPct = minSharedPct,
+        vocabKey = vocabKey)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = exactEdges.unionByName(nearEdges)
+      .select(pad(col("a")).as("src"), pad(col("b")).as("dst"))
+      .as[graft.core.EquivEdge]
+    val canon = graft.canon.ConnectedComponents.canonicalizeAuto(edges)
+      .withColumnRenamed("node_id", "padded")
+    docs.select(col("doc_id"))
+      .join(canon, pad(col("doc_id")) === col("padded"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id").cast("long"), col("doc_id")).as("keep_id"))
+  }
+
   /** Exact word-set Jaccard pairs via distinct-token explode + self-join —
     * integer-only outputs (n_common, n_a, n_b) so jaccard ≥ t is the
     * integer predicate (1+t)·common ≥ t·(n_a+n_b) with rational t.

@@ -84,6 +84,32 @@ class Coverage2Spec extends AnyFunSuite {
     assert(buckets == 8, s"hot group used only $buckets of 8 salt buckets")
   }
 
+  test("dedup keep list: transitive clusters collapse to the min doc id") {
+    // 30-word docs. 3 replaces two of 1's words: J(1,3) = 28/32 = 0.875
+    // >= 0.8. 7 is 3 plus four appended words: J(3,7) = 30/34 = 0.88 >=
+    // 0.8, but J(1,7) = 28/36 = 0.78 < 0.8 — linked only through 3.
+    val base = (1 to 30).map(i => s"w$i")
+    def txt(repl: Map[Int, String]) =
+      base.zipWithIndex.map { case (w, i) => repl.getOrElse(i, w) }.mkString(" ")
+    val docs = Seq(
+      1L -> txt(Map.empty),
+      2L -> txt(Map.empty), // exact dup of 1
+      3L -> txt(Map(0 -> "x1", 1 -> "x2")),
+      7L -> (txt(Map(0 -> "x1", 1 -> "x2")) + " x3 x4 x5 x6"),
+      9L -> ((1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // sanity on the arithmetic above: the verified PAIRS are exactly
+    // (1,2),(1,3),(2,3),(3,7) — (1,7)/(2,7) miss the threshold...
+    val pairs = graft.operators.Dedup.lshVerifiedDupsPortable(docs, minSharedPct = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((3L, 7L)) &&
+      !pairs.contains((1L, 7L)), s"unexpected verified pairs: $pairs")
+    // ...yet the KEEP LIST collapses {1,2,3,7} to 1 — transitive closure
+    val keep = graft.operators.Dedup.keepList(docs, minSharedPct = 80)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 9L -> 9L), s"$keep")
+  }
+
   test("LSH-verified dedup: every emitted pair meets the exact threshold") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
