@@ -191,17 +191,22 @@ object GraphMaterializer {
           format_number(col("score"), 4),
           col("bgn"), col("end"), col("text")).as("tsv_row"))
 
-  /** Full trigger TSV including NEGATIVE pairs, which the reference writes
-    * with scores only and no trigger columns
-    * (large_scale_explanation_pipeline.py:383-389: "negative → TSV row
-    * only"). */
+  /** Full trigger TSV: every scored pair gets a row. Pairs WITH triggers
+    * get the 9-col rows (one per trigger); every other pair — negatives
+    * (large_scale_explanation_pipeline.py:383-389) AND positives whose
+    * trigger selection failed (invalid explanation :413-427, no valid
+    * trigger :433-449 — the reference writes those scores-only too) —
+    * gets a scores-only row with empty trigger columns. Expressed as an
+    * anti-join against the trigger pairs, so no scored example ever
+    * vanishes from the export. */
   def triggersToTsvAll(triggers: DataFrame, scored: DataFrame): DataFrame = {
-    val negatives = scored
-      .filter(col("score_pos") <= col("score_neg"))
+    val scoreOnly = scored
+      .join(triggers.select(col("doc_id"), col("e1"), col("e2")).distinct(),
+        Seq("doc_id", "e1", "e2"), "left_anti")
       .select(col("doc_id"),
         concat_ws("\t", col("doc_id"), col("e1"), col("e2"),
           format_number(col("score_neg"), 4), format_number(col("score_pos"), 4),
           lit(""), lit(""), lit(""), lit("")).as("tsv_row"))
-    triggersToTsv(triggers, scored).unionByName(negatives)
+    triggersToTsv(triggers, scored).unionByName(scoreOnly)
   }
 }

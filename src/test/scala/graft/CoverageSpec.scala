@@ -146,19 +146,25 @@ class CoverageSpec extends AnyFunSuite {
       Seq(("T1", "Trigger", 3, 8, "binds"), ("T2", "Trigger", 12, 15, "and")))
   }
 
-  test("trigger TSV includes negative pairs with empty trigger columns") {
+  test("trigger TSV keeps every scored pair: negatives AND triggerless positives") {
     val triggers = Seq(Trigger("d1", "T1", "T2", 3, 8, "binds", 2.0)).toDF()
     val scored = Seq(
       ScoredPair("d1", "T1", "T2", "nA", "nB", 0, Nil, Nil, Nil, 0.0, 2.0),
-      ScoredPair("d1", "T1", "T3", "nA", "nC", 1, Nil, Nil, Nil, 1.0, 0.0)).toDF()
+      ScoredPair("d1", "T1", "T3", "nA", "nC", 1, Nil, Nil, Nil, 1.0, 0.0),
+      // POSITIVE pair whose trigger selection produced nothing — the
+      // reference still writes it scores-only (explanation_pipeline.py
+      // :413-427, :433-449); it must not vanish from the export
+      ScoredPair("d1", "T1", "T4", "nA", "nD", 2, Nil, Nil, Nil, 0.0, 3.0)).toDF()
     val rows = GraphMaterializer.triggersToTsvAll(triggers, scored)
       .collect().map(_.getAs[String]("tsv_row"))
-    assert(rows.length == 2)
+    assert(rows.length == 3)
     // split with limit -1: trailing empty fields must survive
     assert(rows.forall(_.split("\t", -1).length == 9))
-    val neg = rows.find(_.contains("T3")).get
-    assert(neg.split("\t", -1).drop(5).forall(_.isEmpty),
-      s"negative row carries trigger cols: $neg")
+    for (id <- Seq("T3", "T4")) {
+      val r = rows.find(_.contains(id)).get
+      assert(r.split("\t", -1).drop(5).forall(_.isEmpty),
+        s"scores-only row carries trigger cols: $r")
+    }
   }
 
   test("streaming ingestion: AvailableNow drain equals the batch pipeline") {
