@@ -156,8 +156,10 @@ object Bench {
     // fixed-overhead share of each run, which is what the marginal points
     // were). The headline stays at 1.6M docs, comparable across rounds.
     val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "800000").toInt
+    // headline follows the leg knob (2× → the 1.6M default), so one env
+    // var still scales the WHOLE bench down for a smoke run
     val headDocs = sys.env.getOrElse("SPARK_GRAFT_KG_HEADLINE_DOCS",
-      "1600000").toInt
+      (2 * kgDocs).toString).toInt
     stageCorpus(spark, kgDocs)
     stageCorpus(spark, headDocs)
     // PEAK-OF-LEGS: the box is shared — a co-tenant burst during ONE leg
@@ -231,6 +233,8 @@ object Bench {
       s""""kg_docs_per_sec":$kgDps,"kg_triples_per_sec":${nTriples / kgSec},""" +
       s""""protocol":"best-of-2 per query; streaming isolated last; kg headline peak-of-2 + scaling legs in fresh per-leg JVMs"""" +
       scaling + s""","cpus":"$cpus","sf":"$sfDir"}""")
+    graft.operators.Dedup.clearVocabCache()
+    graft.sources.AnnIndex.clearHandles()
     spark.stop()
   }
 }

@@ -12,7 +12,8 @@ object RunQuery {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: RunQuery <queryName> <sfDir> [reps] [explain]")
     val (name, sfDir) = (args(0), args(1))
-    val reps = if (args.length > 2) args(2).toInt else 2
+    // reps and the explain flag are independently optional
+    val reps = args.drop(2).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(2)
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -37,6 +37,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // release session-scoped corpus artifacts (persisted vocabularies,
+    // ANN index handles) before the session goes down
+    graft.operators.Dedup.clearVocabCache()
+    graft.sources.AnnIndex.clearHandles()
     spark.stop()
   }
 }

@@ -104,6 +104,13 @@ object ShardReader {
       }
   }
 
+  /** The single missing-twin classifier both pairMembers and parseShardDir
+    * quarantine with — one place for the error strings. */
+  def twinError(ann: Option[String], txt: Option[String]): Option[String] =
+    if (ann.isEmpty) Some("missing .ann for .txt")
+    else if (txt.isEmpty) Some("missing .txt for .ann")
+    else None
+
   def pairMembers(members: Dataset[ShardMember])
   : (Dataset[RawBratDoc], Dataset[QuarantineRow]) = {
     val spark = members.sparkSession
@@ -113,9 +120,7 @@ object ShardReader {
       for (a <- ann; t <- txt) yield RawBratDoc(shard, stem, a, t)
     }
     val quarantine = grouped.flatMap { case (_, stem, ann, txt) =>
-      if (ann.isEmpty) Some(QuarantineRow(stem, "missing .ann for .txt"))
-      else if (txt.isEmpty) Some(QuarantineRow(stem, "missing .txt for .ann"))
-      else None
+      twinError(ann, txt).map(QuarantineRow(stem, _))
     }
     (docs, quarantine)
   }
@@ -131,21 +136,22 @@ object ShardReader {
     // and every downstream view (docs, gold tables, quarantine) reads the
     // cache. The caller releases it with ShardDocs.unpersist().
     val parsed = pairedMembers(readMembers(spark, dir)).map {
-      case (_, stem, Some(ann), Some(txt)) =>
-        try {
-          val p = BratParser.parse(stem, ann, txt)
-          (stem, txt, p.mentions, p.relations, p.multiSpanIds.toSeq.sorted, "")
-        } catch {
-          case e: Exception =>
-            (stem, txt, Seq.empty[GoldMention], Seq.empty[GoldRelation],
-              Seq.empty[String], Option(e.getMessage).getOrElse(e.toString))
+      case (_, stem, annOpt, txtOpt) =>
+        twinError(annOpt, txtOpt) match {
+          case Some(err) =>
+            (stem, "", Seq.empty[GoldMention], Seq.empty[GoldRelation],
+              Seq.empty[String], err)
+          case None =>
+            try {
+              val p = BratParser.parse(stem, annOpt.get, txtOpt.get)
+              (stem, txtOpt.get, p.mentions, p.relations,
+                p.multiSpanIds.toSeq.sorted, "")
+            } catch {
+              case e: Exception =>
+                (stem, txtOpt.get, Seq.empty[GoldMention], Seq.empty[GoldRelation],
+                  Seq.empty[String], Option(e.getMessage).getOrElse(e.toString))
+            }
         }
-      case (_, stem, None, _) =>
-        (stem, "", Seq.empty[GoldMention], Seq.empty[GoldRelation],
-          Seq.empty[String], "missing .ann for .txt")
-      case (_, stem, _, None) =>
-        (stem, "", Seq.empty[GoldMention], Seq.empty[GoldRelation],
-          Seq.empty[String], "missing .txt for .ann")
     }.persist()
     val ok = parsed.filter(_._6.isEmpty)
     val docs = ok.map { case (id, txt, _, _, _, _) =>

@@ -84,11 +84,16 @@ object GraphMaterializer {
     * collapse with max. */
   def lineageRowCount(spark: SparkSession, table: String): Long = {
     import spark.implicits._
-    try spark.read.parquet(lineagePath(table))
+    // a table with no lineage yet counts 0; any OTHER failure (corrupt
+    // footer, permission, partial write) must surface, not read as "zero
+    // rows written" — that would make a failed run look like an empty one
+    val p = new org.apache.hadoop.fs.Path(lineagePath(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    spark.read.parquet(lineagePath(table))
       .filter($"status" === "ok")
       .groupBy($"bucket").agg(max($"n_triples").as("n"))
       .agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
-    catch { case _: Throwable => 0L }
   }
 
   /** TSV export with the reference's per-file sequential ids (W2):

@@ -115,15 +115,22 @@ object AnnIndex {
   // Session-scoped build-once registry (same pattern as Dedup.vocabCache):
   // the first catalog query against a corpus builds the index; every later
   // LSH/IVF call — including the other operator and bench re-attempts —
-  // reads the stored layout. Keyed by SparkSession identity so a handle
-  // never outlives its session.
+  // reads the stored layout. The handle map is keyed by SparkSession
+  // identity (a handle never outlives its session), but the DIRECTORY is
+  // keyed by the sanitized corpus key alone: no hash collisions (two keys
+  // never share a dir), and a later process REOPENS the finished index of
+  // an identical corpus instead of writing another copy into tmpdir.
   private val handles = TrieMap.empty[(Int, String), Handle]
+
+  def clearHandles(): Unit = handles.clear()
 
   def forTable(emb: => DataFrame, spark: SparkSession, key: String,
                bits: Int = 4, nCells: Int = 16): Handle =
     handles.getOrElseUpdate((System.identityHashCode(spark), key), {
       val dir = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_ann_${System.identityHashCode(spark)}_${math.abs(key.hashCode.toLong)}")
-      build(emb, dir.toString, bits, nCells)
+        "graft_ann_" + key.map(c => if (c.isLetterOrDigit) c else '_') +
+          s"_b${bits}c$nCells").toString
+      if (Files.exists(Paths.get(dir, MetaFile))) load(spark, dir)
+      else build(emb, dir, bits, nCells)
     })
 }

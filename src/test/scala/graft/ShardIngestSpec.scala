@@ -57,6 +57,9 @@ class ShardIngestSpec extends AnyFunSuite {
     assert(all.quarantine.count() == 0)
     // shard provenance survives into per-doc rows via distinct doc ids
     assert(all.docs.select("doc_id").distinct().count() == 2533)
+    // release the shared parse cache once the outputs are materialized —
+    // the documented ShardDocs contract
+    all.unpersist()
   }
 
   val reOutputShard =
