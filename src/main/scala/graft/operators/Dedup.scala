@@ -429,10 +429,47 @@ object Dedup {
     * join production systems ship. The naive form below stays as the
     * spec-level ground truth. */
   def ngramJaccardPairsPrefix(docs: DataFrame, minSharedPct: Int = 60): DataFrame = {
-    val spark = docs.sparkSession
+    // SET CANONICALIZATION first — exact for any corpus: Jaccard depends
+    // only on the distinct-word SET, so docs with identical sets (exact
+    // and shuffled-word duplicates — the bulk of a dedup corpus) group
+    // into one representative; the pairwise machinery below runs once per
+    // UNIQUE set and qualifying set pairs expand back to doc pairs at the
+    // end. Intra-group pairs have J = 1 and always qualify.
+    val docSets = docs.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("ws"))
+    val groups = docSets.groupBy(col("ws"))
+      .agg(min(col("doc_id")).as("set_id"),
+        collect_list(col("doc_id")).as("members"))
+    val uniq = groups.select(col("set_id").as("doc_id"), col("ws"))
+    val setPairs = prefixVerifiedPairs(uniq, minSharedPct)
+    val mem = groups.select(col("set_id"), explode(col("members")).as("m"))
+    // inter-group expansion: member cross pairs re-ordered by doc id
+    // (n_a/n_b follow their doc through the swap; n_common is symmetric)
+    val inter = setPairs
+      .join(mem.select(col("set_id").as("doc_a"), col("m").as("da")), "doc_a")
+      .join(mem.select(col("set_id").as("doc_b"), col("m").as("db")), "doc_b")
+      .select(
+        least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("n_common"),
+        when(col("da") < col("db"), col("n_a")).otherwise(col("n_b")).as("n_a"),
+        when(col("da") < col("db"), col("n_b")).otherwise(col("n_a")).as("n_b"))
+    val intra = groups
+      .select(size(col("ws")).cast("long").as("n"),
+        explode(col("members")).as("da"), col("members"))
+      .select(col("n"), col("da"), explode(col("members")).as("db"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("n").as("n_common"), col("n").as("n_a"), col("n").as("n_b"))
+    inter.unionByName(intra)
+  }
+
+  /** The PPJoin core over (doc_id, ws) rows with UNIQUE word sets:
+    * rarest-first prefix candidates + positional filter + exact
+    * array_intersect verification. */
+  private def prefixVerifiedPairs(words: DataFrame, minSharedPct: Int): DataFrame = {
+    val spark = words.sparkSession
     import spark.implicits._
-    val words = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("ws"))
     val toks = words.select(col("doc_id"), explode(col("ws")).as("w"))
     // global rarest-first token rank — vocabulary-sized, built with the
     // same scale-safe construction as tokenVocab (no global Window)
