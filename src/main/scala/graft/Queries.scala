@@ -221,6 +221,19 @@ object Queries {
     Dedup.keepList(table(s, dir, "documents"), minSharedPct = 80,
       vocabKey = Some(s"$dir#documents#sh3"))
 
+  /** Benchmark decontamination over the documents table: the eval set is
+    * the deterministic doc_id % 5 == 0 slice (standing in for a held-out
+    * benchmark suite), the corpus is the rest; any shared word-8-gram
+    * flags the corpus doc. The eval n-gram set rides a broadcast — the
+    * corpus side never shuffles (PlanSpec-asserted). */
+  def textDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Dedup.decontaminate(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      shingleN = 8)
+  }
+
   /** Embedding near-dup groups on a floor(x*2) grid — first 8 dims as
     * grouping keys (bit-exact vs the SQL oracle). */
   def dedupEmbeddingGrid(s: SparkSession, dir: String): DataFrame = {

@@ -66,6 +66,7 @@ object SparkEntry {
     "text_quality" -> (Queries.textQuality _),
     "text_langid" -> (Queries.textLangId _),
     "text_fingerprint" -> (Queries.textFingerprint _),
+    "text_decontam" -> (Queries.textDecontam _),
     // KG construction over the driver tables
     "kg_mentions" -> (Queries.kgMentions _),
     "kg_cooccur_pairs" -> (Queries.kgCooccurPairs _),
@@ -345,6 +346,20 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST(sum(((37*tid+17) % $P) * ((61*pos+29) % $P)) AS BIGINT) AS fp
          |FROM t JOIN vocab USING (w) GROUP BY doc_id""".stripMargin,
+    // decontamination: same 8-gram shingling as Dedup.shingles (distinct
+    // per doc, whole-text fallback below 8 words), eval = doc_id % 5 == 0
+    "text_decontam" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+        | shx AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 8 THEN [text]
+        |   ELSE list_distinct(list_filter(list_transform(ws, (x,i) ->
+        |     CASE WHEN i+7 <= len(ws) THEN array_to_string(list_slice(ws, i, i+7), ' ') END),
+        |     s -> s IS NOT NULL)) END) AS g FROM d),
+        | ev AS (SELECT doc_id AS eval_id, g FROM shx WHERE doc_id % 5 = 0),
+        | co AS (SELECT doc_id, g FROM shx WHERE doc_id % 5 <> 0)
+        |SELECT co.doc_id, count(DISTINCT ev.eval_id) AS n_eval_docs,
+        |  count(DISTINCT co.g) AS n_shared_ngrams
+        |FROM co JOIN ev ON co.g = ev.g
+        |GROUP BY co.doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,

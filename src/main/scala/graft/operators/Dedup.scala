@@ -409,6 +409,32 @@ object Dedup {
         coalesce(col("canonical_id").cast("long"), col("doc_id")).as("keep_id"))
   }
 
+  /** Benchmark DECONTAMINATION: flag corpus documents sharing any word
+    * n-gram with an evaluation/benchmark set — the leakage check a
+    * training-data pipeline runs before every release (n-gram overlap
+    * against held-out benchmarks, n = 8 words by convention). One row per
+    * contaminated corpus doc: (doc_id, n_eval_docs, n_shared_ngrams).
+    *
+    * Scale shape: the eval side is BENCHMARK suites — megabytes against a
+    * 100 TB corpus — so its exploded n-gram set is broadcast and the
+    * corpus side joins map-side with ZERO shuffle of corpus data; the only
+    * shuffle is the final groupBy over the (rare) contaminated doc ids.
+    * A larger eval set degrades gracefully: drop the broadcast hint and
+    * the same plan is a shuffled equi-join on the n-gram. Shingling
+    * reuses `shingles` (distinct per doc, whole-text fallback below n
+    * words — short exact duplicates of an eval doc still flag). */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+                    shingleN: Int = 8): DataFrame = {
+    val evalG = evalSet.select(col("doc_id").as("eval_id"),
+      explode(shingles(col("text"), shingleN)).as("g"))
+    val corpG = corpus.select(col("doc_id"),
+      explode(shingles(col("text"), shingleN)).as("g"))
+    corpG.join(broadcast(evalG), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("g")).as("n_shared_ngrams"))
+  }
+
   /** Exact word-set Jaccard pairs via distinct-token explode + self-join —
     * integer-only outputs (n_common, n_a, n_b) so jaccard ≥ t is the
     * integer predicate (1+t)·common ≥ t·(n_a+n_b) with rational t.

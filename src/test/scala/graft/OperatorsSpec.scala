@@ -260,4 +260,27 @@ class OperatorsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(viaSql == expected)
   }
+
+  test("decontaminate flags 8-gram overlap with the eval set, including short-doc dups") {
+    val evalSet = Seq(
+      (100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"),
+      (101L, "tiny dup")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // carries eval 100's window e2..e9 — exactly one shared 8-gram
+      (1L, "x1 x2 e2 e3 e4 e5 e6 e7 e8 e9 y1 y2"),
+      (2L, "clean words only nothing shared here at all okay sure"),
+      // sub-8-word exact dup of eval 101: whole-text fallback shingle
+      (3L, "tiny dup")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, evalSet, shingleN = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 3L), "doc 2 is clean and must not flag")
+    assert(out(1L) == ((1L, 1L)), "one eval doc, one shared 8-gram")
+    assert(out(3L) == ((1L, 1L)), "short exact dup flags via whole-text shingle")
+  }
+
+  test("decontaminate broadcasts the eval n-gram side (corpus never shuffles pre-join)") {
+    val plan = Dedup.decontaminate(docs, docs.limit(2), shingleN = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected a broadcast join:\n$plan")
+  }
 }
