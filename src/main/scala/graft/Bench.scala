@@ -13,7 +13,8 @@ import org.apache.spark.sql.SparkSession
   * 6,371 docs/s for an engine that does 110k+, from heap/JIT contamination
   * in one shared default-heap JVM):
   *  - batch queries report best-of-2 (steady state; the second run is
-  *    skipped for queries over 10s — they are already JIT-dominated-free);
+  *    skipped for queries over 60s — long queries are compute-dominated,
+  *    not JIT-dominated, and a repeat would double the bench for noise);
   *  - q13_streaming runs LAST and alone: its memory sink + state store
   *    polluted the heap for whichever queries followed it;
   *  - the KG throughput and both scaling legs each run in a FRESH child
@@ -212,15 +213,20 @@ object Bench {
       val sec = math.min(a, b)
       Some(Leg(cpus.toInt, sec, d, t, d / sec))
     }
-    for (_ <- 1 to 2;
-         r <- runLeg(cpus.toInt, headDocs);
-         if legMax.forall(_.docsPerSec < r.docsPerSec)) legMax = Some(r)
+    // (skip the extra attempts entirely once spawning failed — the
+    // in-JVM fallback above is the measurement, and each doomed spawn
+    // would only add launch noise to the driver-visible output)
+    if (!spawnFailed)
+      for (_ <- 1 to 2;
+           r <- runLeg(cpus.toInt, headDocs);
+           if legMax.forall(_.docsPerSec < r.docsPerSec)) legMax = Some(r)
     // and the floor guard: a headline below the 8-core leg is a contended
     // sample — one more attempt
-    for (m <- legMax; b <- leg4N; if m.docsPerSec < b.docsPerSec) {
-      val retry = runLeg(cpus.toInt, headDocs)
-      for (r <- retry; if r.docsPerSec > m.docsPerSec) legMax = Some(r)
-    }
+    if (!spawnFailed)
+      for (m <- legMax; b <- leg4N; if m.docsPerSec < b.docsPerSec) {
+        val retry = runLeg(cpus.toInt, headDocs)
+        for (r <- retry; if r.docsPerSec > m.docsPerSec) legMax = Some(r)
+      }
     val Leg(_, kgSec, nDocs, nTriples, kgDps) = legMax.get
     val eff = if (bestEff >= 0) Some(bestEff) else None
 

@@ -224,8 +224,10 @@ object Queries {
   /** Benchmark decontamination over the documents table: the eval set is
     * the deterministic doc_id % 5 == 0 slice (standing in for a held-out
     * benchmark suite), the corpus is the rest; any shared word-8-gram
-    * flags the corpus doc. The eval n-gram set rides a broadcast — the
-    * corpus side never shuffles (PlanSpec-asserted). */
+    * (whole-doc containment for sub-8-word docs) flags the corpus doc.
+    * Every eval-derived join side rides a broadcast, so no shuffle join
+    * ever touches corpus rows (OperatorsSpec asserts the plan has no
+    * SortMergeJoin/ShuffledHashJoin). */
   def textDecontam(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
     Dedup.decontaminate(

@@ -346,20 +346,38 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST(sum(((37*tid+17) % $P) * ((61*pos+29) % $P)) AS BIGINT) AS fp
          |FROM t JOIN vocab USING (w) GROUP BY doc_id""".stripMargin,
-    // decontamination: same 8-gram shingling as Dedup.shingles (distinct
-    // per doc, whole-text fallback below 8 words), eval = doc_id % 5 == 0
+    // decontamination, mirroring Dedup.decontaminate branch for branch:
+    // 8-grams both sides for docs ≥ 8 words; sub-8-word docs match by
+    // whole-doc containment (windows generated at exactly the short
+    // lengths present on the other side). eval = doc_id % 5 == 0.
     "text_decontam" ->
-      """WITH d AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
-        | shx AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 8 THEN [text]
-        |   ELSE list_distinct(list_filter(list_transform(ws, (x,i) ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        | ev AS (SELECT doc_id AS eval_id, ws FROM d WHERE doc_id % 5 = 0),
+        | co AS (SELECT doc_id, ws FROM d WHERE doc_id % 5 <> 0),
+        | cog AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
         |     CASE WHEN i+7 <= len(ws) THEN array_to_string(list_slice(ws, i, i+7), ' ') END),
-        |     s -> s IS NOT NULL)) END) AS g FROM d),
-        | ev AS (SELECT doc_id AS eval_id, g FROM shx WHERE doc_id % 5 = 0),
-        | co AS (SELECT doc_id, g FROM shx WHERE doc_id % 5 <> 0)
-        |SELECT co.doc_id, count(DISTINCT ev.eval_id) AS n_eval_docs,
-        |  count(DISTINCT co.g) AS n_shared_ngrams
-        |FROM co JOIN ev ON co.g = ev.g
-        |GROUP BY co.doc_id""".stripMargin,
+        |     s -> s IS NOT NULL))) AS g FROM co WHERE len(ws) >= 8),
+        | evg AS (SELECT eval_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
+        |     CASE WHEN i+7 <= len(ws) THEN array_to_string(list_slice(ws, i, i+7), ' ') END),
+        |     s -> s IS NOT NULL))) AS g FROM ev WHERE len(ws) >= 8),
+        | m1 AS (SELECT doc_id, eval_id, g FROM cog JOIN evg USING (g)),
+        | evs AS (SELECT eval_id, array_to_string(ws,' ') AS g, len(ws) AS l
+        |         FROM ev WHERE len(ws) < 8),
+        | evl AS (SELECT DISTINCT l FROM evs),
+        | cosw AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
+        |     CASE WHEN i+evl.l-1 <= len(ws) THEN array_to_string(list_slice(ws, i, i+evl.l-1), ' ') END),
+        |     s -> s IS NOT NULL))) AS g FROM co CROSS JOIN evl WHERE len(ws) >= evl.l),
+        | m2 AS (SELECT doc_id, eval_id, cosw.g FROM cosw JOIN evs ON cosw.g = evs.g),
+        | co_s AS (SELECT doc_id, array_to_string(ws,' ') AS g FROM co WHERE len(ws) < 8),
+        | co_l AS (SELECT DISTINCT len(ws) AS l FROM co WHERE len(ws) < 8),
+        | evgw AS (SELECT eval_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
+        |     CASE WHEN i+co_l.l-1 <= len(ws) THEN array_to_string(list_slice(ws, i, i+co_l.l-1), ' ') END),
+        |     s -> s IS NOT NULL))) AS g FROM ev CROSS JOIN co_l WHERE len(ws) >= co_l.l),
+        | m3 AS (SELECT doc_id, eval_id, co_s.g FROM co_s JOIN evgw ON co_s.g = evgw.g),
+        | allm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+        |SELECT doc_id, count(DISTINCT eval_id) AS n_eval_docs,
+        |  count(DISTINCT g) AS n_shared_ngrams
+        |FROM allm GROUP BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,

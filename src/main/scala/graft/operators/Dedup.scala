@@ -415,21 +415,58 @@ object Dedup {
     * against held-out benchmarks, n = 8 words by convention). One row per
     * contaminated corpus doc: (doc_id, n_eval_docs, n_shared_ngrams).
     *
+    * Match rule: docs share an n-gram; docs SHORTER than n words match by
+    * whole-doc CONTAINMENT instead — a sub-n eval doc (the common shape
+    * for benchmark answers) flags every corpus doc carrying it verbatim
+    * as a window, and a sub-n corpus doc is flagged when it appears
+    * verbatim inside an eval doc. Matching on n-grams alone would pass
+    * short benchmark entries through unflagged. The containment branches
+    * shingle at exactly the sub-n lengths PRESENT (≤ n−1 distinct values
+    * per side, one tiny broadcast each); gram-string equality implies
+    * equal word counts, so no length tagging is needed across branches.
+    *
     * Scale shape: the eval side is BENCHMARK suites — megabytes against a
-    * 100 TB corpus — so its exploded n-gram set is broadcast and the
-    * corpus side joins map-side with ZERO shuffle of corpus data; the only
-    * shuffle is the final groupBy over the (rare) contaminated doc ids.
-    * A larger eval set degrades gracefully: drop the broadcast hint and
-    * the same plan is a shuffled equi-join on the n-gram. Shingling
-    * reuses `shingles` (distinct per doc, whole-text fallback below n
-    * words — short exact duplicates of an eval doc still flag). */
-  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
-                    shingleN: Int = 8): DataFrame = {
-    val evalG = evalSet.select(col("doc_id").as("eval_id"),
-      explode(shingles(col("text"), shingleN)).as("g"))
-    val corpG = corpus.select(col("doc_id"),
-      explode(shingles(col("text"), shingleN)).as("g"))
-    corpG.join(broadcast(evalG), "g")
+    * 100 TB corpus — so every eval-derived join side rides a broadcast
+    * (`broadcastEval`, default true) and the corpus side joins map-side
+    * with ZERO pre-join shuffle of corpus data (all joins stay broadcast,
+    * spec-asserted); the only shuffle is the final groupBy over the
+    * (rare) contaminated doc ids. For an eval set too large to broadcast,
+    * pass broadcastEval = false and the same plan becomes a shuffled
+    * equi-join on the n-gram. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, shingleN: Int = 8,
+                    broadcastEval: Boolean = true): DataFrame = {
+    val bcast = (df: DataFrame) => if (broadcastEval) broadcast(df) else df
+    def words(df: DataFrame, id: String) =
+      df.select(col("doc_id").as(id), split(col("text"), " ").as("ws"))
+    // distinct windows of (per-row column) length `len` over ws
+    def gramsAt(df: DataFrame, id: String, len: Column) =
+      df.filter(size(col("ws")) >= len)
+        .select(col(id), explode(array_distinct(
+          transform(sequence(lit(1), size(col("ws")) - len + 1),
+            i => concat_ws(" ", slice(col("ws"), i, len))))).as("g"))
+    val cw = words(corpus, "doc_id")
+    val ew = words(evalSet, "eval_id")
+    // standard branch: n-grams both sides
+    val full = gramsAt(cw, "doc_id", lit(shingleN))
+      .join(bcast(gramsAt(ew, "eval_id", lit(shingleN))), "g")
+    // short-eval containment: each sub-n eval doc is one whole-text gram;
+    // the corpus emits windows at the lengths present in that set
+    val evShort = ew.filter(size(col("ws")) < shingleN)
+      .select(col("eval_id"), concat_ws(" ", col("ws")).as("g"),
+        size(col("ws")).as("l"))
+    val evLens = evShort.select(col("l")).distinct()
+    val shortEval = gramsAt(cw.crossJoin(broadcast(evLens)), "doc_id", col("l"))
+      .join(bcast(evShort.select(col("eval_id"), col("g"))), "g")
+    // short-corpus containment: symmetric
+    val coShort = cw.filter(size(col("ws")) < shingleN)
+      .select(col("doc_id"), concat_ws(" ", col("ws")).as("g"))
+    val coLens = cw.filter(size(col("ws")) < shingleN)
+      .select(size(col("ws")).as("l")).distinct()
+    val shortCorp = coShort.join(
+      bcast(gramsAt(ew.crossJoin(broadcast(coLens)), "eval_id", col("l"))), "g")
+    full.select(col("doc_id"), col("eval_id"), col("g"))
+      .unionByName(shortEval.select(col("doc_id"), col("eval_id"), col("g")))
+      .unionByName(shortCorp.select(col("doc_id"), col("eval_id"), col("g")))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
         countDistinct(col("g")).as("n_shared_ngrams"))
@@ -463,30 +500,36 @@ object Dedup {
     // end. Intra-group pairs have J = 1 and always qualify.
     val docSets = docs.select(col("doc_id"),
       array_sort(array_distinct(split(col("text"), " "))).as("ws"))
-    val groups = docSets.groupBy(col("ws"))
-      .agg(min(col("doc_id")).as("set_id"),
-        collect_list(col("doc_id")).as("members"))
+    val groups = docSets.groupBy(col("ws")).agg(min(col("doc_id")).as("set_id"))
     val uniq = groups.select(col("set_id").as("doc_id"), col("ws"))
     val setPairs = prefixVerifiedPairs(uniq, minSharedPct)
-    val mem = groups.select(col("set_id"), explode(col("members")).as("m"))
+    // group membership WITHOUT materializing per-group arrays: a
+    // collect_list of members would put a whole duplicate cluster on ONE
+    // row — a boilerplate text duplicated 10^8 times becomes an ~800 MB
+    // array before any pairing. Joining each doc back to its
+    // representative keeps membership one row per doc; the hot-key join
+    // is a plain equi-join, AQE-skew-splittable.
+    val members = docSets.join(groups, "ws")
+      .select(col("set_id"), col("doc_id").as("m"),
+        size(col("ws")).cast("long").as("n"))
     // inter-group expansion: member cross pairs re-ordered by doc id
     // (n_a/n_b follow their doc through the swap; n_common is symmetric)
     val inter = setPairs
-      .join(mem.select(col("set_id").as("doc_a"), col("m").as("da")), "doc_a")
-      .join(mem.select(col("set_id").as("doc_b"), col("m").as("db")), "doc_b")
+      .join(members.select(col("set_id").as("doc_a"), col("m").as("da")), "doc_a")
+      .join(members.select(col("set_id").as("doc_b"), col("m").as("db")), "doc_b")
       .select(
         least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
         col("n_common"),
         when(col("da") < col("db"), col("n_a")).otherwise(col("n_b")).as("n_a"),
         when(col("da") < col("db"), col("n_b")).otherwise(col("n_a")).as("n_b"))
-    val intra = groups
-      .select(size(col("ws")).cast("long").as("n"),
-        explode(col("members")).as("da"), col("members"))
-      .select(col("n"), col("da"), explode(col("members")).as("db"))
-      .filter(col("da") < col("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        col("n").as("n_common"), col("n").as("n_a"), col("n").as("n_b"))
+    // intra pairs (identical sets, J = 1) via a self-join on the
+    // representative — the pair count is inherent to the operator's
+    // exact-enumeration contract, but no single row ever holds a cluster
+    val intra = members.as("a").join(members.as("b"),
+        col("a.set_id") === col("b.set_id") && col("a.m") < col("b.m"))
+      .select(col("a.m").as("doc_a"), col("b.m").as("doc_b"),
+        col("a.n").as("n_common"), col("a.n").as("n_a"), col("b.n").as("n_b"))
     inter.unionByName(intra)
   }
 

@@ -261,7 +261,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaSql == expected)
   }
 
-  test("decontaminate flags 8-gram overlap with the eval set, including short-doc dups") {
+  test("decontaminate flags 8-gram overlap and whole-doc containment for short docs") {
     val evalSet = Seq(
       (100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"),
       (101L, "tiny dup")).toDF("doc_id", "text")
@@ -269,18 +269,26 @@ class OperatorsSpec extends AnyFunSuite {
       // carries eval 100's window e2..e9 — exactly one shared 8-gram
       (1L, "x1 x2 e2 e3 e4 e5 e6 e7 e8 e9 y1 y2"),
       (2L, "clean words only nothing shared here at all okay sure"),
-      // sub-8-word exact dup of eval 101: whole-text fallback shingle
-      (3L, "tiny dup")).toDF("doc_id", "text")
+      // sub-8-word exact dup of eval 101
+      (3L, "tiny dup"),
+      // short EVAL doc embedded in a long corpus doc — containment branch
+      (4L, "tiny dup plus six more filler words here"),
+      // short CORPUS doc embedded in eval 100 — symmetric containment
+      (5L, "e3 e4 e5")).toDF("doc_id", "text")
     val out = Dedup.decontaminate(corpus, evalSet, shingleN = 8)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(out.keySet == Set(1L, 3L), "doc 2 is clean and must not flag")
+    assert(out.keySet == Set(1L, 3L, 4L, 5L), "doc 2 is clean and must not flag")
     assert(out(1L) == ((1L, 1L)), "one eval doc, one shared 8-gram")
-    assert(out(3L) == ((1L, 1L)), "short exact dup flags via whole-text shingle")
+    assert(out(3L) == ((1L, 1L)), "short exact dup flags")
+    assert(out(4L) == ((1L, 1L)), "short eval doc contained in long corpus doc flags")
+    assert(out(5L) == ((1L, 1L)), "short corpus doc contained in eval doc flags")
   }
 
-  test("decontaminate broadcasts the eval n-gram side (corpus never shuffles pre-join)") {
+  test("decontaminate never shuffle-joins the corpus (every join is broadcast)") {
     val plan = Dedup.decontaminate(docs, docs.limit(2), shingleN = 8)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"expected a broadcast join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus side must never be shuffle-joined:\n$plan")
   }
 }
