@@ -284,6 +284,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 1L)), "short corpus doc contained in eval doc flags")
   }
 
+  /** Naive reference for the decontamination match rule: n-gram overlap
+    * for docs ≥ n words, whole-doc window containment when either side is
+    * shorter. Same distinct-gram-string counting as the operator. */
+  private def naiveDecontam(corpus: Seq[(Long, String)], evalSet: Seq[(Long, String)],
+                            n: Int): Map[Long, (Long, Long)] = {
+    def w(s: String) = s.split(" ", -1).toSeq
+    def windows(ws: Seq[String], l: Int): Set[String] =
+      if (ws.length >= l) ws.sliding(l).map(_.mkString(" ")).toSet else Set.empty
+    corpus.flatMap { case (cid, ct) =>
+      val cws = w(ct)
+      val perEval = evalSet.map { case (eid, et) =>
+        val ews = w(et)
+        var shared = Set.empty[String]
+        if (cws.length >= n && ews.length >= n)
+          shared ++= (windows(cws, n) intersect windows(ews, n))
+        if (ews.length < n && cws.length >= ews.length) {
+          val g = ews.mkString(" ")
+          if (windows(cws, ews.length).contains(g)) shared += g
+        }
+        if (cws.length < n && ews.length >= cws.length) {
+          val g = cws.mkString(" ")
+          if (windows(ews, cws.length).contains(g)) shared += g
+        }
+        (eid, shared)
+      }
+      val hits = perEval.filter(_._2.nonEmpty)
+      if (hits.isEmpty) None
+      else Some(cid -> ((hits.size.toLong, hits.flatMap(_._2).toSet.size.toLong)))
+    }.toMap
+  }
+
+  test("decontaminate equals the naive containment reference on randomized corpora") {
+    val vocab = Vector("a", "b", "c", "d")
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      def mkText() =
+        Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val corpus = (1L to 30L).map(i => (i, mkText()))
+      val evalSet = (101L to 108L).map(i => (i, mkText()))
+      val expected = naiveDecontam(corpus, evalSet, n = 4)
+      val got = Dedup.decontaminate(corpus.toDF("doc_id", "text"),
+          evalSet.toDF("doc_id", "text"), shingleN = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected, s"seed $seed: got $got\nexpected $expected")
+    }
+  }
+
   test("decontaminate never shuffle-joins the corpus (every join is broadcast)") {
     val plan = Dedup.decontaminate(docs, docs.limit(2), shingleN = 8)
       .queryExecution.executedPlan.toString
