@@ -307,6 +307,20 @@ object Queries {
     TextAnalysis.fingerprintsPortable(table(s, dir, "documents"),
       vocabKey = Some(s"$dir#documents#words"))
 
+  /** Deterministic stratified sampling over the documents table: strata
+    * are length bands (short < 50 words), short docs kept at 250‰ and
+    * long at 750‰ — the data-mixing step after dedup + decontamination.
+    * The LCG coin is a pure function of doc_id, so the sample is
+    * identical under reruns, resumes and any repartitioning (unlike
+    * rand(seed)); output carries the coin for oracle verification. */
+  def textSample(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.stratifiedSample(
+      table(s, dir, "documents").select(col("doc_id"), col("text")),
+      idCol = col("doc_id"),
+      stratum = when(size(split(col("text"), " ")) < 50, "short").otherwise("long"),
+      ratesPermille = Seq("short" -> 250, "long" -> 750))
+      .select(col("doc_id"), col("stratum"), col("coin"))
+
   /** Stage the per-corpus artifacts ONCE, outside query timing: the two
     * token-rank vocabularies and the materialized ANN index. These are
     * corpus BUILD products — computed once per corpus and read by many

@@ -67,6 +67,7 @@ object SparkEntry {
     "text_langid" -> (Queries.textLangId _),
     "text_fingerprint" -> (Queries.textFingerprint _),
     "text_decontam" -> (Queries.textDecontam _),
+    "text_sample" -> (Queries.textSample _),
     // KG construction over the driver tables
     "kg_mentions" -> (Queries.kgMentions _),
     "kg_cooccur_pairs" -> (Queries.kgCooccurPairs _),
@@ -346,6 +347,17 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST(sum(((37*tid+17) % $P) * ((61*pos+29) % $P)) AS BIGINT) AS fp
          |FROM t JOIN vocab USING (w) GROUP BY doc_id""".stripMargin,
+    // deterministic stratified sampling: the LCG coin is generated from
+    // the SAME Scala constants the operator uses (Dedup.HashA/B(0))
+    "text_sample" -> {
+      import graft.operators.Dedup.{HashA, HashB}
+      s"""WITH d AS (SELECT doc_id,
+         |   CASE WHEN len(string_split(text,' ')) < 50 THEN 'short' ELSE 'long' END AS stratum,
+         |   ((${HashA(0)}*doc_id + ${HashB(0)}) % $P) % 1000 AS coin
+         | FROM documents)
+         |SELECT doc_id, stratum, coin FROM d
+         |WHERE coin < CASE stratum WHEN 'short' THEN 250 ELSE 750 END""".stripMargin
+    },
     // decontamination, mirroring Dedup.decontaminate branch for branch:
     // 8-grams both sides for docs ≥ 8 words; sub-8-word docs match by
     // whole-doc containment (windows generated at exactly the short

@@ -284,6 +284,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 1L)), "short corpus doc contained in eval doc flags")
   }
 
+  test("stratified sample: exact LCG keep rule, nominal rates, repartition-stable") {
+    import graft.operators.Sampling
+    val ids = 0L until 2000L
+    val df = ids.map(i => (i, if (i % 2 == 0) "a b" else "a b c")).toDF("doc_id", "text")
+    val stratum = when(col("doc_id") % 2 === 0, "even").otherwise("odd")
+    val out = Sampling.stratifiedSample(df, col("doc_id"), stratum,
+      Seq("even" -> 100, "odd" -> 900)).select("doc_id", "stratum", "coin").collect()
+    // exact keep rule vs direct evaluation of the same integer arithmetic
+    val (a, b, p) = (Dedup.HashA(0), Dedup.HashB(0), Dedup.HashP)
+    def coin(i: Long) = ((a * i + b) % p) % 1000
+    val expected = ids.filter(i => coin(i) < (if (i % 2 == 0) 100 else 900)).toSet
+    assert(out.map(_.getLong(0)).toSet == expected)
+    // kept fractions near nominal (the LCG coin is uniform over ids)
+    val evenKept = out.count(_.getString(1) == "even")
+    val oddKept = out.count(_.getString(1) == "odd")
+    assert(math.abs(evenKept - 100) < 40 && math.abs(oddKept - 900) < 40,
+      s"evenKept=$evenKept oddKept=$oddKept")
+    // the sample is a pure function of the row: repartitioning changes nothing
+    // (rand(seed) fails exactly this)
+    val again = Sampling.stratifiedSample(df.repartition(7), col("doc_id"), stratum,
+      Seq("even" -> 100, "odd" -> 900)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == expected)
+  }
+
   /** Naive reference for the decontamination match rule: n-gram overlap
     * for docs ≥ n words, whole-doc window containment when either side is
     * shorter. Same distinct-gram-string counting as the operator. */
