@@ -433,17 +433,22 @@ object Dedup {
     * (rare) contaminated doc ids. For an eval set too large to broadcast,
     * pass broadcastEval = false and the same plan becomes a shuffled
     * equi-join on the n-gram. */
+  /** (id, ws) word-array projection shared by the decontamination forms. */
+  private[graft] def decontamWords(df: DataFrame, id: String): DataFrame =
+    df.select(col("doc_id").as(id), split(col("text"), " ").as("ws"))
+
+  /** Distinct windows of (per-row column) length `len` over `ws` → (id, g). */
+  private[graft] def windowsAt(df: DataFrame, id: String, len: Column): DataFrame =
+    df.filter(size(col("ws")) >= len)
+      .select(col(id), explode(array_distinct(
+        transform(sequence(lit(1), size(col("ws")) - len + 1),
+          i => concat_ws(" ", slice(col("ws"), i, len))))).as("g"))
+
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, shingleN: Int = 8,
                     broadcastEval: Boolean = true): DataFrame = {
     val bcast = (df: DataFrame) => if (broadcastEval) broadcast(df) else df
-    def words(df: DataFrame, id: String) =
-      df.select(col("doc_id").as(id), split(col("text"), " ").as("ws"))
-    // distinct windows of (per-row column) length `len` over ws
-    def gramsAt(df: DataFrame, id: String, len: Column) =
-      df.filter(size(col("ws")) >= len)
-        .select(col(id), explode(array_distinct(
-          transform(sequence(lit(1), size(col("ws")) - len + 1),
-            i => concat_ws(" ", slice(col("ws"), i, len))))).as("g"))
+    val words = decontamWords _
+    val gramsAt = windowsAt _
     val cw = words(corpus, "doc_id")
     val ew = words(evalSet, "eval_id")
     // standard branch: n-grams both sides

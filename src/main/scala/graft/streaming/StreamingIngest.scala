@@ -4,7 +4,7 @@ import graft.core._
 import graft.nlp.AhoCorasick
 import graft.score.RelationScorer
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -114,6 +114,48 @@ object StreamingIngest {
           state.update(seen)
           out.iterator
       }
+  }
+
+  /** Ingestion-time DECONTAMINATION GUARD: emit the doc_ids of streaming
+    * documents that the batch rule ([[graft.operators.Dedup.decontaminate]])
+    * would flag against a STATIC eval/benchmark set — n-gram overlap,
+    * whole-doc containment below n words in both directions. Flag-set
+    * parity with the batch operator is spec-asserted.
+    *
+    * The static side pregenerates eval windows at EVERY sub-n length
+    * (bounded: benchmark suites are tiny, and n−1 extra window passes
+    * over them stay tiny), so a short stream doc's whole text can match
+    * without knowing the stream's lengths in advance; the stream side
+    * emits its n-grams, windows at the short-EVAL lengths (collected once
+    * from the static side), and its own whole text when sub-n. Per batch
+    * the work is ONE stream-static LEFT SEMI join on the gram string —
+    * stateless, no watermark; the dropDuplicates state grows only with
+    * contaminated ids (the rare case by construction). */
+  def decontamStream(docs: DataFrame, evalSet: DataFrame, shingleN: Int = 8)
+      (implicit spark: SparkSession): DataFrame = {
+    import graft.operators.Dedup
+    val ew = Dedup.decontamWords(evalSet, "eval_id")
+    val evalGrams = (shingleN +: (1 until shingleN).toList).map(l =>
+        Dedup.windowsAt(ew, "eval_id", lit(l)).select(col("g")))
+      .reduce(_ unionByName _).distinct().persist()
+    val shortLens = evalSet.select(size(split(col("text"), " ")).as("l"))
+      .filter(col("l") < shingleN).distinct().collect().map(_.getInt(0)).toSeq
+    val ws = split(col("text"), " ")
+    def wins(l: Column) = when(size(ws) >= l,
+        array_distinct(transform(sequence(lit(1), size(ws) - l + 1),
+          i => concat_ws(" ", slice(ws, i, l)))))
+      .otherwise(typedLit(Seq.empty[String]))
+    // a sub-n doc's whole text is its window at its own length; at ≥ n
+    // words this column duplicates the n-gram branch and array_distinct
+    // absorbs it
+    val wholeLen = when(size(ws) < shingleN, size(ws)).otherwise(lit(shingleN))
+    val gramCols = (wins(lit(shingleN)) +: shortLens.map(l => wins(lit(l)))) :+
+      wins(wholeLen)
+    docs.select(col("doc_id"),
+        explode(array_distinct(concat(gramCols: _*))).as("g"))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
   }
 
   /** Streaming session windows: the q14 batch aggregation on streaming
