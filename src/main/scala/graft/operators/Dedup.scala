@@ -409,6 +409,17 @@ object Dedup {
         coalesce(col("canonical_id").cast("long"), col("doc_id")).as("keep_id"))
   }
 
+  /** (id, ws) word-array projection shared by the decontamination forms. */
+  private[graft] def decontamWords(df: DataFrame, id: String): DataFrame =
+    df.select(col("doc_id").as(id), split(col("text"), " ").as("ws"))
+
+  /** Distinct windows of (per-row column) length `len` over `ws` → (id, g). */
+  private[graft] def windowsAt(df: DataFrame, id: String, len: Column): DataFrame =
+    df.filter(size(col("ws")) >= len)
+      .select(col(id), explode(array_distinct(
+        transform(sequence(lit(1), size(col("ws")) - len + 1),
+          i => concat_ws(" ", slice(col("ws"), i, len))))).as("g"))
+
   /** Benchmark DECONTAMINATION: flag corpus documents sharing any word
     * n-gram with an evaluation/benchmark set — the leakage check a
     * training-data pipeline runs before every release (n-gram overlap
@@ -423,7 +434,10 @@ object Dedup {
     * short benchmark entries through unflagged. The containment branches
     * shingle at exactly the sub-n lengths PRESENT (≤ n−1 distinct values
     * per side, one tiny broadcast each); gram-string equality implies
-    * equal word counts, so no length tagging is needed across branches.
+    * equal word counts, so no length tagging is needed across branches —
+    * but note the branches never match window-vs-window at sub-n lengths
+    * (one side is always a whole short doc; an interior bigram shared
+    * with a long eval doc is NOT contamination).
     *
     * Scale shape: the eval side is BENCHMARK suites — megabytes against a
     * 100 TB corpus — so every eval-derived join side rides a broadcast
@@ -433,17 +447,6 @@ object Dedup {
     * (rare) contaminated doc ids. For an eval set too large to broadcast,
     * pass broadcastEval = false and the same plan becomes a shuffled
     * equi-join on the n-gram. */
-  /** (id, ws) word-array projection shared by the decontamination forms. */
-  private[graft] def decontamWords(df: DataFrame, id: String): DataFrame =
-    df.select(col("doc_id").as(id), split(col("text"), " ").as("ws"))
-
-  /** Distinct windows of (per-row column) length `len` over `ws` → (id, g). */
-  private[graft] def windowsAt(df: DataFrame, id: String, len: Column): DataFrame =
-    df.filter(size(col("ws")) >= len)
-      .select(col(id), explode(array_distinct(
-        transform(sequence(lit(1), size(col("ws")) - len + 1),
-          i => concat_ws(" ", slice(col("ws"), i, len))))).as("g"))
-
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, shingleN: Int = 8,
                     broadcastEval: Boolean = true): DataFrame = {
     val bcast = (df: DataFrame) => if (broadcastEval) broadcast(df) else df

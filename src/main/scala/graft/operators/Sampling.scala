@@ -20,6 +20,10 @@ object Sampling {
     * failure — samples a DIFFERENT subset. The LCG coin is a pure
     * function of the row, so reruns, resumes and retries keep exactly
     * the same sample, and any SQL engine reproduces it bit-for-bit.
+    * The coin uses pmod, so it is well-defined for NEGATIVE ids too —
+    * but a plain `%` SQL mirror (like the catalog's generated oracle)
+    * agrees only on non-negative ids; mirror negative-id tables with
+    * `((x % m) + m) % m`.
     *
     * Scale shape: a pure per-row projection + filter — no shuffle, no
     * state; Catalyst pushes the filter toward the scan. Rates are given

@@ -4,7 +4,7 @@ import graft.core._
 import graft.nlp.AhoCorasick
 import graft.score.RelationScorer
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -134,26 +134,33 @@ object StreamingIngest {
   def decontamStream(docs: DataFrame, evalSet: DataFrame, shingleN: Int = 8)
       (implicit spark: SparkSession): DataFrame = {
     import graft.operators.Dedup
+    // grams carry a branch tag so the three batch branches stay separate:
+    // a sub-n window shared with the INTERIOR of a long eval doc is not
+    // contamination, so pooling all windows into one untagged set would
+    // over-flag (stream bigram × eval-doc bigram). Tags mirror the batch
+    // joins exactly: "full" n-gram × n-gram; "swhole" stream windows at a
+    // short-EVAL length × that whole short eval doc; "win" sub-n stream
+    // WHOLE doc × eval windows at its length.
     val ew = Dedup.decontamWords(evalSet, "eval_id")
-    val evalGrams = (shingleN +: (1 until shingleN).toList).map(l =>
-        Dedup.windowsAt(ew, "eval_id", lit(l)).select(col("g")))
-      .reduce(_ unionByName _).distinct().persist()
+    val eFull = Dedup.windowsAt(ew, "eval_id", lit(shingleN))
+      .select(lit("full").as("k"), col("g"))
+    val eSwhole = ew.filter(size(col("ws")) < shingleN)
+      .select(lit("swhole").as("k"), concat_ws(" ", col("ws")).as("g"))
+    val eWin = (1 until shingleN).map(l =>
+      Dedup.windowsAt(ew, "eval_id", lit(l)).select(lit("win").as("k"), col("g")))
+    val evalGrams = (Seq(eFull, eSwhole) ++ eWin).reduce(_ unionByName _).distinct()
     val shortLens = evalSet.select(size(split(col("text"), " ")).as("l"))
       .filter(col("l") < shingleN).distinct().collect().map(_.getInt(0)).toSeq
-    val ws = split(col("text"), " ")
-    def wins(l: Column) = when(size(ws) >= l,
-        array_distinct(transform(sequence(lit(1), size(ws) - l + 1),
-          i => concat_ws(" ", slice(ws, i, l)))))
-      .otherwise(typedLit(Seq.empty[String]))
-    // a sub-n doc's whole text is its window at its own length; at ≥ n
-    // words this column duplicates the n-gram branch and array_distinct
-    // absorbs it
-    val wholeLen = when(size(ws) < shingleN, size(ws)).otherwise(lit(shingleN))
-    val gramCols = (wins(lit(shingleN)) +: shortLens.map(l => wins(lit(l)))) :+
-      wins(wholeLen)
-    docs.select(col("doc_id"),
-        explode(array_distinct(concat(gramCols: _*))).as("g"))
-      .join(evalGrams, Seq("g"), "left_semi")
+    val cw = Dedup.decontamWords(docs, "doc_id")
+    val sFull = Dedup.windowsAt(cw, "doc_id", lit(shingleN))
+      .select(col("doc_id"), lit("full").as("k"), col("g"))
+    val sSwhole = shortLens.map(l =>
+      Dedup.windowsAt(cw, "doc_id", lit(l))
+        .select(col("doc_id"), lit("swhole").as("k"), col("g")))
+    val sWin = cw.filter(size(col("ws")) < shingleN)
+      .select(col("doc_id"), lit("win").as("k"), concat_ws(" ", col("ws")).as("g"))
+    (Seq(sFull) ++ sSwhole ++ Seq(sWin)).reduce(_ unionByName _)
+      .join(evalGrams, Seq("k", "g"), "left_semi")
       .select(col("doc_id"))
       .dropDuplicates("doc_id")
   }

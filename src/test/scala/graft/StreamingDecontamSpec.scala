@@ -22,7 +22,12 @@ class StreamingDecontamSpec extends AnyFunSuite {
       2L -> "clean words only nothing shared here at all okay sure",
       3L -> "tiny dup",                             // short exact dup
       4L -> "tiny dup plus six more filler words here", // short eval inside
-      5L -> "e3 e4 e5")                             // short corpus inside eval
+      5L -> "e3 e4 e5",                             // short corpus inside eval
+      // shares the bigram "e3 e4" with eval 100's INTERIOR — not
+      // contamination under the batch rule (no shared 8-gram, not sub-8,
+      // contains no whole short eval doc); a guard pooling eval windows
+      // untagged would over-flag exactly this doc
+      6L -> "e3 e4 aa bb cc dd ee ff gg hh")
     val input = MemoryStream[(Long, String)]
     val out = StreamingIngest.decontamStream(
       input.toDF().toDF("doc_id", "text"), evalSet)
@@ -39,7 +44,7 @@ class StreamingDecontamSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet
       assert(streamed == batch,
         s"missing=${batch -- streamed} extra=${streamed -- batch}")
-      assert(batch == Set(1L, 3L, 4L, 5L))
+      assert(batch == Set(1L, 3L, 4L, 5L), "doc 6 must NOT flag")
     } finally q.stop()
   }
 }
