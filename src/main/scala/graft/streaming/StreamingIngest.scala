@@ -128,9 +128,9 @@ object StreamingIngest {
     * without knowing the stream's lengths in advance; the stream side
     * emits its n-grams, windows at the short-EVAL lengths (collected once
     * from the static side), and its own whole text when sub-n. Per batch
-    * the work is ONE stream-static LEFT SEMI join on the gram string —
-    * stateless, no watermark; the dropDuplicates state grows only with
-    * contaminated ids (the rare case by construction). */
+    * the work is ONE stream-static LEFT SEMI join on a (branch, gram)
+    * key — stateless, no watermark; the dropDuplicates state grows only
+    * with contaminated ids (the rare case by construction). */
   def decontamStream(docs: DataFrame, evalSet: DataFrame, shingleN: Int = 8)
       (implicit spark: SparkSession): DataFrame = {
     import graft.operators.Dedup
