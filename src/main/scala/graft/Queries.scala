@@ -303,6 +303,9 @@ object Queries {
   def textLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(table(s, dir, "documents")).drop("lang", "source", "n_chars")
 
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(table(s, dir, "documents"))
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprintsPortable(table(s, dir, "documents"),
       vocabKey = Some(s"$dir#documents#words"))

@@ -68,6 +68,7 @@ object SparkEntry {
     "text_fingerprint" -> (Queries.textFingerprint _),
     "text_decontam" -> (Queries.textDecontam _),
     "text_sample" -> (Queries.textSample _),
+    "text_repetition" -> (Queries.textRepetition _),
     // KG construction over the driver tables
     "kg_mentions" -> (Queries.kgMentions _),
     "kg_cooccur_pairs" -> (Queries.kgCooccurPairs _),
@@ -347,6 +348,30 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST(sum(((37*tid+17) % $P) * ((61*pos+29) % $P)) AS BIGINT) AS fp
          |FROM t JOIN vocab USING (w) GROUP BY doc_id""".stripMargin,
+    // intra-doc repetition: totals/distincts are integers; the duplicate
+    // fraction is one per-row IEEE subtract+divide, bit-stable cross-engine
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        | g AS (SELECT doc_id,
+        |   list_filter(list_transform(ws, (x,i) ->
+        |     CASE WHEN i+1 <= len(ws) THEN array_to_string(list_slice(ws, i, i+1), ' ') END),
+        |     s -> s IS NOT NULL) AS bi,
+        |   list_filter(list_transform(ws, (x,i) ->
+        |     CASE WHEN i+2 <= len(ws) THEN array_to_string(list_slice(ws, i, i+2), ' ') END),
+        |     s -> s IS NOT NULL) AS tri
+        |  FROM d)
+        |SELECT doc_id,
+        | CAST(len(bi) AS INTEGER) AS bi_total,
+        | CAST(len(list_distinct(bi)) AS INTEGER) AS bi_distinct,
+        | CASE WHEN len(bi) > 0
+        |   THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(bi)) AS DOUBLE) / CAST(len(bi) AS DOUBLE)
+        |   ELSE 0.0 END AS bi_dup_frac,
+        | CAST(len(tri) AS INTEGER) AS tri_total,
+        | CAST(len(list_distinct(tri)) AS INTEGER) AS tri_distinct,
+        | CASE WHEN len(tri) > 0
+        |   THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE)
+        |   ELSE 0.0 END AS tri_dup_frac
+        |FROM g""".stripMargin,
     // deterministic stratified sampling: the LCG coin is generated from
     // the SAME Scala constants the operator uses (Dedup.HashA/B(0))
     "text_sample" -> {

@@ -67,6 +67,30 @@ object TextAnalysis {
       greatest(size(split(col("text"), " ")),
         ceil(length(col("text")).cast("double") / 4).cast("int")).as("bpe_est"))
 
+  /** Intra-document REPETITION signals (the Gopher-style repetition
+    * quality rules): for n ∈ {2, 3}, the total and distinct word-n-gram
+    * counts and the duplicate fraction 1 − distinct/total. Repetitive
+    * machine-generated or boilerplate text shows high duplicate fractions
+    * where natural prose stays low — the standard cut is a threshold per
+    * n. Pure per-row expressions (one narrow pass, codegen, no shuffle);
+    * the division is a single per-row IEEE op, bit-stable across engines.
+    * Documents shorter than n words have zero windows → fraction 0. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    def wins(n: Int): Column =
+      filter(transform(w, (_, i) =>
+        when(i <= size(w) - n, concat_ws(" ", slice(w, i + lit(1), lit(n))))),
+        c => c.isNotNull)
+    def cols(n: Int, tag: String): Seq[Column] = {
+      val t = size(wins(n))
+      val d = size(array_distinct(wins(n)))
+      Seq(t.as(s"${tag}_total"), d.as(s"${tag}_distinct"),
+        when(t > 0, lit(1.0) - d.cast("double") / t.cast("double"))
+          .otherwise(lit(0.0)).as(s"${tag}_dup_frac"))
+    }
+    docs.select(col("doc_id") +: (cols(2, "bi") ++ cols(3, "tri")): _*)
+  }
+
   /** Polynomial rolling-hash fingerprint of the whole document (custom
     * Catalyst expression with codegen — see graft.functions.RollingHash)
     * plus per-window shingle fingerprints for containment checks. */

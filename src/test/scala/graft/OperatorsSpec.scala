@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, SimSearch}
+import graft.operators.{Dedup, Multimodal, SimSearch, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -282,6 +282,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L)), "short exact dup flags")
     assert(out(4L) == ((1L, 1L)), "short eval doc contained in long corpus doc flags")
     assert(out(5L) == ((1L, 1L)), "short corpus doc contained in eval doc flags")
+  }
+
+  test("repetition: duplicate n-gram fractions match hand-computed values") {
+    val d = Seq((1L, "a b a b c"), (2L, "x"), (3L, "w w w w")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetition(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Int]("bi_total") == 4 && m(1L).getAs[Int]("bi_distinct") == 3)
+    assert(m(1L).getAs[Double]("bi_dup_frac") == 0.25)
+    assert(m(1L).getAs[Int]("tri_total") == 3 &&
+      m(1L).getAs[Double]("tri_dup_frac") == 0.0)
+    assert(m(2L).getAs[Int]("bi_total") == 0 &&
+      m(2L).getAs[Double]("bi_dup_frac") == 0.0, "sub-n doc: zero windows, frac 0")
+    assert(m(3L).getAs[Int]("bi_total") == 3 && m(3L).getAs[Int]("bi_distinct") == 1)
+    assert(m(3L).getAs[Double]("bi_dup_frac") == 1.0 - 1.0 / 3.0)
+    assert(m(3L).getAs[Int]("tri_total") == 2 &&
+      m(3L).getAs[Double]("tri_dup_frac") == 0.5)
   }
 
   test("stratified sample: exact LCG keep rule, nominal rates, repartition-stable") {
