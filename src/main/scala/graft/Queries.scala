@@ -303,6 +303,13 @@ object Queries {
   def textLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(table(s, dir, "documents")).drop("lang", "source", "n_chars")
 
+  /** Sequence packing over the documents table at seqLen = 2048: the
+    * scale-safe two-pass distributed prefix sum (no single-partition
+    * Window — PackingSpec asserts the plan) assigns each doc its stream
+    * offset and training bin. */
+  def textPack(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.packChunked(table(s, dir, "documents"), seqLen = 2048)
+
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(table(s, dir, "documents"))
 

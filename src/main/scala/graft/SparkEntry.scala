@@ -69,6 +69,7 @@ object SparkEntry {
     "text_decontam" -> (Queries.textDecontam _),
     "text_sample" -> (Queries.textSample _),
     "text_repetition" -> (Queries.textRepetition _),
+    "text_pack" -> (Queries.textPack _),
     // KG construction over the driver tables
     "kg_mentions" -> (Queries.kgMentions _),
     "kg_cooccur_pairs" -> (Queries.kgCooccurPairs _),
@@ -348,6 +349,21 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST(sum(((37*tid+17) % $P) * ((61*pos+29) % $P)) AS BIGINT) AS fp
          |FROM t JOIN vocab USING (w) GROUP BY doc_id""".stripMargin,
+    // sequence packing: the oracle uses the window-function form the
+    // engine deliberately avoids (both compute the same exclusive prefix
+    // sum; only the execution differs). DuckDB window sums promote to
+    // HUGEINT -> cast back
+    "text_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+        | c AS (SELECT doc_id, n_tokens,
+        |   CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |     AS start_offset
+        |  FROM d)
+        |SELECT doc_id, n_tokens, start_offset,
+        | CAST(floor(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS bin
+        |FROM c""".stripMargin,
     // intra-doc repetition: totals/distincts are integers; the duplicate
     // fraction is one per-row IEEE subtract+divide, bit-stable cross-engine
     "text_repetition" ->

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence PACKING — the step that turns a curated corpus into training
+  * sequences: documents are laid out in a deterministic order (doc_id)
+  * into a contiguous token stream, and each document is assigned to the
+  * fixed-size training bin its first token lands in (chunked packing:
+  * deterministic, order-preserving, the layout used when sequences are
+  * filled by concatenation with separators).
+  */
+object Packing {
+
+  /** (doc_id, n_tokens, start_offset, bin) for every document, where
+    * start_offset is the EXCLUSIVE prefix sum of token counts in doc_id
+    * order and bin = floor(start_offset / seqLen).
+    *
+    * The textbook formulation is a global running sum —
+    * `sum(n) OVER (ORDER BY doc_id)` — which Spark plans as
+    * Exchange SinglePartition: the entire corpus serializes through ONE
+    * task, the same anti-pattern tokenVocab avoids for ranks. This
+    * implementation is the two-pass distributed scan instead:
+    * range-partition by the order key and sort within partitions (global
+    * order holds for ANY boundary placement, so the result does not
+    * depend on the range sampler), first pass reduces each partition to
+    * one subtotal (collected: one row per partition), exclusive-scan the
+    * subtotals on the driver, broadcast the offsets, second pass emits
+    * local running sums. The only driver data is #partitions longs; no
+    * stage sees more than its partition. The per-partition imperative
+    * scan is the one place the Dataset API genuinely cannot express the
+    * computation without the single-partition Window — the documented
+    * RDD escape hatch. No cache is pinned: both jobs share the sort's
+    * shuffle lineage, so the second pass re-reads its shuffle files
+    * (ShuffleMapStage reuse), not the source. */
+  def packChunked(docs: DataFrame, seqLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val rdd = sized.as[(Long, Long)].rdd
+    val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    rdd.mapPartitionsWithIndex { case (i, it) =>
+      var cum = offsets.value(i)
+      it.map { case (id, n) => val start = cum; cum += n; (id, n, start) }
+    }.toDF("doc_id", "n_tokens", "start_offset")
+      // floor over double is exact below 2^53 tokens — an exabyte-scale
+      // stream before it could bias a bin id
+      .withColumn("bin",
+        floor(col("start_offset").cast("double") / seqLen).cast("long"))
+  }
+}

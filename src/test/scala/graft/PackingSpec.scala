@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequence packing: the two-pass distributed prefix sum must equal the
+  * single-partition window-function formulation it replaces, without ever
+  * planning an Exchange SinglePartition. */
+class PackingSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = (1L to 40L).map(i =>
+    (i, Seq.fill(3 + (i % 7).toInt)("w").mkString(" "))).toDF("doc_id", "text")
+
+  test("two-pass prefix sum equals the window-function form") {
+    val got = Packing.packChunked(docs, seqLen = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin", floor(col("start_offset").cast("double") / 16).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == ref)
+  }
+
+  test("packing never plans a single-partition exchange; the window twin does") {
+    val pack = Packing.packChunked(docs, 16)
+    assert(!pack.queryExecution.executedPlan.toString.contains("SinglePartition"))
+    val twin = docs.withColumn("c",
+      sum(lit(1)).over(Window.orderBy("doc_id")))
+    assert(twin.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "the window formulation must exhibit the anti-pattern packChunked avoids")
+  }
+
+  test("a document straddling a bin boundary belongs to its start bin") {
+    // lengths 5,5,5,5 at seqLen 8: offsets 0,5,10,15 → bins 0,0,1,1
+    // (doc 2 straddles tokens 5..9 across the 8-boundary; it starts in
+    // bin 0, so it packs there)
+    val d = Seq((1L, "a a a a a"), (2L, "a a a a a"),
+      (3L, "a a a a a"), (4L, "a a a a a")).toDF("doc_id", "text")
+    val bins = Packing.packChunked(d, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+}
