@@ -355,7 +355,8 @@ object SparkEntry {
     // HUGEINT -> cast back
     "text_pack" ->
       """WITH d AS (SELECT doc_id,
-        |   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+        |   COALESCE(CAST(len(string_split(text,' ')) AS BIGINT), 0) AS n_tokens
+        |  FROM documents WHERE doc_id IS NOT NULL),
         | c AS (SELECT doc_id, n_tokens,
         |   CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)

@@ -36,18 +36,27 @@ object Packing {
   def packChunked(docs: DataFrame, seqLen: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // null policy, mirrored by the oracle SQL: a null doc_id has no place
+    // in the deterministic order and is dropped; a null text packs as
+    // zero tokens (size(split(null)) is null, not -1, under the non-legacy
+    // default) — without the coalesce the tuple encoder throws on the
+    // first null row
     val sized = docs
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+          .as("n_tokens"))
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
     val rdd = sized.as[(Long, Long)].rdd
     val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
       var s = 0L; it.foreach(s += _._2); Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    // #partitions longs: small enough to ride the task closure — a
+    // Broadcast would leak one registration per call until GC
+    val offsets = partSums.scanLeft(0L)(_ + _)
     rdd.mapPartitionsWithIndex { case (i, it) =>
-      var cum = offsets.value(i)
+      var cum = offsets(i)
       it.map { case (id, n) => val start = cum; cum += n; (id, n, start) }
     }.toDF("doc_id", "n_tokens", "start_offset")
       // floor over double is exact below 2^53 tokens — an exabyte-scale

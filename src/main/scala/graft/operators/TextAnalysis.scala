@@ -81,14 +81,27 @@ object TextAnalysis {
       filter(transform(w, (_, i) =>
         when(i <= size(w) - n, concat_ws(" ", slice(w, i + lit(1), lit(n))))),
         c => c.isNotNull)
-    def cols(n: Int, tag: String): Seq[Column] = {
-      val t = size(wins(n))
-      val d = size(array_distinct(wins(n)))
-      Seq(t.as(s"${tag}_total"), d.as(s"${tag}_distinct"),
-        when(t > 0, lit(1.0) - d.cast("double") / t.cast("double"))
-          .otherwise(lit(0.0)).as(s"${tag}_dup_frac"))
-    }
-    docs.select(col("doc_id") +: (cols(2, "bi") ++ cols(3, "tri")): _*)
+    // STAGED projections: the window arrays are built once, the counts
+    // read the materialized columns, the fractions read the count
+    // columns. Naively inlining everything into one select instantiates
+    // each window-construction expression ~4x per row (HOF trees carry
+    // LambdaVariables, which Spark's subexpression elimination skips);
+    // CollapseProject keeps the stages apart because the aliased arrays
+    // are referenced more than once and are not cheap (plan-asserted in
+    // OperatorsSpec: the optimized plan builds each array exactly once).
+    def counts(tag: String): Seq[Column] = Seq(
+      size(col(tag)).as(s"${tag}_total"),
+      size(array_distinct(col(tag))).as(s"${tag}_distinct"))
+    def frac(tag: String): Column =
+      when(col(s"${tag}_total") > 0,
+        lit(1.0) - col(s"${tag}_distinct").cast("double") /
+          col(s"${tag}_total").cast("double"))
+        .otherwise(lit(0.0)).as(s"${tag}_dup_frac")
+    docs.select(col("doc_id"), wins(2).as("bi"), wins(3).as("tri"))
+      .select(col("doc_id") +: (counts("bi") ++ counts("tri")): _*)
+      .select(col("doc_id"),
+        col("bi_total"), col("bi_distinct"), frac("bi"),
+        col("tri_total"), col("tri_distinct"), frac("tri"))
   }
 
   /** Polynomial rolling-hash fingerprint of the whole document (custom

@@ -297,6 +297,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(3L).getAs[Double]("bi_dup_frac") == 1.0 - 1.0 / 3.0)
     assert(m(3L).getAs[Int]("tri_total") == 2 &&
       m(3L).getAs[Double]("tri_dup_frac") == 0.5)
+    // each window array must be BUILT once (staged projections): a
+    // collapsed plan would instantiate the transform+concat_ws tree ~4x
+    // per n (HOF trees escape subexpression elimination). repartition
+    // blocks ConvertToLocalRelation from pre-evaluating the projections.
+    val plan = TextAnalysis.repetition(d.repartition(2))
+      .queryExecution.optimizedPlan.toString
+    val nBuilds = "concat_ws".r.findAllIn(plan).size
+    assert(nBuilds == 2, s"expected 2 window-array builds, found $nBuilds:\n$plan")
   }
 
   test("stratified sample: exact LCG keep rule, nominal rates, repartition-stable") {
