@@ -282,6 +282,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L)), "short exact dup flags")
     assert(out(4L) == ((1L, 1L)), "short eval doc contained in long corpus doc flags")
     assert(out(5L) == ((1L, 1L)), "short corpus doc contained in eval doc flags")
+    // the shuffled-join fallback for oversized eval sets is semantically
+    // identical — only the physical join strategy changes
+    val unhinted = Dedup.decontaminate(corpus, evalSet, shingleN = 8,
+        broadcastEval = false)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(unhinted == out)
   }
 
   test("repetition: duplicate n-gram fractions match hand-computed values") {
@@ -329,6 +335,12 @@ class OperatorsSpec extends AnyFunSuite {
     val again = Sampling.stratifiedSample(df.repartition(7), col("doc_id"), stratum,
       Seq("even" -> 100, "odd" -> 900)).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == expected)
+    // a stratum with no listed rate keeps everything (defaultPermille 1000)
+    val defaulted = Sampling.stratifiedSample(df, col("doc_id"), stratum,
+      Seq("even" -> 100)).select("doc_id", "stratum", "coin").collect()
+    assert(defaulted.count(_.getString(1) == "odd") == 1000,
+      "unlisted stratum must fall back to keep-all")
+    assert(defaulted.count(_.getString(1) == "even") == evenKept)
   }
 
   /** Naive reference for the decontamination match rule: n-gram overlap

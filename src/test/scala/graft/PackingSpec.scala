@@ -38,6 +38,17 @@ class PackingSpec extends AnyFunSuite {
       "the window formulation must exhibit the anti-pattern packChunked avoids")
   }
 
+  test("null policy: null text packs as zero tokens, null doc_id rows drop") {
+    val d = Seq(
+      (Option(1L), Option("a b c")),
+      (Option(2L), Option.empty[String]),  // null text → 0 tokens
+      (Option.empty[Long], Option("x y")), // null id → dropped
+      (Option(3L), Option("d e"))).toDF("doc_id", "text")
+    val rows = Packing.packChunked(d, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map(1L -> ((3L, 0L)), 2L -> ((0L, 3L)), 3L -> ((2L, 3L))))
+  }
+
   test("a document straddling a bin boundary belongs to its start bin") {
     // lengths 5,5,5,5 at seqLen 8: offsets 0,5,10,15 → bins 0,0,1,1
     // (doc 2 straddles tokens 5..9 across the 8-boundary; it starts in
