@@ -130,9 +130,13 @@ object Bench {
     // stage per-corpus artifacts outside timing (the same policy as
     // stageCorpus' parquet staging): token-rank vocabularies + the
     // materialized ANN index are corpus build products shared by many
-    // queries, not per-query work
+    // queries, not per-query work. The staging cost is itself measured
+    // and reported (staging_sec) so the work moved off the per-query
+    // clock stays visible in the artifact.
+    val stagingT0 = System.nanoTime()
     try Queries.stageCorpusArtifacts(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] staging: $e") }
+    val stagingSec = (System.nanoTime() - stagingT0) / 1e9
 
     // q13_streaming isolated at the end; everything else best-of-2
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -158,7 +162,10 @@ object Bench {
     // just under the 0.8 gate; doubling the leg corpus halves the
     // fixed-overhead share of each run, which is what the marginal points
     // were). The headline stays at 1.6M docs, comparable across rounds.
-    val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "800000").toInt
+    // 1.2M docs per scaling leg (r3 ran 800k and recorded 0.802 — one
+    // contended sample from the 0.8 gate; a bigger leg further shrinks
+    // the fixed-overhead share, the marginal points' main cost)
+    val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "1200000").toInt
     // headline follows the leg knob (2× → the 1.6M default), so one env
     // var still scales the WHOLE bench down for a smoke run
     val headDocs = sys.env.getOrElse("SPARK_GRAFT_KG_HEADLINE_DOCS",
@@ -170,35 +177,45 @@ object Bench {
     // efficiency 0.25 for an engine whose uncontended curve is 0.80-0.83).
     // Each configuration keeps its MAX throughput across attempts (the
     // round-1 peak-throughput-per-configuration protocol, automated here
-    // so it holds under driver conditions), and both legs ALWAYS get the
-    // SAME number of attempts: a ratio-dependent early stop biases the
-    // efficiency either way — stopping while only the denominator leg was
-    // contended overstates it, the reverse understates it (both modes
-    // were observed). Two rounds each, plus ONE symmetric extra round when
-    // the ratio lands outside the plausible (0.8, 1.0] band.
+    // so it holds under driver conditions). The attempt count is FIXED at
+    // three pairs, UNCONDITIONALLY: any resampling conditioned on the
+    // ratio — even a symmetric band — is optional stopping and biases the
+    // reported efficiency; three pairs is what the old worst case ran, so
+    // every run now pays it and EVERY attempt is reported in the JSON
+    // (attempts_n / attempts_4n + the median-of-attempts ratio) so a
+    // marginal peak is distinguishable from a solid one.
     var legN: Option[Leg] = None
     var leg4N: Option[Leg] = None
-    def effNow: Option[Double] =
-      for (a <- legN; b <- leg4N) yield b.docsPerSec / (4.0 * a.docsPerSec)
+    val attemptsN = scala.collection.mutable.Buffer.empty[Double]
+    val attempts4N = scala.collection.mutable.Buffer.empty[Double]
     var spawnFailed = false
     def attemptPair(): Unit = {
       runLeg(2, kgDocs) match {
-        case Some(a) => if (legN.forall(_.docsPerSec < a.docsPerSec)) legN = Some(a)
+        case Some(a) =>
+          attemptsN += a.docsPerSec
+          if (legN.forall(_.docsPerSec < a.docsPerSec)) legN = Some(a)
         case None => spawnFailed = true
       }
       runLeg(8, kgDocs) match {
-        case Some(b) => if (leg4N.forall(_.docsPerSec < b.docsPerSec)) leg4N = Some(b)
+        case Some(b) =>
+          attempts4N += b.docsPerSec
+          if (leg4N.forall(_.docsPerSec < b.docsPerSec)) leg4N = Some(b)
         case None => spawnFailed = true
       }
     }
     attemptPair()
     if (!spawnFailed) attemptPair()
-    if (!spawnFailed && effNow.forall(e => e < 0.8 || e > 1.0)) attemptPair()
-    // one more symmetric round ONLY in the marginal band [0.7, 0.8): a
-    // ratio just under the gate is the signature of one contended sample
-    // surviving peak-of-legs; far-off ratios are real and retries stop
-    if (!spawnFailed && effNow.exists(e => e >= 0.7 && e < 0.8)) attemptPair()
-    val bestEff = effNow.getOrElse(-1.0)
+    if (!spawnFailed) attemptPair()
+    val bestEff = (for (a <- legN; b <- leg4N)
+      yield b.docsPerSec / (4.0 * a.docsPerSec)).getOrElse(-1.0)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n == 0) -1.0 else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val medianEff =
+      if (attemptsN.nonEmpty && attempts4N.nonEmpty)
+        median(attempts4N.toSeq) / (4.0 * median(attemptsN.toSeq))
+      else -1.0
     // headline: THREE child-JVM attempts, keep the peak — the same
     // peak-of-legs defense the scaling legs use (one measured box-state
     // swing put single-attempt headlines anywhere in 190k-315k docs/s,
@@ -237,13 +254,16 @@ object Bench {
       case (Some(a), Some(b)) =>
         s""","scaling":{"cores_n":${a.cpus},"cores_4n":${b.cpus},""" +
           s""""docs_per_sec_n":${a.docsPerSec},"docs_per_sec_4n":${b.docsPerSec},""" +
-          s""""efficiency":${eff.get}}"""
+          s""""efficiency":${eff.get},"efficiency_median":$medianEff,""" +
+          s""""attempts_n":${attemptsN.mkString("[", ",", "]")},""" +
+          s""""attempts_4n":${attempts4N.mkString("[", ",", "]")}}"""
       case _ => ""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""staging_sec":$stagingSec,""" +
       s""""kg_docs":$nDocs,"kg_triples":$nTriples,"kg_sec":$kgSec,""" +
       s""""kg_docs_per_sec":$kgDps,"kg_triples_per_sec":${nTriples / kgSec},""" +
-      s""""protocol":"best-of-2 per query; streaming isolated last; kg headline peak-of-3 + scaling legs in fresh per-leg JVMs"""" +
+      s""""protocol":"best-of-2 per query; streaming isolated last; kg headline peak-of-3 + scaling legs (3 unconditional attempt pairs, all reported) in fresh per-leg JVMs; staging timed separately"""" +
       scaling + s""","cpus":"$cpus","sf":"$sfDir"}""")
     graft.operators.Dedup.clearVocabCache()
     graft.sources.AnnIndex.clearHandles()

@@ -221,6 +221,18 @@ object Queries {
     Dedup.keepList(table(s, dir, "documents"), minSharedPct = 80,
       vocabKey = Some(s"$dir#documents#sh3"))
 
+  /** Keep-list with the SEMANTIC edge source unioned in: embedding-space
+    * cosine near-dup pairs (vec_id ≡ doc_id on the testdata tables) join
+    * the exact + lexical-LSH edges before the transitive closure — the
+    * full three-edge-source dedup deliverable. The cosine threshold is the
+    * same integer cross-multiply as dedup_embedding_cosine, so the oracle
+    * stays bit-exact end to end. */
+  def dedupKeepListSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepList(table(s, dir, "documents"), minSharedPct = 80,
+      vocabKey = Some(s"$dir#documents#sh3"),
+      semanticPairs = Some(SimSearch.quantizedCosinePairs(
+        table(s, dir, "embeddings"), tauNum = 9L, tauDen = 400L)))
+
   /** Benchmark decontamination over the documents table: the eval set is
     * the deterministic doc_id % 5 == 0 slice (standing in for a held-out
     * benchmark suite), the corpus is the rest; any shared word-8-gram
@@ -310,8 +322,18 @@ object Queries {
   def textPack(s: SparkSession, dir: String): DataFrame =
     operators.Packing.packChunked(table(s, dir, "documents"), seqLen = 2048)
 
+  /** Per-chunk packing rows at the same seqLen: every (doc, bin) slice
+    * with its offset inside the bin — the fully-enumerable training
+    * layout (docs crossing bin boundaries emit one row per bin). */
+  def textPackChunks(s: SparkSession, dir: String): DataFrame =
+    operators.Packing.packChunks(table(s, dir, "documents"), seqLen = 2048)
+
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(table(s, dir, "documents"))
+
+  /** The full Gopher quality rule set over the documents table. */
+  def textGopher(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherQuality(table(s, dir, "documents"))
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprintsPortable(table(s, dir, "documents"),

@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_lsh_verified" -> (Queries.dedupLshVerified _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_keep_list" -> (Queries.dedupKeepList _),
+    "dedup_keep_list_semantic" -> (Queries.dedupKeepListSemantic _),
     "dedup_embedding_grid" -> (Queries.dedupEmbeddingGrid _),
     "dedup_embedding_cosine" -> (Queries.dedupEmbeddingCosine _),
     // similarity search
@@ -70,6 +71,8 @@ object SparkEntry {
     "text_sample" -> (Queries.textSample _),
     "text_repetition" -> (Queries.textRepetition _),
     "text_pack" -> (Queries.textPack _),
+    "text_pack_chunks" -> (Queries.textPackChunks _),
+    "text_gopher" -> (Queries.textGopher _),
     // KG construction over the driver tables
     "kg_mentions" -> (Queries.kgMentions _),
     "kg_cooccur_pairs" -> (Queries.kgCooccurPairs _),
@@ -155,6 +158,50 @@ object SparkEntry {
        |FROM keyed a JOIN keyed b
        |  ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+  }
+
+  /** The keep-list closure SQL: exact-dup edges ∪ verified near-dup pairs
+    * (∪ the semantic cosine-pair edges when `withSemantic`), closed
+    * transitively by a recursive min-label CTE (== the engine's connected
+    * components; numeric min == the %020d-padded string min for
+    * non-negative ids). The semantic edge CTEs are the
+    * dedup_embedding_cosine construction verbatim (integer cross-multiply
+    * threshold), renamed s* to avoid CTE-name clashes. */
+  private def keepListSql(withSemantic: Boolean): String = {
+    val semCtes = if (!withSemantic) "" else
+      "," + quantVCte.stripPrefix("WITH") + "," + planeWgtCte(6) +
+        """,
+          | sdots AS (SELECT v.vec_id, w.b, sum(v.qx*w.wgt) AS d
+          |          FROM v JOIN w ON v.i = w.i GROUP BY 1, 2),
+          | sbuck AS (SELECT vec_id,
+          |     CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+          |   FROM sdots GROUP BY 1),
+          | spairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          |   FROM sbuck a JOIN sbuck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          | sdotp AS (SELECT vec_a, vec_b, CAST(sum(x.qx*y.qx) AS BIGINT) AS qdot
+          |   FROM spairs JOIN v x ON x.vec_id = vec_a
+          |   JOIN v y ON y.vec_id = vec_b AND y.i = x.i
+          |   GROUP BY 1, 2),
+          | snorms AS (SELECT vec_id, CAST(sum(qx*qx) AS BIGINT) AS n FROM v GROUP BY 1),
+          | sem AS (SELECT vec_a AS a, vec_b AS b FROM sdotp
+          |   JOIN snorms na ON vec_a = na.vec_id
+          |   JOIN snorms nb ON vec_b = nb.vec_id
+          |   WHERE qdot > 0 AND 400*qdot*qdot >= 9*na.n*nb.n)""".stripMargin
+    val semUnion = if (withSemantic) " UNION SELECT a, b FROM sem" else ""
+    "WITH RECURSIVE" + lshVerifiedCtes.stripPrefix("WITH") + semCtes +
+      s""",
+         | exg AS (SELECT md5(text) AS h, min(doc_id) AS m FROM documents GROUP BY 1),
+         | ex AS (SELECT d.doc_id AS a, g.m AS b FROM documents d
+         |        JOIN exg g ON md5(d.text) = g.h WHERE d.doc_id <> g.m),
+         | ed AS (SELECT a, b FROM ex UNION
+         |        SELECT doc_a AS a, doc_b AS b FROM verif$semUnion),
+         | sym AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+         | lp AS (SELECT DISTINCT a AS doc, a AS label FROM sym
+         |        UNION
+         |        SELECT s.b AS doc, lp.label FROM lp JOIN sym s ON s.a = lp.doc),
+         | comp AS (SELECT doc, min(label) AS keep FROM lp GROUP BY doc)
+         |SELECT d.doc_id, CAST(coalesce(c.keep, d.doc_id) AS BIGINT) AS keep_id
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc""".stripMargin
   }
 
   /** Quantized (×1000 floor, BIGINT) per-dimension embedding CTE `v`. */
@@ -275,21 +322,9 @@ object SparkEntry {
     // near-dup pairs, closed transitively (recursive min-label
     // propagation == the engine's connected components; numeric min ==
     // the engine's %020d-padded string min for non-negative ids)
-    "dedup_keep_list" ->
-      ("WITH RECURSIVE" + lshVerifiedCtes.stripPrefix("WITH") +
-        """,
-          | exg AS (SELECT md5(text) AS h, min(doc_id) AS m FROM documents GROUP BY 1),
-          | ex AS (SELECT d.doc_id AS a, g.m AS b FROM documents d
-          |        JOIN exg g ON md5(d.text) = g.h WHERE d.doc_id <> g.m),
-          | ed AS (SELECT a, b FROM ex UNION
-          |        SELECT doc_a AS a, doc_b AS b FROM verif),
-          | sym AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
-          | lp AS (SELECT DISTINCT a AS doc, a AS label FROM sym
-          |        UNION
-          |        SELECT s.b AS doc, lp.label FROM lp JOIN sym s ON s.a = lp.doc),
-          | comp AS (SELECT doc, min(label) AS keep FROM lp GROUP BY doc)
-          |SELECT d.doc_id, CAST(coalesce(c.keep, d.doc_id) AS BIGINT) AS keep_id
-          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc""".stripMargin),
+    "dedup_keep_list" -> keepListSql(withSemantic = false),
+    // the three-edge-source variant: + embedding cosine near-dup edges
+    "dedup_keep_list_semantic" -> keepListSql(withSemantic = true),
     "dedup_simhash" -> simhashSqlGen,
     "dedup_embedding_cosine" ->
       (quantVCte + "," + planeWgtCte(6) +
@@ -364,6 +399,63 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, n_tokens, start_offset,
         | CAST(floor(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS bin
+        |FROM c""".stripMargin,
+    // per-chunk packing: same prefix sum, then one row per bin spanned
+    // ([start/L .. (start+n-1)/L]) via a range() unnest; slice bounds are
+    // pure integer min/max arithmetic. Zero-token docs emit no chunks.
+    "text_pack_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |   COALESCE(CAST(len(string_split(text,' ')) AS BIGINT), 0) AS n_tokens
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        | c AS (SELECT doc_id, n_tokens,
+        |   CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |     AS start_offset
+        |  FROM d),
+        | ch AS (SELECT doc_id, start_offset, n_tokens,
+        |   unnest(range(CAST(floor(CAST(start_offset AS DOUBLE)/2048) AS BIGINT),
+        |     CAST(floor(CAST(start_offset + n_tokens - 1 AS DOUBLE)/2048) AS BIGINT) + 1)) AS bin
+        |  FROM c WHERE n_tokens > 0)
+        |SELECT doc_id, bin,
+        | CAST(greatest(start_offset, bin*2048) - bin*2048 AS BIGINT) AS offset_in_bin,
+        | CAST(least(start_offset + n_tokens, (bin+1)*2048)
+        |      - greatest(start_offset, bin*2048) AS BIGINT) AS n_tokens
+        |FROM ch""".stripMargin,
+    // Gopher quality rules: integer counts + single per-row IEEE divisions
+    // (identical operands both engines → bit-identical doubles); the '...'
+    // symbol count divides an exact multiple of 3, so the / is exact
+    "text_gopher" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text,' ') AS ws,
+        |   string_split(text, chr(10)) AS ls FROM documents),
+        | c AS (SELECT doc_id,
+        |   CAST(len(ws) AS INTEGER) AS n_words,
+        |   CAST(list_sum(list_transform(ws, x -> length(x))) AS INTEGER) AS n_word_chars,
+        |   CAST((length(text) - length(replace(text,'#','')))
+        |     + (length(text) - length(replace(text,'...','')))/3 AS INTEGER) AS n_symbols,
+        |   CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS INTEGER) AS n_alpha_words,
+        |   CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |     s -> list_contains(ws, s))) AS INTEGER) AS n_stop_hits,
+        |   CAST(len(ls) AS INTEGER) AS n_lines,
+        |   CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'))
+        |     AS INTEGER) AS n_bullet_lines,
+        |   CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))
+        |     AS INTEGER) AS n_ellipsis_lines
+        |  FROM d)
+        |SELECT doc_id, n_words, n_symbols, n_alpha_words, n_stop_hits,
+        | n_lines, n_bullet_lines, n_ellipsis_lines,
+        | CAST(n_word_chars AS DOUBLE)/n_words AS mean_word_len,
+        | CAST(n_symbols AS DOUBLE)/n_words AS symbol_word_ratio,
+        | CAST(n_alpha_words AS DOUBLE)/n_words AS frac_alpha_words,
+        | CAST(n_bullet_lines AS DOUBLE)/n_lines AS frac_bullet_lines,
+        | CAST(n_ellipsis_lines AS DOUBLE)/n_lines AS frac_ellipsis_lines,
+        | CAST(n_words >= 50 AND n_words <= 100000
+        |   AND CAST(n_word_chars AS DOUBLE)/n_words >= 3.0
+        |   AND CAST(n_word_chars AS DOUBLE)/n_words <= 10.0
+        |   AND CAST(n_symbols AS DOUBLE)/n_words <= 0.1
+        |   AND CAST(n_bullet_lines AS DOUBLE)/n_lines < 0.9
+        |   AND CAST(n_ellipsis_lines AS DOUBLE)/n_lines < 0.3
+        |   AND CAST(n_alpha_words AS DOUBLE)/n_words >= 0.8
+        |   AND n_stop_hits >= 2 AS INTEGER) AS passes_gopher
         |FROM c""".stripMargin,
     // intra-doc repetition: totals/distincts are integers; the duplicate
     // fraction is one per-row IEEE subtract+divide, bit-stable cross-engine

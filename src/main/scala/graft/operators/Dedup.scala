@@ -114,7 +114,16 @@ object Dedup {
     * flows). Hashes are bound once per word via a transform() before the
     * vote fold; the vote struct and the bit combine live in separate
     * projections so the non-cheap aggregate is never duplicated. Parity
-    * with the batch operator is spec-asserted. */
+    * with the batch operator is spec-asserted.
+    *
+    * Null-text parity: the batch `simhashes` DROPS wordless docs (explode
+    * of a null array emits nothing), but the when/otherwise vote fold
+    * would turn a null vote struct into all-zero bits — sh = 0 — letting
+    * null-text rows enter downstream bucket state and emit bogus
+    * candidate pairs. Null text therefore yields a NULL sh here, and
+    * stream consumers filter it (nearDupCandidatesStream does), keeping
+    * the streaming candidate set equal to the batch operator's on ALL
+    * inputs. */
   def withSimhash(df: DataFrame, textCol: String = "text",
                   out: String = "sh"): DataFrame = {
     val hashes = transform(array_distinct(split(col(textCol), " ")),
@@ -126,10 +135,11 @@ object Dedup {
           when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
             .otherwise(-1L)).as(s"b$i")): _*))
     df.withColumn("graft_votes", votes)
-      .withColumn(out, (0 until 64).map(i =>
-        when(col("graft_votes").getField(s"b$i") > 0, shiftleft(lit(1L), i))
-          .otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)))
+      .withColumn(out, when(col(textCol).isNull, lit(null).cast("long"))
+        .otherwise((0 until 64).map(i =>
+          when(col("graft_votes").getField(s"b$i") > 0, shiftleft(lit(1L), i))
+            .otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b))))
       .drop("graft_votes")
   }
 
@@ -253,14 +263,23 @@ object Dedup {
     * the uncached single-shot path and identical semantics: the cached
     * DataFrame is bit-identical to a recomputation (tokenVocab is
     * deterministic). */
-  private val vocabCache = TrieMap.empty[(Int, String), DataFrame]
+  private val vocabCache = TrieMap.empty[(String, String), DataFrame]
+
+  /** Guaranteed-unique session cache key: the classic session's UUID.
+    * identityHashCode is NOT unique — after a stopped session is GC'd a
+    * new session can collide with the stale entry and receive a persisted
+    * plan bound to the dead session. */
+  private[graft] def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    org.apache.spark.sql.GraftSqlBridge.sessionUUID(s).getOrElse(
+      // non-classic impls: app id + identity as a best effort
+      s.sparkContext.applicationId + "#" + System.identityHashCode(s))
 
   def tokenVocabCached(sh: DataFrame, key: Option[String]): DataFrame =
     key match {
       case None => tokenVocab(sh)
       case Some(k) =>
         vocabCache.getOrElseUpdate(
-          (System.identityHashCode(sh.sparkSession), k), {
+          (sessionKey(sh.sparkSession), k), {
             val v = tokenVocab(sh).persist(StorageLevel.MEMORY_AND_DISK)
             v.count() // materialize now so every consumer reads the cache
             v
@@ -385,20 +404,23 @@ object Dedup {
     * for non-negative ids (the DuckDB oracle mirrors with numeric min +
     * a recursive label-propagation CTE). */
   def keepList(docs: DataFrame, minSharedPct: Int = 80,
-               vocabKey: Option[String] = None): DataFrame = {
+               vocabKey: Option[String] = None,
+               semanticPairs: Option[DataFrame] = None): DataFrame = {
     implicit val spark: org.apache.spark.sql.SparkSession = docs.sparkSession
     import spark.implicits._
     val pad = (c: Column) => format_string("%020d", c)
-    val exactEdges = docs
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .withColumn("m", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .filter(col("doc_id") =!= col("m"))
-      .select(col("doc_id").as("a"), col("m").as("b"))
+    val exactEdges = exactDupEdges(docs)
     val nearEdges = lshVerifiedDupsPortable(docs, minSharedPct = minSharedPct,
         vocabKey = vocabKey)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val edges = exactEdges.unionByName(nearEdges)
+    // optional third edge source: SEMANTIC near-dups from embedding-space
+    // cosine pairs (vec_id ≡ doc_id, e.g. SimSearch.quantizedCosinePairs
+    // output) — text-level LSH misses paraphrase duplicates that share
+    // almost no surface n-grams; a modern dedup deliverable unions exact,
+    // lexical and semantic edges before closing the clusters.
+    val semEdges = semanticPairs.map(_
+      .select(col("vec_a").as("a"), col("vec_b").as("b")))
+    val edges = semEdges.foldLeft(exactEdges.unionByName(nearEdges))(_ unionByName _)
       .select(pad(col("a")).as("src"), pad(col("b")).as("dst"))
       .as[graft.core.EquivEdge]
     val canon = graft.canon.ConnectedComponents.canonicalizeAuto(edges)
@@ -407,6 +429,22 @@ object Dedup {
       .join(canon, pad(col("doc_id")) === col("padded"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical_id").cast("long"), col("doc_id")).as("keep_id"))
+  }
+
+  /** Exact-duplicate edges (doc → its group's min doc_id): per-group min
+    * via groupBy + an equi-join back. NOT min-over-Window.partitionBy(hash):
+    * a window partition is one task, so a boilerplate text duplicated 10^8
+    * times would serialize (and buffer, in WindowExec) through a single
+    * straggler. The groupBy min combines map-side and the membership join
+    * is a plain equi-join — AQE-skew-splittable, the same hot-group-safe
+    * pattern as ngramJaccardPairsPrefix's representative join. Plan shape
+    * (no Window anywhere) is spec-asserted. */
+  private[graft] def exactDupEdges(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val reps = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("m"))
+    hashed.join(reps, "h")
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("a"), col("m").as("b"))
   }
 
   /** (id, ws) word-array projection shared by the decontamination forms. */
@@ -480,11 +518,6 @@ object Dedup {
         countDistinct(col("g")).as("n_shared_ngrams"))
   }
 
-  /** Exact word-set Jaccard pairs via distinct-token explode + self-join —
-    * integer-only outputs (n_common, n_a, n_b) so jaccard ≥ t is the
-    * integer predicate (1+t)·common ≥ t·(n_a+n_b) with rational t.
-    * At scale this runs on LSH candidates, not all pairs; the standalone
-    * form below blocks on a cheap length band to bound the join. */
   /** EXACT word-set Jaccard pairs via PREFIX FILTERING — the published
     * exact similarity self-join (Chaudhuri/Ganti/Kaushik SSJoin ICDE'06;
     * Xiao et al. PPJoin WWW'08): under ANY global token order,

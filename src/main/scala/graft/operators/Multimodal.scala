@@ -42,6 +42,72 @@ object Multimodal {
       }
   }
 
+  /** REAL header decode for the two ubiquitous public image formats —
+    * enough to make width/height honest without media libraries:
+    *
+    *  - PNG (public spec, RFC 2083 / W3C): 8-byte signature
+    *    89 50 4E 47 0D 0A 1A 0A, then chunks; the FIRST chunk must be
+    *    IHDR, whose payload starts at byte 16 with width and height as
+    *    big-endian uint32.
+    *  - JPEG (ITU T.81): starts FF D8 (SOI); markers FF xx follow, each
+    *    non-standalone marker carrying a big-endian length. The frame
+    *    header SOFn (FF C0-CF except C4/C8/CC) carries height at payload
+    *    offset 3-4 and width at 5-6, big-endian uint16.
+    *
+    * Payloads that are neither fall back to the deterministic
+    * FakeDecoder features (the synthetic-catalog oracle path). */
+  object HeaderDecoder extends Serializable {
+    private val pngSig =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private def be32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+    private def be16(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+    /** (width, height) from a PNG or JPEG header; None for anything else. */
+    def decodeDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length >= 24 && b.take(8).sameElements(pngSig) &&
+          new String(b.slice(12, 16), "US-ASCII") == "IHDR")
+        Some((be32(b, 16).toInt, be32(b, 20).toInt))
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8) {
+        // walk the marker stream to the first SOFn frame header
+        var i = 2
+        while (i + 3 < b.length) {
+          if ((b(i) & 0xff) != 0xFF) return None // desync — not a marker
+          val m = b(i + 1) & 0xff
+          if (m == 0xFF) i += 1 // fill bytes before a marker are legal
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2 // standalone
+          else {
+            val len = be16(b, i + 2)
+            if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+              if (i + 8 < b.length) return Some((be16(b, i + 7), be16(b, i + 5)))
+              return None
+            }
+            if (len < 2) return None
+            i += 2 + len
+          }
+        }
+        None
+      } else None
+    }
+
+    /** Batched decode with the same contract as FakeDecoder: real
+      * dimensions when the payload parses as PNG/JPEG, deterministic
+      * fake features otherwise. */
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        decodeDims(r.media_bytes) match {
+          case Some((w, h)) =>
+            val fake = FakeDecoder.decodeBatch(Iterator(r)).next()
+            fake.copy(width = w, height = h)
+          case None => FakeDecoder.decodeBatch(Iterator(r)).next()
+        }
+      }
+  }
+
   /** Decode/feature-extract stage: batched per-partition decode IN PLACE —
     * zero shuffle of media bytes. Partition byte-sizing belongs to the
     * SCAN, not this operator: file sources already split by
@@ -51,11 +117,13 @@ object Multimodal {
     * a full shuffle of ALL payload bytes; at 100 TB of media that shuffle
     * IS the job.) For a non-file upstream with pathological partitioning,
     * `explicitParts > 0` opts into a one-off repartition. */
-  def extractFeatures(media: Dataset[MediaRow], explicitParts: Int = 0)
+  def extractFeatures(media: Dataset[MediaRow], explicitParts: Int = 0,
+                      decoder: Iterator[MediaRow] => Iterator[MediaFeatures] =
+                        FakeDecoder.decodeBatch)
                      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     val sized = if (explicitParts > 0) media.repartition(explicitParts) else media
-    sized.mapPartitions(FakeDecoder.decodeBatch _)
+    sized.mapPartitions(decoder)
   }
 
   /** Bind a (doc_id, text) table into media rows for plumbing tests — the

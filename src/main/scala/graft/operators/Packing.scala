@@ -64,4 +64,35 @@ object Packing {
       .withColumn("bin",
         floor(col("start_offset").cast("double") / seqLen).cast("long"))
   }
+
+  /** Per-CHUNK packing rows: one row per (doc_id, bin) slice of the
+    * contiguous token stream, so every training bin's contents are fully
+    * enumerable — a document whose token span [start, start+n) crosses
+    * bin boundaries (or is longer than seqLen) emits one row per bin it
+    * touches, with the slice's offset inside that bin and its token
+    * count. `packChunked` assigns only the FIRST token's bin; a training
+    * layout needs the full (doc, bin, offset_in_bin, n_tokens) map to
+    * materialize each sequence.
+    *
+    * Built on packChunked's distributed prefix sum — the chunk expansion
+    * is a pure per-row explode over the bins spanned
+    * (floor(start/L) .. floor((start+n−1)/L)), integer arithmetic only,
+    * so the DuckDB oracle mirrors it with a range() unnest. Zero-token
+    * documents occupy no bin and emit no rows (their placement lives in
+    * packChunked's per-doc output). */
+  def packChunks(docs: DataFrame, seqLen: Int): DataFrame = {
+    val L = lit(seqLen.toLong)
+    packChunked(docs, seqLen)
+      .filter(col("n_tokens") > 0)
+      .withColumn("last_bin",
+        floor((col("start_offset") + col("n_tokens") - 1).cast("double") / seqLen)
+          .cast("long"))
+      .select(col("doc_id"), col("start_offset"), col("n_tokens"),
+        explode(sequence(col("bin"), col("last_bin"))).as("bin"))
+      .select(col("doc_id"), col("bin"),
+        (greatest(col("start_offset"), col("bin") * L) - col("bin") * L)
+          .as("offset_in_bin"),
+        (least(col("start_offset") + col("n_tokens"), (col("bin") + 1) * L) -
+          greatest(col("start_offset"), col("bin") * L)).as("n_tokens"))
+  }
 }

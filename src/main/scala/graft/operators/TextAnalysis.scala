@@ -55,6 +55,66 @@ object TextAnalysis {
       (size(array_distinct(w)).cast("double") / size(w)).as("uniq_ratio"))
   }
 
+  /** The 8 Gopher stop words (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", appendix A —
+    * the MassiveText quality filter): a document must contain ≥ 2. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The FULL Gopher quality rule set (public knowledge — the MassiveText
+    * filtering rules of Rae et al. 2021; also restated by Penedo et al.'s
+    * RefinedWeb/FineWeb reproductions):
+    *   - word count in [50, 100000];
+    *   - mean word length in [3, 10];
+    *   - symbol-to-word ratio ('#' or '...') ≤ 0.1;
+    *   - < 90% of lines starting with a bullet ('-', '*', '•');
+    *   - < 30% of lines ending with an ellipsis ('...' or '…');
+    *   - ≥ 80% of words containing at least one alphabetic character;
+    *   - ≥ 2 of the 8 Gopher stop words present.
+    * All signals are integer counts plus single per-row IEEE divisions —
+    * bit-stable across engines, so the whole row (pass flag included) is
+    * oracle-checkable. One narrow pass, codegen, no shuffle. */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val lines = split(col("text"), "\n")
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val nEllipsis =
+      (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val staged = docs.select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      aggregate(transform(w, t => length(t)), lit(0), (a, v) => a + v)
+        .as("n_word_chars"),
+      (nHash + nEllipsis).cast("int").as("n_symbols"),
+      size(filter(w, t => t.rlike("[A-Za-z]"))).as("n_alpha_words"),
+      size(filter(array(gopherStopwords.map(lit): _*),
+        s => array_contains(w, s))).as("n_stop_hits"),
+      size(lines).as("n_lines"),
+      size(filter(lines, l =>
+        l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+        .as("n_bullet_lines"),
+      size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+        .as("n_ellipsis_lines"))
+    val meanLen = col("n_word_chars").cast("double") / col("n_words")
+    val symRatio = col("n_symbols").cast("double") / col("n_words")
+    val alphaFrac = col("n_alpha_words").cast("double") / col("n_words")
+    val bulletFrac = col("n_bullet_lines").cast("double") / col("n_lines")
+    val ellipsisFrac = col("n_ellipsis_lines").cast("double") / col("n_lines")
+    staged.select(
+      col("doc_id"), col("n_words"), col("n_symbols"), col("n_alpha_words"),
+      col("n_stop_hits"), col("n_lines"), col("n_bullet_lines"),
+      col("n_ellipsis_lines"),
+      meanLen.as("mean_word_len"), symRatio.as("symbol_word_ratio"),
+      alphaFrac.as("frac_alpha_words"), bulletFrac.as("frac_bullet_lines"),
+      ellipsisFrac.as("frac_ellipsis_lines"),
+      (col("n_words") >= 50 && col("n_words") <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symRatio <= 0.1 &&
+        bulletFrac < 0.9 && ellipsisFrac < 0.3 &&
+        alphaFrac >= 0.8 &&
+        col("n_stop_hits") >= 2).cast("int").as("passes_gopher"))
+  }
+
   /** Whitespace + BPE-ish token counting: whitespace tokens plus subword
     * pieces approximated by splitting runs of letters/digits/punct. */
   def tokenCounts(docs: DataFrame): DataFrame =

@@ -65,7 +65,9 @@ object AnnIndex {
   }
 
   /** Build the index: train the quantized coarse quantizer once, compute
-    * bucket + cell in one narrow pass, write partitioned by both. */
+    * bucket + cell in one narrow pass, write partitioned by both. The meta
+    * sidecar records a content fingerprint (row count + min/max vec_id) of
+    * the source table so a reopen can detect a regenerated corpus. */
   def build(emb: DataFrame, path: String, bits: Int = 4, nCells: Int = 16): Handle = {
     val spark = emb.sparkSession
     val centroids = SimSearch.trainIvfCentroidsQuantized(emb, nCells)
@@ -74,8 +76,18 @@ object AnnIndex {
       .withColumn("bucket", SimSearch.intLshBucket(col("embedding"), dim, bits))
       .withColumn("cell", SimSearch.quantizedCellOf(col("embedding"), centroids))
       .write.mode("overwrite").partitionBy("bucket", "cell").parquet(path)
-    writeMeta(path, bits, nCells, centroids)
+    writeMeta(path, bits, nCells, fingerprint(emb), centroids)
     Handle(spark, path, bits, nCells, centroids)
+  }
+
+  /** Cheap content fingerprint of the source table: (rows, min, max) of
+    * vec_id in one aggregation — enough to catch a regenerated corpus
+    * served from the same path. */
+  def fingerprint(emb: DataFrame): (Long, Long, Long) = {
+    val r = emb.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head
+    (r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2))
   }
 
   /** Incrementally add vectors to an existing index: assign bucket + cell
@@ -105,32 +117,61 @@ object AnnIndex {
     Handle(spark, path, bits, nCells, centroids)
   }
 
+  /** The stored content fingerprint, None for a pre-fingerprint meta
+    * (treated as stale → rebuild). */
+  private def storedFingerprint(path: String): Option[(Long, Long, Long)] = {
+    val head = Files.readAllLines(Paths.get(path, MetaFile),
+      StandardCharsets.UTF_8).get(0).split(' ')
+    if (head.length >= 5) Some((head(2).toLong, head(3).toLong, head(4).toLong))
+    else None
+  }
+
+  /** Meta write is ATOMIC (temp file + rename) — the meta file doubles as
+    * the index's commit marker, so a crashed or concurrent build never
+    * leaves a readable-but-partial index behind. */
   private def writeMeta(path: String, bits: Int, nCells: Int,
+                        fp: (Long, Long, Long),
                         centroids: Array[Array[Long]]): Unit = {
-    val body = s"$bits $nCells\n" +
+    val body = s"$bits $nCells ${fp._1} ${fp._2} ${fp._3}\n" +
       centroids.map(_.mkString(",")).mkString("\n") + "\n"
-    Files.write(Paths.get(path, MetaFile), body.getBytes(StandardCharsets.UTF_8))
+    val tmp = Files.createTempFile(Paths.get(path), "_graft_meta", ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, MetaFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   // Session-scoped build-once registry (same pattern as Dedup.vocabCache):
   // the first catalog query against a corpus builds the index; every later
   // LSH/IVF call — including the other operator and bench re-attempts —
-  // reads the stored layout. The handle map is keyed by SparkSession
-  // identity (a handle never outlives its session), but the DIRECTORY is
-  // keyed by the sanitized corpus key alone: no hash collisions (two keys
-  // never share a dir), and a later process REOPENS the finished index of
-  // an identical corpus instead of writing another copy into tmpdir.
-  private val handles = TrieMap.empty[(Int, String), Handle]
+  // reads the stored layout. Handles are keyed by session UUID (a handle
+  // never outlives its session; identityHashCode can collide after GC —
+  // see Dedup.sessionKey). The DIRECTORY is keyed by an INJECTIVE encoding
+  // of the corpus key ('_'-escaped hex for non-alphanumerics — two
+  // distinct keys can never share a dir), and a reopen VALIDATES the
+  // stored fingerprint against the source table, so a corpus regenerated
+  // at the same path triggers a rebuild instead of silently serving stale
+  // vectors.
+  private val handles = TrieMap.empty[(String, String), Handle]
 
   def clearHandles(): Unit = handles.clear()
 
+  /** Injective directory-name encoding: alphanumerics pass through; every
+    * other char becomes '_' + 2-digit-min hex of its code point. '_' itself
+    * is escaped, so no two distinct keys collide. */
+  private[graft] def dirName(key: String, bits: Int, nCells: Int): String =
+    "graft_ann_" + key.flatMap(c =>
+      if (c.isLetterOrDigit && c < 0x80) c.toString else f"_${c.toInt}%02x") +
+      s"_b${bits}c$nCells"
+
   def forTable(emb: => DataFrame, spark: SparkSession, key: String,
                bits: Int = 4, nCells: Int = 16): Handle =
-    handles.getOrElseUpdate((System.identityHashCode(spark), key), {
+    handles.getOrElseUpdate((graft.operators.Dedup.sessionKey(spark), key), {
       val dir = Paths.get(sys.props("java.io.tmpdir"),
-        "graft_ann_" + key.map(c => if (c.isLetterOrDigit) c else '_') +
-          s"_b${bits}c$nCells").toString
-      if (Files.exists(Paths.get(dir, MetaFile))) load(spark, dir)
-      else build(emb, dir, bits, nCells)
+        dirName(key, bits, nCells)).toString
+      val e = emb
+      if (Files.exists(Paths.get(dir, MetaFile)) &&
+          storedFingerprint(dir).contains(fingerprint(e))) load(spark, dir)
+      else build(e, dir, bits, nCells)
     })
 }

@@ -80,15 +80,28 @@ object StreamingIngest {
     * Differences from the batch form, by design: a pair colliding in k
     * blocks is emitted once per colliding block and per direction of
     * arrival (batch distinct()s; downstream exact verification is
-    * idempotent, so duplicates are harmless), and state grows with bucket
-    * occupancy — production deployments bound it with a state TTL
-    * (GroupStateTimeout) at the cost of missing dups older than the TTL. */
-  def nearDupCandidatesStream(docs: DataFrame, maxHamming: Int = 3)
+    * idempotent, so duplicates are harmless). Null-text docs carry a null
+    * simhash (Dedup.withSimhash) and are filtered before state, matching
+    * the batch operator, which never emits them.
+    *
+    * State per bucket grows with bucket occupancy; `stateTtl` bounds it
+    * with a processing-time timeout: a bucket idle longer than the TTL is
+    * evicted wholesale, at the documented cost of missing duplicates
+    * whose earlier copy arrived more than a TTL before the later one —
+    * the standard trade for a long-running deployment whose state must
+    * not grow without bound. Unset (the default) keeps exact
+    * candidate-set parity with the batch operator. */
+  def nearDupCandidatesStream(docs: DataFrame, maxHamming: Int = 3,
+                              stateTtl: Option[java.time.Duration] = None)
       (implicit spark: SparkSession): Dataset[(Long, Long, Int)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     val hamming = math.min(maxHamming, 3)
+    val ttlMs = stateTtl.map(_.toMillis)
+    val timeoutKind = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     val blocked = graft.operators.Dedup.withSimhash(docs)
+      .filter(col("sh").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"), col("sh"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("blk"),
@@ -98,21 +111,25 @@ object StreamingIngest {
         col("doc_id").as[Long], col("sh").as[Long])
     blocked.groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Int)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutKind) {
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
          state: GroupState[List[(Long, Long)]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.Buffer.empty[(Long, Long, Int)]
-          rows.foreach { case (_, _, id, sh) =>
-            seen.foreach { case (pid, psh) =>
-              val d = java.lang.Long.bitCount(sh ^ psh)
-              if (d <= hamming && pid != id)
-                out += (if (pid < id) (pid, id, d) else (id, pid, d))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.Buffer.empty[(Long, Long, Int)]
+            rows.foreach { case (_, _, id, sh) =>
+              seen.foreach { case (pid, psh) =>
+                val d = java.lang.Long.bitCount(sh ^ psh)
+                if (d <= hamming && pid != id)
+                  out += (if (pid < id) (pid, id, d) else (id, pid, d))
+              }
+              seen = (id, sh) :: seen
             }
-            seen = (id, sh) :: seen
+            state.update(seen)
+            ttlMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
       }
   }
 

@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The classic session's guaranteed-unique UUID (`private[sql]` in
+    * Spark 4) — used to key session-scoped caches where identityHashCode
+    * could collide after a stopped session is GC'd. */
+  def sessionUUID(s: SparkSession): Option[String] = s match {
+    case c: classic.SparkSession => Some(c.sessionUUID)
+    case _ => None
+  }
 }

@@ -75,6 +75,35 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == ivfDirect)
   }
 
+  test("directory encoding is injective — distinct keys never share a dir") {
+    // naive '_'-sanitization maps these to the same name
+    assert(AnnIndex.dirName("a/b", 4, 16) != AnnIndex.dirName("a_b", 4, 16))
+    assert(AnnIndex.dirName("a.b", 4, 16) != AnnIndex.dirName("a/b", 4, 16))
+    assert(AnnIndex.dirName("a b", 4, 16) != AnnIndex.dirName("a#b", 4, 16))
+    assert(AnnIndex.dirName("k", 4, 16) == AnnIndex.dirName("k", 4, 16))
+  }
+
+  test("forTable detects a regenerated corpus and rebuilds (no stale serve)") {
+    val key = "spec#stale#check"
+    AnnIndex.clearHandles()
+    // first "process": index over HALF the corpus
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    AnnIndex.forTable(half, spark, key)
+    // second "process" (cleared handle cache): same key, regenerated corpus
+    AnnIndex.clearHandles()
+    val h2 = AnnIndex.forTable(emb, spark, key)
+    val direct = SimSearch.lshTopK(emb, query, k = 20, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(h2.lshTopK(query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == direct,
+      "the fingerprint mismatch must trigger a rebuild over the new corpus")
+    // and an UNCHANGED corpus reopens without rebuilding: same answers
+    AnnIndex.clearHandles()
+    val h3 = AnnIndex.forTable(emb, spark, key)
+    assert(h3.centroids.zip(h2.centroids).forall { case (a, b) => a.sameElements(b) })
+    AnnIndex.clearHandles()
+  }
+
   test("quantized IVF keeps the recall contract on clustered embeddings") {
     val rng = new java.util.Random(11)
     val dim = 64

@@ -110,6 +110,44 @@ class Coverage2Spec extends AnyFunSuite {
     assert(keep == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 9L -> 9L), s"$keep")
   }
 
+  test("keep-list exact edges: no Window in the plan, equal to the window form") {
+    // the hot-hash-safe construction (groupBy min + equi-join back) must
+    // never plan a Window — a window partition is one task, so a 10^8-way
+    // duplicated boilerplate text would serialize through one straggler
+    val docs = Seq(1L -> "a a", 2L -> "a a", 3L -> "a a", 4L -> "b b", 5L -> "c")
+      .toDF("doc_id", "text").repartition(3)
+    val edges = graft.operators.Dedup.exactDupEdges(docs)
+    assert(!edges.queryExecution.optimizedPlan.toString.contains("Window"),
+      "exact-dup edges must not use a Window")
+    assert(!edges.queryExecution.executedPlan.toString.contains("WindowExec"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val windowForm = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("m", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("a"), col("m").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == windowForm && got == Set((2L, 1L), (3L, 1L)))
+  }
+
+  test("semantic edges union into the keep list across edge sources") {
+    // docs 10/20 share no surface text (LSH finds nothing); 25 is an exact
+    // dup of 20. A semantic (embedding-space) pair (10,20) must merge all
+    // three transitively — the cluster closes across edge SOURCES.
+    val docs = Seq(
+      10L -> "alpha beta gamma delta epsilon",
+      20L -> "totally unrelated surface words here",
+      25L -> "totally unrelated surface words here",
+      30L -> "another separate document entirely now").toDF("doc_id", "text")
+    def run(sem: Option[org.apache.spark.sql.DataFrame]) =
+      graft.operators.Dedup.keepList(docs, minSharedPct = 80, semanticPairs = sem)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(None) == Map(10L -> 10L, 20L -> 20L, 25L -> 20L, 30L -> 30L),
+      "text-only baseline: the semantic pair must be invisible to LSH")
+    val sem = Seq((10L, 20L)).toDF("vec_a", "vec_b")
+    assert(run(Some(sem)) == Map(10L -> 10L, 20L -> 10L, 25L -> 10L, 30L -> 30L))
+  }
+
   test("LSH-verified dedup: every emitted pair meets the exact threshold") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{HeaderDecoder, MediaRow}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real PNG/JPEG header decoding against hand-built byte arrays — the
+  * decode step inside the batched multimodal contract is no longer a pure
+  * stub: width/height come from the actual public container formats
+  * (PNG IHDR per RFC 2083; JPEG SOFn per ITU T.81). */
+class MultimodalDecodeSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  /** Minimal PNG: signature + an IHDR chunk declaring width × height. */
+  private def png(width: Int, height: Int): Array[Byte] = {
+    def be32(v: Int) = Array(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+    (Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII").map(_.toInt) ++
+      be32(width) ++ be32(height) ++
+      Array(8, 6, 0, 0, 0) ++ be32(0)).map(_.toByte)
+  }
+
+  /** Minimal JPEG: SOI, an APP0 segment to skip, then a SOF0 frame header
+    * carrying height/width. */
+  private def jpeg(width: Int, height: Int): Array[Byte] = {
+    val app0 = Array(0xFF, 0xE0, 0x00, 0x10) ++ Array.fill(14)(0x4A)
+    val sof0 = Array(0xFF, 0xC0, 0x00, 0x11, 8,
+      (height >>> 8) & 0xff, height & 0xff,
+      (width >>> 8) & 0xff, width & 0xff, 3)
+    (Array(0xFF, 0xD8) ++ app0 ++ sof0 ++ Array.fill(9)(0)).map(_.toByte)
+  }
+
+  test("PNG IHDR parses to the exact declared dimensions") {
+    assert(HeaderDecoder.decodeDims(png(256, 128)) == Some((256, 128)))
+    assert(HeaderDecoder.decodeDims(png(1, 1)) == Some((1, 1)))
+    assert(HeaderDecoder.decodeDims(png(40000, 30000)) == Some((40000, 30000)))
+  }
+
+  test("JPEG SOF0 parses to the exact declared dimensions, skipping APPn") {
+    assert(HeaderDecoder.decodeDims(jpeg(320, 120)) == Some((320, 120)))
+    assert(HeaderDecoder.decodeDims(jpeg(65535, 1)) == Some((65535, 1)))
+  }
+
+  test("non-image payloads fall back to the deterministic fake features") {
+    val junk = "not an image at all".getBytes("UTF-8")
+    assert(HeaderDecoder.decodeDims(junk).isEmpty)
+    val row = MediaRow("d1", "media://d1", junk)
+    val real = HeaderDecoder.decodeBatch(Iterator(row)).next()
+    val fake = Multimodal.FakeDecoder.decodeBatch(Iterator(row)).next()
+    // field-wise compare (case-class equality is reference-based on the
+    // Array[Float] feature field)
+    assert((real.n_bytes, real.width, real.height, real.n_frames) ==
+      ((fake.n_bytes, fake.width, fake.height, fake.n_frames)))
+    assert(real.feature.sameElements(fake.feature),
+      "unknown formats must keep the stub's determinism")
+  }
+
+  test("truncated or desynced streams never throw, they fall back") {
+    assert(HeaderDecoder.decodeDims(Array[Byte]()).isEmpty)
+    assert(HeaderDecoder.decodeDims(png(9, 9).take(20)).isEmpty)
+    assert(HeaderDecoder.decodeDims(Array(0xFF, 0xD8, 0x00, 0x01).map(_.toByte)).isEmpty)
+    assert(HeaderDecoder.decodeDims(jpeg(9, 9).take(7)).isEmpty)
+  }
+
+  test("the batched Dataset path decodes real headers in place") {
+    val rows = Seq(
+      MediaRow("p", "media://p", png(640, 480)),
+      MediaRow("j", "media://j", jpeg(800, 600)),
+      MediaRow("x", "media://x", "plain words".getBytes("UTF-8")))
+    val out = Multimodal.extractFeatures(rows.toDS(),
+        decoder = HeaderDecoder.decodeBatch)
+      .collect().map(f => f.doc_id -> ((f.width, f.height))).toMap
+    assert(out("p") == ((640, 480)))
+    assert(out("j") == ((800, 600)))
+    // the fallback row keeps FakeDecoder's byte-derived pseudo-dimensions
+    val n = "plain words".getBytes("UTF-8").length
+    assert(out("x") == ((64 + n % 640, 64 + (n * 31) % 480)))
+  }
+}

@@ -49,6 +49,49 @@ class PackingSpec extends AnyFunSuite {
     assert(rows == Map(1L -> ((3L, 0L)), 2L -> ((0L, 3L)), 3L -> ((2L, 3L))))
   }
 
+  test("packChunks: a doc straddling multiple bins emits one row per bin") {
+    // seqLen 8; doc 1 holds tokens [0,5), doc 2 tokens [5,25) → doc 2
+    // spans bins 0..3 with slice offsets/sizes fixed by the boundaries
+    val d = Seq((1L, Seq.fill(5)("a").mkString(" ")),
+      (2L, Seq.fill(20)("b").mkString(" "))).toDF("doc_id", "text")
+    val rows = Packing.packChunks(d, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      (1L, 0L, 0L, 5L),
+      (2L, 0L, 5L, 3L),  // [5,8)
+      (2L, 1L, 0L, 8L),  // [8,16)
+      (2L, 2L, 0L, 8L),  // [16,24)
+      (2L, 3L, 0L, 1L))) // [24,25)
+  }
+
+  test("packChunks: chunks conserve doc tokens and tile every bin gaplessly") {
+    val ch = Packing.packChunks(docs, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perDoc = ch.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val ref = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc == ref, "chunk tokens per doc must sum to the doc's tokens")
+    // the token stream is contiguous, so every bin but the last holds
+    // exactly seqLen tokens, and within a bin the chunks tile [0, fill)
+    // with no gap or overlap
+    val perBin = ch.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val lastBin = perBin.keys.max
+    assert(perBin.filter(_._1 != lastBin).values.forall(_ == 16L))
+    ch.groupBy(_._2).foreach { case (_, rows) =>
+      rows.sortBy(_._3).foldLeft(0L) { case (expect, (_, _, off, n)) =>
+        assert(off == expect, s"gap/overlap at bin offset $off (expected $expect)")
+        off + n
+      }
+    }
+  }
+
+  test("packChunks: zero-token docs occupy no bin and emit no chunk rows") {
+    val d = Seq((Option(1L), Option("a b")), (Option(2L), Option.empty[String]))
+      .toDF("doc_id", "text")
+    assert(Packing.packChunks(d, 8).collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("a document straddling a bin boundary belongs to its start bin") {
     // lengths 5,5,5,5 at seqLen 8: offsets 0,5,10,15 → bins 0,0,1,1
     // (doc 2 straddles tokens 5..9 across the 8-boundary; it starts in
