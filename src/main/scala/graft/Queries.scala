@@ -353,6 +353,55 @@ object Queries {
       ratesPermille = Seq("short" -> 250, "long" -> 750))
       .select(col("doc_id"), col("stratum"), col("coin"))
 
+  /** The END-TO-END curation deliverable, composed from the operator
+    * family as ONE catalog entry — the table a 100 TB curation run ships:
+    *
+    *   1. dedup keep-list over the full corpus → keep only cluster
+    *      representatives (doc_id == keep_id);
+    *   2. benchmark decontamination (eval = the doc_id % 5 slice) →
+    *      drop flagged corpus docs (left-anti);
+    *   3. Gopher quality gate (word count ∈ [50, 100k], mean word length
+    *      ∈ [3, 10] — the stop-word rule is deliberately not applied: the
+    *      synthetic vocabulary carries no English function words, so it
+    *      would void the corpus; real deployments add it back);
+    *   4. deterministic stratified sampling (length bands at 70 words,
+    *      500‰/750‰);
+    *   5. sequence packing at seqLen = 2048 (distributed prefix sum).
+    *
+    * Output: (doc_id, stratum, n_tokens, start_offset, bin) for every
+    * surviving document. Every stage is the already-oracle-verified
+    * operator; the composed DuckDB mirror chains the same CTE fragments,
+    * so the END-TO-END result is bit-exact too. Scale shape: the stages
+    * compose without materialization except the keep-list's connected
+    * components (inherently iterative) — filters/coins are per-row, the
+    * decontam side is broadcast, packing is the two-pass scan. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val keep = Dedup.keepList(docs, minSharedPct = 80,
+      vocabKey = Some(s"$dir#documents#sh3"))
+    val reps = docs.join(
+      keep.filter(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
+    val corpus = reps.filter(col("doc_id") % 5 =!= 0)
+    val contaminated = Dedup.decontaminate(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0), shingleN = 8)
+      .select(col("doc_id"))
+    val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    val qualIds = TextAnalysis.gopherQuality(clean)
+      .filter(col("n_words").between(50, 100000) &&
+        col("mean_word_len").between(3.0, 10.0))
+      .select(col("doc_id"))
+    val qual = clean.join(qualIds, "doc_id")
+    val sampled = operators.Sampling.stratifiedSample(qual, col("doc_id"),
+      when(size(split(col("text"), " ")) < 70, "short").otherwise("long"),
+      Seq("short" -> 500, "long" -> 750))
+    operators.Packing.packChunked(
+        sampled.select(col("doc_id"), col("text")), seqLen = 2048)
+      .join(sampled.select(col("doc_id"), col("stratum")), "doc_id")
+      .select(col("doc_id"), col("stratum"), col("n_tokens"),
+        col("start_offset"), col("bin"))
+  }
+
   /** Stage the per-corpus artifacts ONCE, outside query timing: the two
     * token-rank vocabularies and the materialized ANN index. These are
     * corpus BUILD products — computed once per corpus and read by many

@@ -73,6 +73,9 @@ object SparkEntry {
     "text_pack" -> (Queries.textPack _),
     "text_pack_chunks" -> (Queries.textPackChunks _),
     "text_gopher" -> (Queries.textGopher _),
+    // the end-to-end composition: keep-list → decontam → quality →
+    // sample → pack, one bit-exact oracle
+    "curation_pipeline" -> (Queries.curationPipeline _),
     // KG construction over the driver tables
     "kg_mentions" -> (Queries.kgMentions _),
     "kg_cooccur_pairs" -> (Queries.kgCooccurPairs _),
@@ -160,14 +163,16 @@ object SparkEntry {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
   }
 
-  /** The keep-list closure SQL: exact-dup edges ∪ verified near-dup pairs
-    * (∪ the semantic cosine-pair edges when `withSemantic`), closed
-    * transitively by a recursive min-label CTE (== the engine's connected
-    * components; numeric min == the %020d-padded string min for
-    * non-negative ids). The semantic edge CTEs are the
-    * dedup_embedding_cosine construction verbatim (integer cross-multiply
-    * threshold), renamed s* to avoid CTE-name clashes. */
-  private def keepListSql(withSemantic: Boolean): String = {
+  /** The keep-list closure CTE chain (ending in `comp(doc, keep)`):
+    * exact-dup edges ∪ verified near-dup pairs (∪ the semantic cosine-pair
+    * edges when `withSemantic`), closed transitively by a recursive
+    * min-label CTE (== the engine's connected components; numeric min ==
+    * the %020d-padded string min for non-negative ids). The semantic edge
+    * CTEs are the dedup_embedding_cosine construction verbatim (integer
+    * cross-multiply threshold), renamed s* to avoid CTE-name clashes.
+    * Shared by the two keep-list oracles and the curation-pipeline
+    * composition. */
+  private def keepListCtes(withSemantic: Boolean): String = {
     val semCtes = if (!withSemantic) "" else
       "," + quantVCte.stripPrefix("WITH") + "," + planeWgtCte(6) +
         """,
@@ -199,9 +204,73 @@ object SparkEntry {
          | lp AS (SELECT DISTINCT a AS doc, a AS label FROM sym
          |        UNION
          |        SELECT s.b AS doc, lp.label FROM lp JOIN sym s ON s.a = lp.doc),
-         | comp AS (SELECT doc, min(label) AS keep FROM lp GROUP BY doc)
-         |SELECT d.doc_id, CAST(coalesce(c.keep, d.doc_id) AS BIGINT) AS keep_id
-         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc""".stripMargin
+         | comp AS (SELECT doc, min(label) AS keep FROM lp GROUP BY doc)""".stripMargin
+  }
+
+  private def keepListSql(withSemantic: Boolean): String =
+    keepListCtes(withSemantic) +
+      """
+        |SELECT d.doc_id, CAST(coalesce(c.keep, d.doc_id) AS BIGINT) AS keep_id
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc""".stripMargin
+
+  /** The composed end-to-end curation-pipeline oracle: the keep-list CTE
+    * chain (→ `comp`), the decontamination branches (p*-renamed copies of
+    * the text_decontam mirror, flags only), then the quality gate,
+    * LCG-coin sampling and the window-form prefix sum — the same five
+    * verified stages chained in SQL exactly as Queries.curationPipeline
+    * chains the operators. */
+  private def curationPipelineSql: String = {
+    import graft.operators.Dedup.{HashA, HashB}
+    keepListCtes(withSemantic = false) +
+      s""",
+         | pd AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         | pev AS (SELECT doc_id AS eval_id, ws FROM pd WHERE doc_id % 5 = 0),
+         | pco AS (SELECT doc_id, ws FROM pd WHERE doc_id % 5 <> 0),
+         | pcog AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
+         |     CASE WHEN i+7 <= len(ws) THEN array_to_string(list_slice(ws, i, i+7), ' ') END),
+         |     s -> s IS NOT NULL))) AS g FROM pco WHERE len(ws) >= 8),
+         | pevg AS (SELECT eval_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
+         |     CASE WHEN i+7 <= len(ws) THEN array_to_string(list_slice(ws, i, i+7), ' ') END),
+         |     s -> s IS NOT NULL))) AS g FROM pev WHERE len(ws) >= 8),
+         | pm1 AS (SELECT doc_id FROM pcog JOIN pevg USING (g)),
+         | pevs AS (SELECT eval_id, array_to_string(ws,' ') AS g, len(ws) AS l
+         |         FROM pev WHERE len(ws) < 8),
+         | pevl AS (SELECT DISTINCT l FROM pevs),
+         | pcosw AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
+         |     CASE WHEN i+pevl.l-1 <= len(ws) THEN array_to_string(list_slice(ws, i, i+pevl.l-1), ' ') END),
+         |     s -> s IS NOT NULL))) AS g FROM pco CROSS JOIN pevl WHERE len(ws) >= pevl.l),
+         | pm2 AS (SELECT doc_id FROM pcosw JOIN pevs ON pcosw.g = pevs.g),
+         | pcos AS (SELECT doc_id, array_to_string(ws,' ') AS g FROM pco WHERE len(ws) < 8),
+         | pcol AS (SELECT DISTINCT len(ws) AS l FROM pco WHERE len(ws) < 8),
+         | pevgw AS (SELECT eval_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
+         |     CASE WHEN i+pcol.l-1 <= len(ws) THEN array_to_string(list_slice(ws, i, i+pcol.l-1), ' ') END),
+         |     s -> s IS NOT NULL))) AS g FROM pev CROSS JOIN pcol WHERE len(ws) >= pcol.l),
+         | pm3 AS (SELECT doc_id FROM pcos JOIN pevgw ON pcos.g = pevgw.g),
+         | pflag AS (SELECT DISTINCT doc_id FROM
+         |   (SELECT doc_id FROM pm1 UNION ALL SELECT doc_id FROM pm2
+         |    UNION ALL SELECT doc_id FROM pm3) u),
+         | surv AS (SELECT dd.doc_id, string_split(dd.text,' ') AS ws
+         |   FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc
+         |   WHERE coalesce(c.keep, dd.doc_id) = dd.doc_id AND dd.doc_id % 5 <> 0
+         |     AND NOT EXISTS (SELECT 1 FROM pflag f WHERE f.doc_id = dd.doc_id)),
+         | qual AS (SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+         |     CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)/len(ws) AS mwl
+         |   FROM surv),
+         | kept AS (SELECT doc_id, n_words FROM qual
+         |   WHERE n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0),
+         | samp AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+         |     CASE WHEN n_words < 70 THEN 'short' ELSE 'long' END AS stratum,
+         |     ((${HashA(0)}*doc_id + ${HashB(0)}) % $P) % 1000 AS coin
+         |   FROM kept),
+         | sel AS (SELECT doc_id, stratum, n_tokens FROM samp
+         |   WHERE coin < CASE stratum WHEN 'short' THEN 500 ELSE 750 END),
+         | pk AS (SELECT doc_id, stratum, n_tokens,
+         |   CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM sel)
+         |SELECT doc_id, stratum, n_tokens, start_offset,
+         | CAST(floor(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS bin
+         |FROM pk""".stripMargin
   }
 
   /** Quantized (×1000 floor, BIGINT) per-dimension embedding CTE `v`. */
@@ -325,6 +394,8 @@ object SparkEntry {
     "dedup_keep_list" -> keepListSql(withSemantic = false),
     // the three-edge-source variant: + embedding cosine near-dup edges
     "dedup_keep_list_semantic" -> keepListSql(withSemantic = true),
+    // the end-to-end curation deliverable (five verified stages chained)
+    "curation_pipeline" -> curationPipelineSql,
     "dedup_simhash" -> simhashSqlGen,
     "dedup_embedding_cosine" ->
       (quantVCte + "," + planeWgtCte(6) +
