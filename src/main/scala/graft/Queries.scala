@@ -331,6 +331,14 @@ object Queries {
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(table(s, dir, "documents"))
 
+  /** C4/RefinedWeb line-level boilerplate removal: lines appearing in ≥ 2
+    * distinct documents are dropped from every document carrying them
+    * (on the single-line testdata corpus this degenerates to whole-text
+    * dedup — exactly what the rule prescribes there; the multi-line
+    * semantics are spec-tested). */
+  def textLineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(table(s, dir, "documents"), minDocs = 2L)
+
   /** The full Gopher quality rule set over the documents table. */
   def textGopher(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherQuality(table(s, dir, "documents"))

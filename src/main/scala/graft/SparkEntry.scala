@@ -73,6 +73,7 @@ object SparkEntry {
     "text_pack" -> (Queries.textPack _),
     "text_pack_chunks" -> (Queries.textPackChunks _),
     "text_gopher" -> (Queries.textGopher _),
+    "text_line_dedup" -> (Queries.textLineDedup _),
     // the end-to-end composition: keep-list → decontam → quality →
     // sample → pack, one bit-exact oracle
     "curation_pipeline" -> (Queries.curationPipeline _),
@@ -528,6 +529,22 @@ object SparkEntry {
         |   AND CAST(n_alpha_words AS DOUBLE)/n_words >= 0.8
         |   AND n_stop_hits >= 2 AS INTEGER) AS passes_gopher
         |FROM c""".stripMargin,
+    // line-level boilerplate removal: a line in ≥2 distinct docs is
+    // dropped everywhere; clean text rebuilt in original line order
+    // (string_agg ORDER BY pos skips NULLed boilerplate lines, mirroring
+    // collect_list's null-skipping)
+    "text_line_dedup" ->
+      """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |     unnest(range(0, len(string_split(text, chr(10))))) AS pos FROM documents),
+        | b AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+        |        FROM l GROUP BY line) t WHERE nd >= 2),
+        | k AS (SELECT doc_id, pos, line,
+        |        line IN (SELECT line FROM b) AS boiler FROM l)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+        | COALESCE(string_agg(CASE WHEN NOT boiler THEN line END, chr(10) ORDER BY pos), '')
+        |   AS clean_text
+        |FROM k GROUP BY doc_id""".stripMargin,
     // intra-doc repetition: totals/distincts are integers; the duplicate
     // fraction is one per-row IEEE subtract+divide, bit-stable cross-engine
     "text_repetition" ->

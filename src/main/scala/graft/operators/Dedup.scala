@@ -447,6 +447,39 @@ object Dedup {
       .select(col("doc_id").as("a"), col("m").as("b"))
   }
 
+  /** LINE-level boilerplate removal (the C4 / RefinedWeb line-dedup rule,
+    * public knowledge: Raffel et al. 2020 §2.2 dedup three-sentence spans;
+    * Penedo et al. 2023 drop lines duplicated across documents): a line
+    * occurring in ≥ `minDocs` DISTINCT documents is boilerplate (nav bars,
+    * cookie banners, license headers) and is removed from every document
+    * carrying it. Returns one row per doc: total / boilerplate line
+    * counts and the cleaned text with original line order preserved.
+    *
+    * Scale shape: one explode + one groupBy(line) with a map-side-
+    * combinable distinct-count, then an equi-join back on the line key
+    * (AQE-skew-splittable — the whole point: a boilerplate line IS a hot
+    * key) and a per-doc re-aggregation. No window, no driver state; the
+    * per-doc sort_array is bounded by document size. */
+  def lineDedup(docs: DataFrame, minDocs: Long = 2L): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"), lit(1).as("boiler"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("boiler").isNotNull, 1L).otherwise(0L)).as("n_boiler_lines"),
+        // collect_list skips nulls, so the when() keeps only clean lines;
+        // sort_array on (pos, line) structs restores original order
+        concat_ws("\n", transform(
+          sort_array(collect_list(
+            when(col("boiler").isNull, struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"))
+  }
+
   /** (id, ws) word-array projection shared by the decontamination forms. */
   private[graft] def decontamWords(df: DataFrame, id: String): DataFrame =
     df.select(col("doc_id").as(id), split(col("text"), " ").as("ws"))

@@ -148,6 +148,21 @@ class Coverage2Spec extends AnyFunSuite {
     assert(run(Some(sem)) == Map(10L -> 10L, 20L -> 10L, 25L -> 10L, 30L -> 30L))
   }
 
+  test("line dedup removes cross-doc boilerplate lines, preserving order") {
+    val docs = Seq(
+      1L -> "COOKIE BANNER\nalpha one\nFOOTER",
+      2L -> "COOKIE BANNER\nbeta two\nFOOTER",
+      3L -> "gamma three\nunique line here").toDF("doc_id", "text")
+    val out = graft.operators.Dedup.lineDedup(docs, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // the banner + footer appear in 2 docs → removed everywhere; doc 3's
+    // lines are unique → untouched, original order kept
+    assert(out(1L) == ((3L, 2L, "alpha one")))
+    assert(out(2L) == ((3L, 2L, "beta two")))
+    assert(out(3L) == ((2L, 0L, "gamma three\nunique line here")))
+  }
+
   test("LSH-verified dedup: every emitted pair meets the exact threshold") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
