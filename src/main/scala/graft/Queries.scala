@@ -233,6 +233,27 @@ object Queries {
       semanticPairs = Some(SimSearch.quantizedCosinePairs(
         table(s, dir, "embeddings"), tauNum = 9L, tauDen = 400L)))
 
+  /** INCREMENTAL keep-list maintenance over a 75/25 old/new split of the
+    * corpus: yesterday's keep-list (over doc_id % 4 != 3) is closed
+    * against today's delta (% 4 == 3) via Dedup.keepListDelta — cluster
+    * stars + delta-only candidate joins, NO old-vs-old re-pairing. The
+    * oracle is THE SAME full-recompute SQL as dedup_keep_list: a hash
+    * match proves the incremental closure equals a from-scratch run,
+    * verified by an independent engine. */
+  def dedupKeepListDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val key = Some(s"$dir#documents#sh3")
+    // pin the shared vocabulary to the FULL corpus before any subset call
+    // (the cache contract is key ↔ corpus; a cold cache primed from the
+    // old subset would poison every other portable query — and the
+    // delta == full theorem needs old and delta edges under ONE vocab)
+    Dedup.tokenVocabCached(Dedup.shingleRows(docs, 3), key)
+    val newIds = docs.filter(col("doc_id") % 4 === 3).select("doc_id")
+    val oldDocs = docs.filter(col("doc_id") % 4 =!= 3)
+    val oldKeep = Dedup.keepList(oldDocs, minSharedPct = 80, vocabKey = key)
+    Dedup.keepListDelta(oldKeep, docs, newIds, minSharedPct = 80, vocabKey = key)
+  }
+
   /** Benchmark decontamination over the documents table: the eval set is
     * the deterministic doc_id % 5 == 0 slice (standing in for a held-out
     * benchmark suite), the corpus is the rest; any shared word-8-gram

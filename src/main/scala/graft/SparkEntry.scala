@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_keep_list" -> (Queries.dedupKeepList _),
     "dedup_keep_list_semantic" -> (Queries.dedupKeepListSemantic _),
+    "dedup_keep_list_delta" -> (Queries.dedupKeepListDelta _),
     "dedup_embedding_grid" -> (Queries.dedupEmbeddingGrid _),
     "dedup_embedding_cosine" -> (Queries.dedupEmbeddingCosine _),
     // similarity search
@@ -397,6 +398,9 @@ object SparkEntry {
     "dedup_keep_list_semantic" -> keepListSql(withSemantic = true),
     // the end-to-end curation deliverable (five verified stages chained)
     "curation_pipeline" -> curationPipelineSql,
+    // incremental maintenance: the oracle is the FULL-recompute SQL —
+    // a hash match proves delta closure == from-scratch keep-list
+    "dedup_keep_list_delta" -> keepListSql(withSemantic = false),
     "dedup_simhash" -> simhashSqlGen,
     "dedup_embedding_cosine" ->
       (quantVCte + "," + planeWgtCte(6) +

@@ -329,8 +329,45 @@ object Dedup {
     * schema matches the oracle's count(*) outputs). */
   def lshVerifiedDupsPortable(docs: DataFrame, shingleN: Int = 3,
                               minSharedPct: Int = 80,
-                              vocabKey: Option[String] = None): DataFrame = {
-    val cands = minhashLshCandidatesPortable(docs, shingleN, vocabKey = vocabKey)
+                              vocabKey: Option[String] = None): DataFrame =
+    verifyWordJaccard(
+      minhashLshCandidatesPortable(docs, shingleN, vocabKey = vocabKey),
+      docs, minSharedPct)
+
+  /** DELTA form of the portable LSH-verified near-dup join: candidate
+    * generation pairs ONLY new docs against the whole corpus — the banded
+    * self-join (the quadratic stage) has one side semi-joined to `newIds`;
+    * old-old pairs are never generated. Pairs are normalized to
+    * doc_a < doc_b regardless of which side is new. Signatures for old
+    * docs are recomputed in a narrow pass (a production deployment stores
+    * them alongside the keep-list). */
+  def lshVerifiedDupsPortableDelta(docs: DataFrame, newIds: DataFrame,
+                                   shingleN: Int = 3, minSharedPct: Int = 80,
+                                   bands: Int = 4, rowsPerBand: Int = 4,
+                                   vocabKey: Option[String] = None): DataFrame = {
+    val sig = minhashSignaturesPortable(docs, shingleN, bands * rowsPerBand, vocabKey)
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        val bucket = (0 until rowsPerBand)
+          .map(r => col(s"h${b * rowsPerBand + r}"))
+          .reduce((acc, h) => acc * lit(1009L) + h)
+        struct(lit(b).as("band"), bucket.as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bandedNew = banded.join(newIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val cands = bandedNew.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    verifyWordJaccard(cands, docs, minSharedPct)
+  }
+
+  /** Shared verification tail: fetch the two word sets per candidate pair
+    * and apply the exact integer Jaccard predicate. */
+  private def verifyWordJaccard(cands: DataFrame, docs: DataFrame,
+                                minSharedPct: Int): DataFrame = {
     val words = docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ws"))
     cands
@@ -406,9 +443,6 @@ object Dedup {
   def keepList(docs: DataFrame, minSharedPct: Int = 80,
                vocabKey: Option[String] = None,
                semanticPairs: Option[DataFrame] = None): DataFrame = {
-    implicit val spark: org.apache.spark.sql.SparkSession = docs.sparkSession
-    import spark.implicits._
-    val pad = (c: Column) => format_string("%020d", c)
     val exactEdges = exactDupEdges(docs)
     val nearEdges = lshVerifiedDupsPortable(docs, minSharedPct = minSharedPct,
         vocabKey = vocabKey)
@@ -420,15 +454,72 @@ object Dedup {
     // lexical and semantic edges before closing the clusters.
     val semEdges = semanticPairs.map(_
       .select(col("vec_a").as("a"), col("vec_b").as("b")))
-    val edges = semEdges.foldLeft(exactEdges.unionByName(nearEdges))(_ unionByName _)
+    closeAndLabel(docs,
+      semEdges.foldLeft(exactEdges.unionByName(nearEdges))(_ unionByName _))
+  }
+
+  /** Shared keep-list tail: close (a, b) duplicate edges transitively and
+    * label every doc with its cluster's min id (its own id when unique). */
+  private def closeAndLabel(docs: DataFrame, edges: DataFrame): DataFrame = {
+    implicit val spark: org.apache.spark.sql.SparkSession = docs.sparkSession
+    import spark.implicits._
+    val pad = (c: Column) => format_string("%020d", c)
+    val typed = edges
       .select(pad(col("a")).as("src"), pad(col("b")).as("dst"))
       .as[graft.core.EquivEdge]
-    val canon = graft.canon.ConnectedComponents.canonicalizeAuto(edges)
+    val canon = graft.canon.ConnectedComponents.canonicalizeAuto(typed)
       .withColumnRenamed("node_id", "padded")
     docs.select(col("doc_id"))
       .join(canon, pad(col("doc_id")) === col("padded"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical_id").cast("long"), col("doc_id")).as("keep_id"))
+  }
+
+  /** INCREMENTAL keep-list maintenance — the daily-delta path at 100 TB:
+    * close a batch of NEW documents against an existing keep-list WITHOUT
+    * re-pairing the old corpus against itself. Edge sources:
+    *
+    *  1. the old keep-list's cluster STARS (doc → keep_id) — they encode
+    *     exactly the old components' connectivity;
+    *  2. exact-dup edges over the union, kept only where an endpoint is
+    *     new (the md5 groupBy is one cheap narrow pass; old-old exact
+    *     connectivity is already in the stars);
+    *  3. LSH-verified near-dup pairs where the CANDIDATE JOIN itself is
+    *     restricted to new-vs-all ([[lshVerifiedDupsPortableDelta]]) —
+    *     the quadratic stage, which is the entire point of the delta.
+    *
+    * Then one transitive closure over stars ∪ delta edges. A new doc that
+    * bridges two previously separate old clusters MERGES them (the hard
+    * case — spec-asserted), so the result equals a full recompute
+    * whenever the old keep-list was computed with the SAME hash family
+    * and vocabulary over which the delta edges are generated. With the
+    * production xxhash64 family signatures are corpus-independent, so
+    * this holds unconditionally across deltas; with the portable LCG
+    * family it holds when old and delta runs share one staged vocabulary
+    * (the catalog demonstrates this: `dedup_keep_list_delta` splits the
+    * corpus 75/25, runs old-then-delta, and must hash-match the SAME
+    * DuckDB oracle as the full `dedup_keep_list`). Old signatures are
+    * recomputed in a narrow pass here; a production deployment stores
+    * them with the keep-list (the dedup analog of [[graft.sources.AnnIndex]])
+    * and reads them back instead. */
+  def keepListDelta(oldKeep: DataFrame, allDocs: DataFrame, newIds: DataFrame,
+                    minSharedPct: Int = 80,
+                    vocabKey: Option[String] = None): DataFrame = {
+    val stars = oldKeep.filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("a"), col("keep_id").as("b"))
+    val ids = newIds.select(col("doc_id"))
+    val exactNew = {
+      val e = exactDupEdges(allDocs)
+      e.join(ids.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+        .unionByName(
+          e.join(ids.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
+            .select(col("a"), col("b")))
+        .dropDuplicates("a", "b")
+    }
+    val nearNew = lshVerifiedDupsPortableDelta(allDocs, ids,
+        minSharedPct = minSharedPct, vocabKey = vocabKey)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    closeAndLabel(allDocs, stars.unionByName(exactNew).unionByName(nearNew))
   }
 
   /** Exact-duplicate edges (doc → its group's min doc_id): per-group min

@@ -148,6 +148,39 @@ class Coverage2Spec extends AnyFunSuite {
     assert(run(Some(sem)) == Map(10L -> 10L, 20L -> 10L, 25L -> 10L, 30L -> 30L))
   }
 
+  test("incremental keep-list: a new doc merges two old clusters; delta == full") {
+    // old corpus: {1, 2} exact dups of base, {10} = base + 8 appended
+    // words (J(1,10) = 30/38 ≈ 0.789 < 0.8 → SEPARATE old clusters). The
+    // delta brings a two-doc bridge CHAIN: 20 = base+4z (J(1,20) ≈ 0.88,
+    // links cluster A), 21 = base+6z (J(10,21) ≈ 0.95, links cluster B),
+    // and J(20,21) ≈ 0.94 links the bridges — 1—20—21—10 merges the two
+    // old clusters only through NEW docs, the case incremental dedup must
+    // get right. (Appended, not scattered, edits keep shingle overlap
+    // high; with one 16-minhash signature per doc a SINGLE midway bridge
+    // deterministically bands with only one side, so the chain is also
+    // the realistic shape.)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val apx = (1 to 8).map(i => s"z$i")
+    val old = Seq(1L -> base, 2L -> base, 10L -> (base + " " + apx.mkString(" ")))
+    val all = (old ++ Seq(
+        20L -> (base + " " + apx.take(4).mkString(" ")),
+        21L -> (base + " " + apx.take(6).mkString(" "))))
+      .toDF("doc_id", "text")
+    val oldDf = old.toDF("doc_id", "text")
+    val oldKeep = graft.operators.Dedup.keepList(oldDf, minSharedPct = 80)
+    assert(oldKeep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L), "old clusters must start separate")
+    val newIds = Seq(20L, 21L).toDF("doc_id")
+    val delta = graft.operators.Dedup.keepListDelta(oldKeep, all, newIds,
+        minSharedPct = 80)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(delta == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 20L -> 1L, 21L -> 1L),
+      s"the bridge chain must merge the old clusters: $delta")
+    val full = graft.operators.Dedup.keepList(all, minSharedPct = 80)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(delta == full, "incremental closure must equal the full recompute")
+  }
+
   test("line dedup removes cross-doc boilerplate lines, preserving order") {
     val docs = Seq(
       1L -> "COOKIE BANNER\nalpha one\nFOOTER",
