@@ -97,4 +97,21 @@ class PlanSpec extends AnyFunSuite {
     val splits = "split\\(".r.findAllIn(plan).length
     assert(splits <= 4, s"text re-split $splits times — shingle construction inlined")
   }
+
+  test("delta dedup reuses the signature exchange across both join sides") {
+    import spark.implicits._
+    val docs = (1L to 200L)
+      .map(i => (i, (1 to 20).map(j => s"w${(i * j) % 37}").mkString(" ")))
+      .toDF("doc_id", "text").repartition(4)
+    val newIds = (150L to 200L).map(Tuple1(_)).toDF("doc_id")
+    val d = graft.operators.Dedup.lshVerifiedDupsPortableDelta(docs, newIds)
+    d.collect() // finalize the adaptive plan
+    val plan = d.queryExecution.executedPlan.toString
+    // the banded-new side is banded + a semi-join: the expensive signature
+    // aggregation under BOTH sides is one shared exchange, not two full
+    // minhash passes — at 100 TB the second pass would double the delta's
+    // dominant narrow-stage cost
+    assert("ReusedExchange".r.findAllIn(plan).nonEmpty,
+      "signature exchange not reused — the delta computes signatures twice")
+  }
 }
