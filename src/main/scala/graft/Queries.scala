@@ -382,6 +382,29 @@ object Queries {
       ratesPermille = Seq("short" -> 250, "long" -> 750))
       .select(col("doc_id"), col("stratum"), col("coin"))
 
+  /** Corpus-level statistics rollup per (lang, source) — the reporting
+    * table a curation run publishes next to its keep-list: doc counts,
+    * token/char volumes, per-group distinct vocabulary and mean document
+    * length. Two map-side-combinable aggregations (the distinct-token
+    * count is the standard two-phase expand) joined on the group key;
+    * every output is an exact integer except one per-group division. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val base = docs.groupBy(col("lang"), col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+      sum(length(col("text")).cast("long")).as("total_chars"))
+    val uniq = docs
+      .select(col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("w")).as("distinct_tokens"))
+    base.join(uniq, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
+        col("total_chars"), col("distinct_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avg_doc_tokens"))
+  }
+
   /** The END-TO-END curation deliverable, composed from the operator
     * family as ONE catalog entry — the table a 100 TB curation run ships:
     *

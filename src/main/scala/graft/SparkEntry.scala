@@ -75,6 +75,7 @@ object SparkEntry {
     "text_pack_chunks" -> (Queries.textPackChunks _),
     "text_gopher" -> (Queries.textGopher _),
     "text_line_dedup" -> (Queries.textLineDedup _),
+    "corpus_stats" -> (Queries.corpusStats _),
     // the end-to-end composition: keep-list → decontam → quality →
     // sample → pack, one bit-exact oracle
     "curation_pipeline" -> (Queries.curationPipeline _),
@@ -533,6 +534,20 @@ object SparkEntry {
         |   AND CAST(n_alpha_words AS DOUBLE)/n_words >= 0.8
         |   AND n_stop_hits >= 2 AS INTEGER) AS passes_gopher
         |FROM c""".stripMargin,
+    // corpus reporting rollup: exact integers + one per-group division
+    "corpus_stats" ->
+      """WITH d AS (SELECT lang, source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+        |    CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY 1, 2),
+        | u AS (SELECT lang, source, CAST(count(DISTINCT w) AS BIGINT) AS distinct_tokens
+        |  FROM (SELECT lang, source, unnest(string_split(text,' ')) AS w
+        |        FROM documents) x
+        |  GROUP BY 1, 2)
+        |SELECT d.lang, d.source, n_docs, total_tokens, total_chars, distinct_tokens,
+        | CAST(total_tokens AS DOUBLE)/n_docs AS avg_doc_tokens
+        |FROM d JOIN u ON d.lang = u.lang AND d.source = u.source""".stripMargin,
     // line-level boilerplate removal: a line in ≥2 distinct docs is
     // dropped everywhere; clean text rebuilt in original line order
     // (string_agg ORDER BY pos skips NULLed boilerplate lines, mirroring
