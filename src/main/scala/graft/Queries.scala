@@ -388,8 +388,10 @@ object Queries {
     * length. Two map-side-combinable aggregations (the distinct-token
     * count is the standard two-phase expand) joined on the group key;
     * every output is an exact integer except one per-group division. */
-  def corpusStats(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    corpusStatsOver(table(s, dir, "documents"))
+
+  def corpusStatsOver(docs: DataFrame): DataFrame = {
     val base = docs.groupBy(col("lang"), col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
@@ -427,10 +429,15 @@ object Queries {
     * compose without materialization except the keep-list's connected
     * components (inherently iterative) — filters/coins are per-row, the
     * decontam side is broadcast, packing is the two-pass scan. */
-  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
-    val keep = Dedup.keepList(docs, minSharedPct = 80,
+  def curationPipeline(s: SparkSession, dir: String): DataFrame =
+    curationPipelineOver(table(s, dir, "documents"),
       vocabKey = Some(s"$dir#documents#sh3"))
+
+  /** The same five-stage composition over any (doc_id, text) table — the
+    * form [[CurationJob]] materializes. */
+  def curationPipelineOver(docs: DataFrame,
+                           vocabKey: Option[String] = None): DataFrame = {
+    val keep = Dedup.keepList(docs, minSharedPct = 80, vocabKey = vocabKey)
     val reps = docs.join(
       keep.filter(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
     val corpus = reps.filter(col("doc_id") % 5 =!= 0)

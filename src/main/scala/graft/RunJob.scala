@@ -76,6 +76,56 @@ object RunJob {
   }
 }
 
+/** Production CURATION job entry point (spark-submit shape):
+  *
+  *   spark-submit --class graft.CurationJob engine.jar \
+  *     <docsParquet> <outDir> [nBuckets]
+  *
+  * Materializes the curation deliverables over a (doc_id, text, ...)
+  * corpus table, Iceberg-shaped resumable bucketed parquet like RunJob —
+  * re-running after a crash resumes exactly at the incomplete buckets:
+  *   <outDir>/keep_list  (doc_id, keep_id)          — the dedup table
+  *   <outDir>/packed     (doc_id, stratum, n_tokens, start_offset, bin)
+  *                        — the five-stage curation pipeline's output
+  *   <outDir>/stats      (per-(lang, source) rollup, plain overwrite —
+  *                        a ~|sources|×|langs| reporting table)
+  * and prints one metrics JSON line (row counts from lineage aggregates,
+  * no post-write re-reads). */
+object CurationJob {
+
+  def run(spark: SparkSession, docsPath: String, outDir: String,
+          nBuckets: Int): Map[String, Long] = {
+    val docs = spark.read.parquet(docsPath)
+    val keep = graft.operators.Dedup.keepList(docs, minSharedPct = 80)
+    val wroteKeep = GraphMaterializer.writeResumable(
+      spark, keep, s"$outDir/keep_list", nBuckets)
+    val packed = Queries.curationPipelineOver(docs)
+    val wrotePacked = GraphMaterializer.writeResumable(
+      spark, packed, s"$outDir/packed", nBuckets)
+    // reporting rollup only when the corpus carries the grouping columns
+    if (Seq("lang", "source").forall(docs.columns.contains))
+      Queries.corpusStatsOver(docs)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$outDir/stats")
+    Map(
+      "keep_list" -> GraphMaterializer.lineageRowCount(spark, s"$outDir/keep_list"),
+      "packed" -> GraphMaterializer.lineageRowCount(spark, s"$outDir/packed"),
+      "buckets_written_keep_list" -> wroteKeep,
+      "buckets_written_packed" -> wrotePacked)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CurationJob <docsParquet> <outDir> [nBuckets]")
+    val nBuckets = if (args.length > 2) args(2).toInt else 32
+    val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val counts = run(spark, args(0), args(1), nBuckets)
+    println(counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
+
 /** Standalone evaluation job: gold vs predicted triple tables → micro
   * P/R/F JSON (evalsorel semantics, SURVEY.md §5.1). */
 object Evaluate {

@@ -36,4 +36,22 @@ class RunJobSpec extends AnyFunSuite {
     assert(materialize.GraphMaterializer
       .lineageRowCount(spark, s"$tmp/out/triples") == fromData)
   }
+
+  test("CurationJob materializes keep-list + packed resumably; re-run no-op") {
+    val tmp = Files.createTempDirectory("graft_cjob").toString
+    val c1 = CurationJob.run(spark, "/root/testdata/sf0.001/documents.parquet",
+      s"$tmp/out", 4)
+    assert(c1("keep_list") > 0 && c1("packed") > 0)
+    assert(c1("buckets_written_keep_list") == 4)
+    val c2 = CurationJob.run(spark, "/root/testdata/sf0.001/documents.parquet",
+      s"$tmp/out", 4)
+    assert(c2("buckets_written_keep_list") == 0 &&
+      c2("buckets_written_packed") == 0, "completed buckets must be skipped")
+    assert(c2("keep_list") == c1("keep_list") && c2("packed") == c1("packed"))
+    // the rollup landed too (the testdata corpus carries lang/source)
+    assert(spark.read.parquet(s"$tmp/out/stats").count() > 0)
+    // the packed table matches the catalog pipeline over the same corpus
+    val direct = Queries.curationPipeline(spark, "/root/testdata/sf0.001").count()
+    assert(c1("packed") == direct)
+  }
 }
