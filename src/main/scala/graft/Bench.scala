@@ -180,8 +180,9 @@ object Bench {
     // so it holds under driver conditions). The attempt count is FIXED at
     // three pairs, UNCONDITIONALLY: any resampling conditioned on the
     // ratio — even a symmetric band — is optional stopping and biases the
-    // reported efficiency; three pairs is what the old worst case ran, so
-    // every run now pays it and EVERY attempt is reported in the JSON
+    // reported efficiency. Three pairs costs one pair fewer than the old
+    // worst case (2 base + up to 2 conditional), paid unconditionally,
+    // and EVERY attempt is reported in the JSON
     // (attempts_n / attempts_4n + the median-of-attempts ratio) so a
     // marginal peak is distinguishable from a solid one.
     var legN: Option[Leg] = None

@@ -401,7 +401,13 @@ object Queries {
         explode(split(col("text"), " ")).as("w"))
       .groupBy(col("lang"), col("source"))
       .agg(countDistinct(col("w")).as("distinct_tokens"))
-    base.join(uniq, Seq("lang", "source"))
+    // NULL-SAFE join on the group keys: both aggregations emit the null
+    // group, and a plain equi-join would silently drop it — a corpus with
+    // failed language ID (lang = null) would vanish from the rollup and
+    // the stats table would stop reconciling with the corpus totals
+    base.join(uniq.withColumnRenamed("lang", "u_lang")
+        .withColumnRenamed("source", "u_source"),
+        col("lang") <=> col("u_lang") && col("source") <=> col("u_source"))
       .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
         col("total_chars"), col("distinct_tokens"),
         (col("total_tokens").cast("double") / col("n_docs")).as("avg_doc_tokens"))
@@ -434,10 +440,16 @@ object Queries {
       vocabKey = Some(s"$dir#documents#sh3"))
 
   /** The same five-stage composition over any (doc_id, text) table — the
-    * form [[CurationJob]] materializes. */
+    * form [[CurationJob]] materializes. `precomputedKeepList` lets a
+    * caller that already built the keep-list (CurationJob writes it as
+    * its own deliverable) share it instead of re-running the LSH
+    * verification + connected-components closure — the pipeline's
+    * dominant cost — a second time. */
   def curationPipelineOver(docs: DataFrame,
-                           vocabKey: Option[String] = None): DataFrame = {
-    val keep = Dedup.keepList(docs, minSharedPct = 80, vocabKey = vocabKey)
+                           vocabKey: Option[String] = None,
+                           precomputedKeepList: Option[DataFrame] = None): DataFrame = {
+    val keep = precomputedKeepList.getOrElse(
+      Dedup.keepList(docs, minSharedPct = 80, vocabKey = vocabKey))
     val reps = docs.join(
       keep.filter(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
     val corpus = reps.filter(col("doc_id") % 5 =!= 0)
@@ -451,9 +463,15 @@ object Queries {
         col("mean_word_len").between(3.0, 10.0))
       .select(col("doc_id"))
     val qual = clean.join(qualIds, "doc_id")
+    // the sampled survivors feed TWO branches (the packing input and the
+    // stratum join-back); localCheckpoint materializes them once, so the
+    // decontamination gram join and quality pass upstream are not
+    // re-evaluated per branch (the CC closure already checkpoints itself)
     val sampled = operators.Sampling.stratifiedSample(qual, col("doc_id"),
-      when(size(split(col("text"), " ")) < 70, "short").otherwise("long"),
-      Seq("short" -> 500, "long" -> 750))
+        when(size(split(col("text"), " ")) < 70, "short").otherwise("long"),
+        Seq("short" -> 500, "long" -> 750))
+      .select(col("doc_id"), col("text"), col("stratum"))
+      .localCheckpoint()
     operators.Packing.packChunked(
         sampled.select(col("doc_id"), col("text")), seqLen = 2048)
       .join(sampled.select(col("doc_id"), col("stratum")), "doc_id")

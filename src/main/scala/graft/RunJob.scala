@@ -99,7 +99,11 @@ object CurationJob {
     val keep = graft.operators.Dedup.keepList(docs, minSharedPct = 80)
     val wroteKeep = GraphMaterializer.writeResumable(
       spark, keep, s"$outDir/keep_list", nBuckets)
-    val packed = Queries.curationPipelineOver(docs)
+    // the pipeline REUSES the keep-list computed above (its CC closure is
+    // checkpointed, so `keep` re-evaluates as one cheap join) — without
+    // this the job would run the LSH verification + closure twice
+    val packed = Queries.curationPipelineOver(docs,
+      precomputedKeepList = Some(keep))
     val wrotePacked = GraphMaterializer.writeResumable(
       spark, packed, s"$outDir/packed", nBuckets)
     // reporting rollup only when the corpus carries the grouping columns

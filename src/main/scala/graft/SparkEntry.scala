@@ -547,7 +547,8 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT d.lang, d.source, n_docs, total_tokens, total_chars, distinct_tokens,
         | CAST(total_tokens AS DOUBLE)/n_docs AS avg_doc_tokens
-        |FROM d JOIN u ON d.lang = u.lang AND d.source = u.source""".stripMargin,
+        |FROM d JOIN u ON d.lang IS NOT DISTINCT FROM u.lang
+        |             AND d.source IS NOT DISTINCT FROM u.source""".stripMargin,
     // line-level boilerplate removal: a line in ≥2 distinct docs is
     // dropped everywhere; clean text rebuilt in original line order
     // (string_agg ORDER BY pos skips NULLed boilerplate lines, mirroring

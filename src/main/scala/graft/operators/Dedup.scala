@@ -302,14 +302,15 @@ object Dedup {
     t.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding over the portable signatures: band bucket is the exact
-    * base-1009 fold of its rowsPerBand min-hashes (h < P ≈ 1e6, so four
-    * folded values stay ≤ ~1e15 — overflow-free BIGINT in any engine). */
-  def minhashLshCandidatesPortable(docs: DataFrame, shingleN: Int = 3,
-                                   bands: Int = 4, rowsPerBand: Int = 4,
-                                   vocabKey: Option[String] = None): DataFrame = {
-    val sig = minhashSignaturesPortable(docs, shingleN, bands * rowsPerBand, vocabKey)
-    val banded = sig.select(col("doc_id"),
+  /** (doc_id, band, bucket) rows from k-column portable signatures: band
+    * bucket is the exact base-1009 fold of its rowsPerBand min-hashes
+    * (h < P ≈ 1e6, so four folded values stay ≤ ~1e15 — overflow-free
+    * BIGINT in any engine). ONE definition shared by the full and delta
+    * candidate joins — a divergence here would silently break the
+    * delta == full-recompute guarantee. */
+  private def bandedBuckets(sig: DataFrame, bands: Int,
+                            rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"),
       explode(array((0 until bands).map { b =>
         val bucket = (0 until rowsPerBand)
           .map(r => col(s"h${b * rowsPerBand + r}"))
@@ -317,6 +318,13 @@ object Dedup {
         struct(lit(b).as("band"), bucket.as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** LSH banding over the portable signatures → candidate pairs. */
+  def minhashLshCandidatesPortable(docs: DataFrame, shingleN: Int = 3,
+                                   bands: Int = 4, rowsPerBand: Int = 4,
+                                   vocabKey: Option[String] = None): DataFrame = {
+    val sig = minhashSignaturesPortable(docs, shingleN, bands * rowsPerBand, vocabKey)
+    val banded = bandedBuckets(sig, bands, rowsPerBand)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -346,14 +354,7 @@ object Dedup {
                                    bands: Int = 4, rowsPerBand: Int = 4,
                                    vocabKey: Option[String] = None): DataFrame = {
     val sig = minhashSignaturesPortable(docs, shingleN, bands * rowsPerBand, vocabKey)
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        val bucket = (0 until rowsPerBand)
-          .map(r => col(s"h${b * rowsPerBand + r}"))
-          .reduce((acc, h) => acc * lit(1009L) + h)
-        struct(lit(b).as("band"), bucket.as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandedBuckets(sig, bands, rowsPerBand)
     val bandedNew = banded.join(newIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val cands = bandedNew.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -529,7 +530,14 @@ object Dedup {
     * straggler. The groupBy min combines map-side and the membership join
     * is a plain equi-join — AQE-skew-splittable, the same hot-group-safe
     * pattern as ngramJaccardPairsPrefix's representative join. Plan shape
-    * (no Window anywhere) is spec-asserted. */
+    * (no Window anywhere) is spec-asserted.
+    *
+    * Null-text rows form NO exact group: md5(null) is null, and the join
+    * back on the hash never matches a null key — each null-text doc keeps
+    * itself (unless a near-dup/semantic edge links it). This matches SQL
+    * grouping-by-join semantics (the DuckDB oracle behaves identically);
+    * note it differs from a Window.partitionBy(md5) formulation, which
+    * would cluster all null-text docs together. */
   private[graft] def exactDupEdges(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
     val reps = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("m"))

@@ -66,8 +66,9 @@ object AnnIndex {
 
   /** Build the index: train the quantized coarse quantizer once, compute
     * bucket + cell in one narrow pass, write partitioned by both. The meta
-    * sidecar records a content fingerprint (row count + min/max vec_id) of
-    * the source table so a reopen can detect a regenerated corpus. */
+    * sidecar records a content fingerprint (rows + min/max vec_id + a
+    * value-sensitive sum) of the source so a reopen detects a regenerated
+    * corpus — including a re-embedding that kept the same ids. */
   def build(emb: DataFrame, path: String, bits: Int = 4, nCells: Int = 16): Handle = {
     val spark = emb.sparkSession
     val centroids = SimSearch.trainIvfCentroidsQuantized(emb, nCells)
@@ -80,14 +81,20 @@ object AnnIndex {
     Handle(spark, path, bits, nCells, centroids)
   }
 
-  /** Cheap content fingerprint of the source table: (rows, min, max) of
-    * vec_id in one aggregation — enough to catch a regenerated corpus
-    * served from the same path. */
-  def fingerprint(emb: DataFrame): (Long, Long, Long) = {
-    val r = emb.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head
+  /** Cheap content fingerprint of the source table, one aggregation:
+    * (rows, min/max vec_id, sum of quantized first-dimension values).
+    * The id terms catch added/removed vectors; the CONTENT term catches
+    * the common regeneration that keeps ids stable — re-embedding the
+    * same documents with a new model — which (rows, min, max) alone
+    * would wave through, silently serving obsolete neighbors. */
+  def fingerprint(emb: DataFrame): (Long, Long, Long, Long) = {
+    val r = emb.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id")),
+      sum(floor(element_at(col("embedding"), 1).cast("double") * 1000)
+        .cast("long"))).head
     (r.getLong(0),
       if (r.isNullAt(1)) 0L else r.getLong(1),
-      if (r.isNullAt(2)) 0L else r.getLong(2))
+      if (r.isNullAt(2)) 0L else r.getLong(2),
+      if (r.isNullAt(3)) 0L else r.getLong(3))
   }
 
   /** Incrementally add vectors to an existing index: assign bucket + cell
@@ -117,22 +124,23 @@ object AnnIndex {
     Handle(spark, path, bits, nCells, centroids)
   }
 
-  /** The stored content fingerprint, None for a pre-fingerprint meta
-    * (treated as stale → rebuild). */
-  private def storedFingerprint(path: String): Option[(Long, Long, Long)] = {
-    val head = Files.readAllLines(Paths.get(path, MetaFile),
-      StandardCharsets.UTF_8).get(0).split(' ')
-    if (head.length >= 5) Some((head(2).toLong, head(3).toLong, head(4).toLong))
-    else None
-  }
+  /** The stored content fingerprint; None for a pre-fingerprint, empty,
+    * or CORRUPT meta (all treated as stale → rebuild — an unreadable
+    * sidecar must trigger a rebuild, never a permanent query failure). */
+  private def storedFingerprint(path: String): Option[(Long, Long, Long, Long)] =
+    scala.util.Try {
+      val head = Files.readAllLines(Paths.get(path, MetaFile),
+        StandardCharsets.UTF_8).get(0).split(' ')
+      (head(2).toLong, head(3).toLong, head(4).toLong, head(5).toLong)
+    }.toOption
 
   /** Meta write is ATOMIC (temp file + rename) — the meta file doubles as
     * the index's commit marker, so a crashed or concurrent build never
     * leaves a readable-but-partial index behind. */
   private def writeMeta(path: String, bits: Int, nCells: Int,
-                        fp: (Long, Long, Long),
+                        fp: (Long, Long, Long, Long),
                         centroids: Array[Array[Long]]): Unit = {
-    val body = s"$bits $nCells ${fp._1} ${fp._2} ${fp._3}\n" +
+    val body = s"$bits $nCells ${fp._1} ${fp._2} ${fp._3} ${fp._4}\n" +
       centroids.map(_.mkString(",")).mkString("\n") + "\n"
     val tmp = Files.createTempFile(Paths.get(path), "_graft_meta", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -156,12 +164,14 @@ object AnnIndex {
 
   def clearHandles(): Unit = handles.clear()
 
-  /** Injective directory-name encoding: alphanumerics pass through; every
-    * other char becomes '_' + 2-digit-min hex of its code point. '_' itself
-    * is escaped, so no two distinct keys collide. */
+  /** Injective directory-name encoding: ASCII alphanumerics pass through;
+    * every other char becomes '_' + FIXED-WIDTH 4-hex of its UTF-16 unit.
+    * '_' itself is escaped and the width is fixed, so the code is
+    * prefix-free: a variable-width escape would let two distinct keys
+    * share a dir (U+0123 escapes to "_123", colliding with U+0012 then '3'). */
   private[graft] def dirName(key: String, bits: Int, nCells: Int): String =
     "graft_ann_" + key.flatMap(c =>
-      if (c.isLetterOrDigit && c < 0x80) c.toString else f"_${c.toInt}%02x") +
+      if (c.isLetterOrDigit && c < 0x80) c.toString else f"_${c.toInt}%04x") +
       s"_b${bits}c$nCells"
 
   def forTable(emb: => DataFrame, spark: SparkSession, key: String,

@@ -80,6 +80,8 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.dirName("a/b", 4, 16) != AnnIndex.dirName("a_b", 4, 16))
     assert(AnnIndex.dirName("a.b", 4, 16) != AnnIndex.dirName("a/b", 4, 16))
     assert(AnnIndex.dirName("a b", 4, 16) != AnnIndex.dirName("a#b", 4, 16))
+    // variable-width hex escapes are NOT prefix-free: U+0123 vs U+0012 '3'
+    assert(AnnIndex.dirName("ģ", 4, 16) != AnnIndex.dirName("3", 4, 16))
     assert(AnnIndex.dirName("k", 4, 16) == AnnIndex.dirName("k", 4, 16))
   }
 
