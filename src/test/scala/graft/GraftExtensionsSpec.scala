@@ -34,6 +34,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getLong(1) == 500L * 2000L + 1000L * 3000L)
       assert(r.getLong(2) == 500L * 7L)
       assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+      // wrong arity must fail with a clean message, not an index error
+      val e = intercept[Exception](
+        s2.sql("SELECT rolling_hash('a', 'b')").collect())
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(chain.contains("expects exactly 1"), s"unhelpful error: $chain")
     } finally {
       // never s2.stop() — it would take the shared SparkContext down
       SparkSession.setDefaultSession(orig)
