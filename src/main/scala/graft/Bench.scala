@@ -55,25 +55,19 @@ object Bench {
     (sec, nDocs.toLong, nTriples)
   }
 
-  def buildSession(cpus: String): SparkSession = SparkSession.builder()
-    .master(s"local[$cpus]")
-    .appName("graft-bench")
-    .config("spark.sql.shuffle.partitions", cpus)
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // a 100 TB scan has ~10^6 splits; locally the corpus is a few hundred
-    // MB and would collapse to 1-2 splits at the 128 MB default, starving
-    // every thread past the first — size splits so the narrow pass
-    // parallelizes the way a cluster scan does
-    .config("spark.sql.files.maxPartitionBytes", "1m")
-    .config("spark.sql.files.openCostInBytes", "64k")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  /** BENCH session: production options + the local split-size tuning — a
+    * 100 TB scan has ~10^6 splits; locally the staged corpus is a few
+    * hundred MB and would collapse to 1-2 splits at the 128 MB default,
+    * starving every thread past the first. The overrides live in
+    * GraftSession.benchOnlyOptions and reach only this entry point —
+    * production jobs use GraftSession.production (128 MB default splits;
+    * a 1 MB split size at 100 TB plans ~10^8 scan tasks). */
+  def buildSession(cpus: String): SparkSession =
+    GraftSession.build(cpus, "graft-bench", GraftSession.benchOnlyOptions)
 
-  // same module opens spark needs on JDK 17 (mirrors build.sbt)
-  private val jdk17AddOpens = Seq(
+  // same module opens spark needs on JDK 17 (mirrors build.sbt); shared
+  // with every child-JVM spawner (BenchLeg legs, the cache-lifecycle probe)
+  private[graft] val jdk17AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
     "java.base/java.net", "java.base/java.nio",
@@ -158,13 +152,12 @@ object Bench {
     // control experiment) — a multi-executor cluster adds memory channels
     // with cores, so the below-the-wall legs are the faithful local analog
     // of N→4N executors. The 16/32-core curve is still reported (BENCH.md).
-    // 800k docs per scaling leg (round-2 ran 400k and recorded 0.787 —
-    // just under the 0.8 gate; doubling the leg corpus halves the
-    // fixed-overhead share of each run, which is what the marginal points
-    // were). The headline stays at 1.6M docs, comparable across rounds.
-    // 1.2M docs per scaling leg (r3 ran 800k and recorded 0.802 — one
-    // contended sample from the 0.8 gate; a bigger leg further shrinks
-    // the fixed-overhead share, the marginal points' main cost)
+    // 1.2M docs per scaling leg since round 4 (r2 ran 400k → eff 0.787,
+    // r3 ran 800k → 0.802 — both one contended sample from the 0.8 gate;
+    // a bigger leg shrinks the fixed-overhead share, the marginal points'
+    // main cost). The headline corpus is 2× the leg knob = 2.4M docs
+    // (changed from 1.6M in round 4 — cross-round headline comparisons
+    // straddle that boundary).
     val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "1200000").toInt
     // headline follows the leg knob (2× → the 1.6M default), so one env
     // var still scales the WHOLE bench down for a smoke run

@@ -9,6 +9,42 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+/** Stage configuration for the end-to-end curation pipeline
+  * ([[Queries.curationPipelineOver]] / [[CurationJob]]). The defaults are
+  * the published Gopher/MassiveText cuts where one exists; every knob is
+  * threadable from CurationJob's command line (`k=v` args). The catalog
+  * entry pins exactly these defaults and generates its DuckDB oracle from
+  * the same instance, so the constants can never drift.
+  *
+  *  - `minSharedPct`: keep-list near-dup word-Jaccard threshold (‰ of 100).
+  *  - `decontamShingleN`: benchmark-decontamination n-gram length.
+  *  - `minWords`/`maxWords`, `minMeanWordLen`/`maxMeanWordLen`: the two
+  *    Gopher gates a synthetic-vocabulary corpus can apply; set
+  *    `fullGopher` to use ALL seven published rules instead (needs a
+  *    natural-language corpus — the stop-word rule voids word soup).
+  *  - `maxBigramDupFrac`: intra-doc repetition gate (Gopher's duplicate
+  *    n-gram family) — None disables.
+  *  - `lineDedupMinDocs`: cross-doc line-dedup REWRITE stage (C4/
+  *    RefinedWeb boilerplate rule) — None disables (the default: it
+  *    voids corpora whose docs are single lines, like the catalog's).
+  *  - `shortBandWords`, `shortPermille`/`longPermille`: stratified
+  *    sampling bands and rates.
+  *  - `seqLen`: packing sequence length. */
+case class CurationConfig(
+  minSharedPct: Int = 80,
+  decontamShingleN: Int = 8,
+  minWords: Int = 50,
+  maxWords: Int = 100000,
+  minMeanWordLen: Double = 3.0,
+  maxMeanWordLen: Double = 10.0,
+  fullGopher: Boolean = false,
+  maxBigramDupFrac: Option[Double] = Some(0.1),
+  lineDedupMinDocs: Option[Long] = None,
+  shortBandWords: Int = 70,
+  shortPermille: Int = 500,
+  longPermille: Int = 750,
+  seqLen: Int = 2048)
+
 /** Implementations behind SparkEntry.queries.
   *
   * Design rules for oracle-checked queries (the driver compares against
@@ -404,76 +440,122 @@ object Queries {
     // NULL-SAFE join on the group keys: both aggregations emit the null
     // group, and a plain equi-join would silently drop it — a corpus with
     // failed language ID (lang = null) would vanish from the rollup and
-    // the stats table would stop reconciling with the corpus totals
+    // the stats table would stop reconciling with the corpus totals.
+    // LEFT join + coalesce(0): a group whose docs ALL have null text
+    // emits no row on the distinct-token side at all (explode of null
+    // produces nothing), so an inner join would still drop the whole
+    // group — the exact reconciliation failure the null-safe keys fix.
     base.join(uniq.withColumnRenamed("lang", "u_lang")
         .withColumnRenamed("source", "u_source"),
-        col("lang") <=> col("u_lang") && col("source") <=> col("u_source"))
+        col("lang") <=> col("u_lang") && col("source") <=> col("u_source"),
+        "left")
       .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
-        col("total_chars"), col("distinct_tokens"),
+        col("total_chars"),
+        coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
         (col("total_tokens").cast("double") / col("n_docs")).as("avg_doc_tokens"))
   }
 
   /** The END-TO-END curation deliverable, composed from the operator
-    * family as ONE catalog entry — the table a 100 TB curation run ships:
+    * family as ONE catalog entry — the table a 100 TB curation run ships.
+    * The catalog entry PINS the demo parameterization — corpus = the
+    * doc_id % 5 ≠ 0 slice, eval = the % 5 = 0 slice, default
+    * [[graft.CurationConfig]] gates/rates — and the generated DuckDB
+    * mirror chains the same CTE fragments from the same constants, so the
+    * end-to-end result is bit-exact. Production runs call
+    * [[curationPipelineOver]] with a REAL external eval table (or none)
+    * and their own config — see [[CurationJob]]. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    curationPipelineOver(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      evalSet = Some(docs.filter(col("doc_id") % 5 === 0)),
+      vocabKey = Some(s"$dir#documents_c#sh3"))
+  }
+
+  /** The end-to-end curation composition over any (doc_id, text) corpus —
+    * the form [[CurationJob]] materializes:
     *
-    *   1. dedup keep-list over the full corpus → keep only cluster
+    *   0. (optional, `config.lineDedupMinDocs`) line-level boilerplate
+    *      removal — cross-doc duplicated lines stripped, text REWRITTEN,
+    *      so every later stage sees the cleaned corpus (RefinedWeb order);
+    *   1. dedup keep-list over the corpus → keep only cluster
     *      representatives (doc_id == keep_id);
-    *   2. benchmark decontamination (eval = the doc_id % 5 slice) →
-    *      drop flagged corpus docs (left-anti);
-    *   3. Gopher quality gate (word count ∈ [50, 100k], mean word length
-    *      ∈ [3, 10] — the stop-word rule is deliberately not applied: the
-    *      synthetic vocabulary carries no English function words, so it
-    *      would void the corpus; real deployments add it back);
-    *   4. deterministic stratified sampling (length bands at 70 words,
-    *      500‰/750‰);
-    *   5. sequence packing at seqLen = 2048 (distributed prefix sum).
+    *   2. benchmark decontamination against `evalSet` — drop flagged
+    *      corpus docs (left-anti). None → stage skipped: decontamination
+    *      only makes sense against a real held-out suite, never against
+    *      a slice of the corpus itself;
+    *   3. quality gate: word count ∈ [minWords, maxWords] and mean word
+    *      length ∈ [minMeanWordLen, maxMeanWordLen] (or the FULL Gopher
+    *      rule set with `config.fullGopher` — off for the synthetic
+    *      catalog corpus, whose vocabulary carries no English stop
+    *      words), plus the intra-doc repetition gate (bigram duplicate
+    *      fraction ≤ `maxBigramDupFrac` — machine-generated/boilerplate
+    *      text filters here);
+    *   4. deterministic stratified sampling (length band at
+    *      `shortBandWords`, per-stratum permille rates);
+    *   5. sequence packing at `config.seqLen` (distributed prefix sum).
     *
     * Output: (doc_id, stratum, n_tokens, start_offset, bin) for every
-    * surviving document. Every stage is the already-oracle-verified
-    * operator; the composed DuckDB mirror chains the same CTE fragments,
-    * so the END-TO-END result is bit-exact too. Scale shape: the stages
-    * compose without materialization except the keep-list's connected
-    * components (inherently iterative) — filters/coins are per-row, the
-    * decontam side is broadcast, packing is the two-pass scan. */
-  def curationPipeline(s: SparkSession, dir: String): DataFrame =
-    curationPipelineOver(table(s, dir, "documents"),
-      vocabKey = Some(s"$dir#documents#sh3"))
-
-  /** The same five-stage composition over any (doc_id, text) table — the
-    * form [[CurationJob]] materializes. `precomputedKeepList` lets a
-    * caller that already built the keep-list (CurationJob writes it as
-    * its own deliverable) share it instead of re-running the LSH
-    * verification + connected-components closure — the pipeline's
-    * dominant cost — a second time. */
+    * surviving document. Scale shape: the stages compose without
+    * materialization except the keep-list's connected components
+    * (inherently iterative) — gates/coins are per-row, the decontam side
+    * is broadcast, packing is the two-pass scan.
+    *
+    * `precomputedKeepList` lets a caller that already built the keep-list
+    * (CurationJob writes it as its own deliverable) share it instead of
+    * re-running the LSH verification + connected-components closure — the
+    * pipeline's dominant cost — a second time; it must have been computed
+    * over the same (post-line-dedup, if enabled) corpus. */
   def curationPipelineOver(docs: DataFrame,
+                           evalSet: Option[DataFrame],
+                           config: CurationConfig = CurationConfig(),
                            vocabKey: Option[String] = None,
                            precomputedKeepList: Option[DataFrame] = None): DataFrame = {
+    val base = config.lineDedupMinDocs match {
+      case Some(m) => Dedup.lineDedup(docs.select(col("doc_id"), col("text")), m)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      case None => docs.select(col("doc_id"), col("text"))
+    }
     val keep = precomputedKeepList.getOrElse(
-      Dedup.keepList(docs, minSharedPct = 80, vocabKey = vocabKey))
-    val reps = docs.join(
+      Dedup.keepList(base, minSharedPct = config.minSharedPct, vocabKey = vocabKey))
+    val reps = base.join(
       keep.filter(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
-    val corpus = reps.filter(col("doc_id") % 5 =!= 0)
-    val contaminated = Dedup.decontaminate(
-        docs.filter(col("doc_id") % 5 =!= 0),
-        docs.filter(col("doc_id") % 5 === 0), shingleN = 8)
-      .select(col("doc_id"))
-    val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
-    val qualIds = TextAnalysis.gopherQuality(clean)
-      .filter(col("n_words").between(50, 100000) &&
-        col("mean_word_len").between(3.0, 10.0))
-      .select(col("doc_id"))
+    // decontamination flags are per-doc (vs the eval set only), so running
+    // the gram join on the surviving reps is equivalent to flagging the
+    // whole corpus and cheaper
+    val clean = evalSet match {
+      case Some(ev) =>
+        val contaminated = Dedup.decontaminate(reps, ev,
+          shingleN = config.decontamShingleN).select(col("doc_id"))
+        reps.join(contaminated, Seq("doc_id"), "left_anti")
+      case None => reps
+    }
+    val gq = TextAnalysis.gopherQuality(clean)
+    val gateIds =
+      (if (config.fullGopher) gq.filter(col("passes_gopher") === 1)
+       else gq.filter(
+         col("n_words").between(config.minWords, config.maxWords) &&
+           col("mean_word_len").between(config.minMeanWordLen, config.maxMeanWordLen)))
+        .select(col("doc_id"))
+    val qualIds = config.maxBigramDupFrac match {
+      case Some(t) => gateIds.join(
+        TextAnalysis.repetition(clean).filter(col("bi_dup_frac") <= t)
+          .select(col("doc_id")), "doc_id")
+      case None => gateIds
+    }
     val qual = clean.join(qualIds, "doc_id")
     // the sampled survivors feed TWO branches (the packing input and the
     // stratum join-back); localCheckpoint materializes them once, so the
     // decontamination gram join and quality pass upstream are not
     // re-evaluated per branch (the CC closure already checkpoints itself)
     val sampled = operators.Sampling.stratifiedSample(qual, col("doc_id"),
-        when(size(split(col("text"), " ")) < 70, "short").otherwise("long"),
-        Seq("short" -> 500, "long" -> 750))
+        when(size(split(col("text"), " ")) < config.shortBandWords, "short")
+          .otherwise("long"),
+        Seq("short" -> config.shortPermille, "long" -> config.longPermille))
       .select(col("doc_id"), col("text"), col("stratum"))
       .localCheckpoint()
     operators.Packing.packChunked(
-        sampled.select(col("doc_id"), col("text")), seqLen = 2048)
+        sampled.select(col("doc_id"), col("text")), seqLen = config.seqLen)
       .join(sampled.select(col("doc_id"), col("stratum")), "doc_id")
       .select(col("doc_id"), col("stratum"), col("n_tokens"),
         col("start_offset"), col("bin"))
@@ -490,6 +572,11 @@ object Queries {
     val docs = table(s, dir, "documents")
     Dedup.tokenVocabCached(Dedup.shingleRows(docs, 3),
       Some(s"$dir#documents#sh3")).count()
+    // the curation pipeline's corpus is the %5≠0 slice (eval = the rest),
+    // so its keep-list ranks a vocabulary over that slice's shingles
+    Dedup.tokenVocabCached(
+      Dedup.shingleRows(docs.filter(col("doc_id") % 5 =!= 0), 3),
+      Some(s"$dir#documents_c#sh3")).count()
     Dedup.tokenVocabCached(
       docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("sh")),

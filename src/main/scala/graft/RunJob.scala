@@ -4,6 +4,7 @@ import graft.core._
 import graft.materialize.GraphMaterializer
 import graft.score.LexiconScorer
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Production job entry point (spark-submit shape):
   *
@@ -67,7 +68,9 @@ object RunJob {
     require(args.length >= 3, "usage: RunJob <docsParquet> <dict|synthetic:N> <outDir> [nBuckets]")
     val nBuckets = if (args.length > 3) args(3).toInt else 32
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Bench.buildSession(cpus)
+    // PRODUCTION session: default 128 MB scan splits — the bench's 1 MB
+    // override would plan ~10^8 scan tasks at 100 TB (GraftSession doc)
+    val spark = GraftSession.production(cpus, "graft-runjob")
     spark.sparkContext.setLogLevel("WARN")
     val counts = run(spark, args(0), args(1), args(2), nBuckets)
     println(counts.toSeq.sortBy(_._1)
@@ -79,36 +82,82 @@ object RunJob {
 /** Production CURATION job entry point (spark-submit shape):
   *
   *   spark-submit --class graft.CurationJob engine.jar \
-  *     <docsParquet> <outDir> [nBuckets]
+  *     <docsParquet> <outDir> [nBuckets] [eval=<parquet>] [k=v ...]
   *
   * Materializes the curation deliverables over a (doc_id, text, ...)
   * corpus table, Iceberg-shaped resumable bucketed parquet like RunJob —
   * re-running after a crash resumes exactly at the incomplete buckets:
   *   <outDir>/keep_list  (doc_id, keep_id)          — the dedup table
   *   <outDir>/packed     (doc_id, stratum, n_tokens, start_offset, bin)
-  *                        — the five-stage curation pipeline's output
+  *                        — the curation pipeline's output
   *   <outDir>/stats      (per-(lang, source) rollup, plain overwrite —
   *                        a ~|sources|×|langs| reporting table)
   * and prints one metrics JSON line (row counts from lineage aggregates,
-  * no post-write re-reads). */
+  * no post-write re-reads).
+  *
+  * Decontamination runs ONLY against an EXTERNAL eval table
+  * (`eval=<parquet>` with (doc_id, text) rows); without one the stage is
+  * skipped — a production corpus is never decontaminated against a slice
+  * of itself. Every [[CurationConfig]] gate/rate is threadable as a
+  * `k=v` arg (e.g. `minWords=100 longPermille=500 lineDedupMinDocs=2
+  * fullGopher=true`). */
 object CurationJob {
 
+  /** `k=v` command-line overrides → CurationConfig. */
+  def parseConfig(kvs: Seq[String],
+                  base: CurationConfig = CurationConfig()): CurationConfig =
+    kvs.foldLeft(base) { (c, kv) =>
+      kv.split("=", 2) match {
+        case Array("minSharedPct", v) => c.copy(minSharedPct = v.toInt)
+        case Array("decontamShingleN", v) => c.copy(decontamShingleN = v.toInt)
+        case Array("minWords", v) => c.copy(minWords = v.toInt)
+        case Array("maxWords", v) => c.copy(maxWords = v.toInt)
+        case Array("minMeanWordLen", v) => c.copy(minMeanWordLen = v.toDouble)
+        case Array("maxMeanWordLen", v) => c.copy(maxMeanWordLen = v.toDouble)
+        case Array("fullGopher", v) => c.copy(fullGopher = v.toBoolean)
+        case Array("maxBigramDupFrac", "none") => c.copy(maxBigramDupFrac = None)
+        case Array("maxBigramDupFrac", v) =>
+          c.copy(maxBigramDupFrac = Some(v.toDouble))
+        case Array("lineDedupMinDocs", "none") => c.copy(lineDedupMinDocs = None)
+        case Array("lineDedupMinDocs", v) =>
+          c.copy(lineDedupMinDocs = Some(v.toLong))
+        case Array("shortBandWords", v) => c.copy(shortBandWords = v.toInt)
+        case Array("shortPermille", v) => c.copy(shortPermille = v.toInt)
+        case Array("longPermille", v) => c.copy(longPermille = v.toInt)
+        case Array("seqLen", v) => c.copy(seqLen = v.toInt)
+        case other => sys.error(s"unknown config arg '${other.mkString("=")}'")
+      }
+    }
+
   def run(spark: SparkSession, docsPath: String, outDir: String,
-          nBuckets: Int): Map[String, Long] = {
-    val docs = spark.read.parquet(docsPath)
-    val keep = graft.operators.Dedup.keepList(docs, minSharedPct = 80)
+          nBuckets: Int, evalSet: Option[DataFrame] = None,
+          config: CurationConfig = CurationConfig()): Map[String, Long] = {
+    val raw = spark.read.parquet(docsPath)
+    // line-dedup (when configured) REWRITES the corpus before dedup, so
+    // the keep-list this job ships is over the same cleaned text the
+    // pipeline packs — apply it here and hand the pipeline the result
+    val docs = config.lineDedupMinDocs match {
+      case Some(m) => graft.operators.Dedup
+        .lineDedup(raw.select(col("doc_id"), col("text")), m)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      case None => raw
+    }
+    val keep = graft.operators.Dedup.keepList(docs,
+      minSharedPct = config.minSharedPct)
     val wroteKeep = GraphMaterializer.writeResumable(
       spark, keep, s"$outDir/keep_list", nBuckets)
     // the pipeline REUSES the keep-list computed above (its CC closure is
     // checkpointed, so `keep` re-evaluates as one cheap join) — without
-    // this the job would run the LSH verification + closure twice
-    val packed = Queries.curationPipelineOver(docs,
+    // this the job would run the LSH verification + closure twice. Line
+    // dedup is disabled inside the pipeline call: `docs` is already clean.
+    val packed = Queries.curationPipelineOver(docs, evalSet,
+      config.copy(lineDedupMinDocs = None),
       precomputedKeepList = Some(keep))
     val wrotePacked = GraphMaterializer.writeResumable(
       spark, packed, s"$outDir/packed", nBuckets)
     // reporting rollup only when the corpus carries the grouping columns
-    if (Seq("lang", "source").forall(docs.columns.contains))
-      Queries.corpusStatsOver(docs)
+    if (Seq("lang", "source").forall(raw.columns.contains))
+      Queries.corpusStatsOver(raw)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$outDir/stats")
     Map(
@@ -119,11 +168,18 @@ object CurationJob {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CurationJob <docsParquet> <outDir> [nBuckets]")
-    val nBuckets = if (args.length > 2) args(2).toInt else 32
-    val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    require(args.length >= 2,
+      "usage: CurationJob <docsParquet> <outDir> [nBuckets] [eval=<parquet>] [k=v ...]")
+    val nBuckets = args.lift(2).filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(32)
+    val kvArgs = args.drop(2).filter(_.contains("="))
+    val evalPath = kvArgs.collectFirst { case kv if kv.startsWith("eval=") =>
+      kv.stripPrefix("eval=") }
+    val config = parseConfig(kvArgs.filterNot(_.startsWith("eval=")).toSeq)
+    val spark = GraftSession.production(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-curation")
     spark.sparkContext.setLogLevel("WARN")
-    val counts = run(spark, args(0), args(1), nBuckets)
+    val counts = run(spark, args(0), args(1), nBuckets,
+      evalPath.map(spark.read.parquet), config)
     println(counts.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
     spark.stop()
@@ -135,7 +191,8 @@ object CurationJob {
 object Evaluate {
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: Evaluate <goldParquet> <triplesParquet>")
-    val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val spark = GraftSession.production(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-evaluate")
     implicit val s: SparkSession = spark
     spark.sparkContext.setLogLevel("WARN")
     val gold: DataFrame = spark.read.parquet(args(0))

@@ -98,8 +98,10 @@ object SparkEntry {
   private val P = graft.operators.Dedup.HashP
 
   /** CTE chain ending in `cand(doc_a, doc_b)` — the portable MinHash-LSH
-    * candidate construction (3-gram shingles, k=16, 4 bands × 4 rows). */
-  private def minhashCandCtes: String = {
+    * candidate construction (3-gram shingles, k=16, 4 bands × 4 rows).
+    * `src` is the corpus relation (default the full documents table; the
+    * curation oracle passes its %5≠0 corpus slice as a subquery). */
+  private def minhashCandCtes(src: String = "documents"): String = {
     import graft.operators.Dedup.{HashA, HashB}
     val mins = (0 until 16).map(s =>
       s"min((${HashA(s)}*tid + ${HashB(s)}) % $P) AS h$s").mkString(", ")
@@ -108,7 +110,7 @@ object SparkEntry {
         .reduce((acc, h) => s"($acc*1009+$h)")
       s"SELECT doc_id, $b AS band, $fold AS bucket FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH d AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+    s"""WITH d AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM $src AS src0),
        | shx AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 3 THEN [text]
        |   ELSE list_distinct(list_filter(list_transform(ws, (x,i) ->
        |     CASE WHEN i+2 <= len(ws) THEN array_to_string(list_slice(ws, i, i+2), ' ') END),
@@ -127,11 +129,11 @@ object SparkEntry {
   /** minhashCandCtes extended with the exact word-Jaccard verification —
     * ends in `verif(doc_a, doc_b, n_common, n_a, n_b)`, shared by
     * dedup_lsh_verified and dedup_keep_list. */
-  private def lshVerifiedCtes: String =
-    minhashCandCtes +
-      """,
+  private def lshVerifiedCtes(src: String = "documents"): String =
+    minhashCandCtes(src) +
+      s""",
         | wset AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
-        |   FROM documents),
+        |   FROM $src AS src1),
         | sizes AS (SELECT doc_id, count(*) AS n FROM wset GROUP BY doc_id),
         | comm AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cand c
         |   JOIN wset a ON a.doc_id = c.doc_a
@@ -175,7 +177,8 @@ object SparkEntry {
     * cross-multiply threshold), renamed s* to avoid CTE-name clashes.
     * Shared by the two keep-list oracles and the curation-pipeline
     * composition. */
-  private def keepListCtes(withSemantic: Boolean): String = {
+  private def keepListCtes(withSemantic: Boolean,
+                           src: String = "documents"): String = {
     val semCtes = if (!withSemantic) "" else
       "," + quantVCte.stripPrefix("WITH") + "," + planeWgtCte(6) +
         """,
@@ -196,10 +199,10 @@ object SparkEntry {
           |   JOIN snorms nb ON vec_b = nb.vec_id
           |   WHERE qdot > 0 AND 400*qdot*qdot >= 9*na.n*nb.n)""".stripMargin
     val semUnion = if (withSemantic) " UNION SELECT a, b FROM sem" else ""
-    "WITH RECURSIVE" + lshVerifiedCtes.stripPrefix("WITH") + semCtes +
+    "WITH RECURSIVE" + lshVerifiedCtes(src).stripPrefix("WITH") + semCtes +
       s""",
-         | exg AS (SELECT md5(text) AS h, min(doc_id) AS m FROM documents GROUP BY 1),
-         | ex AS (SELECT d.doc_id AS a, g.m AS b FROM documents d
+         | exg AS (SELECT md5(text) AS h, min(doc_id) AS m FROM $src AS src2 GROUP BY 1),
+         | ex AS (SELECT d.doc_id AS a, g.m AS b FROM $src AS d
          |        JOIN exg g ON md5(d.text) = g.h WHERE d.doc_id <> g.m),
          | ed AS (SELECT a, b FROM ex UNION
          |        SELECT doc_a AS a, doc_b AS b FROM verif$semUnion),
@@ -217,34 +220,47 @@ object SparkEntry {
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc""".stripMargin
 
   /** The composed end-to-end curation-pipeline oracle: the keep-list CTE
-    * chain (→ `comp`), the decontamination branches (p*-renamed copies of
-    * the text_decontam mirror, flags only), then the quality gate,
-    * LCG-coin sampling and the window-form prefix sum — the same five
-    * verified stages chained in SQL exactly as Queries.curationPipeline
-    * chains the operators. */
+    * chain (→ `comp`) over the CORPUS slice (doc_id % 5 ≠ 0 — the eval
+    * slice is the held-out suite, not corpus, so dedup never sees it),
+    * the decontamination branches (p*-renamed copies of the text_decontam
+    * mirror, flags only), then the quality gates (word count, mean word
+    * length, bigram-repetition fraction), LCG-coin sampling and the
+    * window-form prefix sum — the same stages chained in SQL exactly as
+    * Queries.curationPipeline chains the operators. Every constant is
+    * read from the SAME CurationConfig instance the catalog entry pins,
+    * so gates/rates can never drift between the engines. */
+  private val catalogCuration = CurationConfig()
+
   private def curationPipelineSql: String = {
     import graft.operators.Dedup.{HashA, HashB}
-    keepListCtes(withSemantic = false) +
+    val cfg = catalogCuration
+    val corpusSrc = "(SELECT * FROM documents WHERE doc_id % 5 <> 0)"
+    val repGate = cfg.maxBigramDupFrac.map(t =>
+      s"""
+         |     AND (CASE WHEN len(bi) > 0
+         |       THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(bi)) AS DOUBLE) / CAST(len(bi) AS DOUBLE)
+         |       ELSE CAST(0 AS DOUBLE) END) <= $t""".stripMargin).getOrElse("")
+    keepListCtes(withSemantic = false, src = corpusSrc) +
       s""",
          | pd AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          | pev AS (SELECT doc_id AS eval_id, ws FROM pd WHERE doc_id % 5 = 0),
          | pco AS (SELECT doc_id, ws FROM pd WHERE doc_id % 5 <> 0),
          | pcog AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
-         |     CASE WHEN i+7 <= len(ws) THEN array_to_string(list_slice(ws, i, i+7), ' ') END),
-         |     s -> s IS NOT NULL))) AS g FROM pco WHERE len(ws) >= 8),
+         |     CASE WHEN i+${cfg.decontamShingleN - 1} <= len(ws) THEN array_to_string(list_slice(ws, i, i+${cfg.decontamShingleN - 1}), ' ') END),
+         |     s -> s IS NOT NULL))) AS g FROM pco WHERE len(ws) >= ${cfg.decontamShingleN}),
          | pevg AS (SELECT eval_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
-         |     CASE WHEN i+7 <= len(ws) THEN array_to_string(list_slice(ws, i, i+7), ' ') END),
-         |     s -> s IS NOT NULL))) AS g FROM pev WHERE len(ws) >= 8),
+         |     CASE WHEN i+${cfg.decontamShingleN - 1} <= len(ws) THEN array_to_string(list_slice(ws, i, i+${cfg.decontamShingleN - 1}), ' ') END),
+         |     s -> s IS NOT NULL))) AS g FROM pev WHERE len(ws) >= ${cfg.decontamShingleN}),
          | pm1 AS (SELECT doc_id FROM pcog JOIN pevg USING (g)),
          | pevs AS (SELECT eval_id, array_to_string(ws,' ') AS g, len(ws) AS l
-         |         FROM pev WHERE len(ws) < 8),
+         |         FROM pev WHERE len(ws) < ${cfg.decontamShingleN}),
          | pevl AS (SELECT DISTINCT l FROM pevs),
          | pcosw AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
          |     CASE WHEN i+pevl.l-1 <= len(ws) THEN array_to_string(list_slice(ws, i, i+pevl.l-1), ' ') END),
          |     s -> s IS NOT NULL))) AS g FROM pco CROSS JOIN pevl WHERE len(ws) >= pevl.l),
          | pm2 AS (SELECT doc_id FROM pcosw JOIN pevs ON pcosw.g = pevs.g),
-         | pcos AS (SELECT doc_id, array_to_string(ws,' ') AS g FROM pco WHERE len(ws) < 8),
-         | pcol AS (SELECT DISTINCT len(ws) AS l FROM pco WHERE len(ws) < 8),
+         | pcos AS (SELECT doc_id, array_to_string(ws,' ') AS g FROM pco WHERE len(ws) < ${cfg.decontamShingleN}),
+         | pcol AS (SELECT DISTINCT len(ws) AS l FROM pco WHERE len(ws) < ${cfg.decontamShingleN}),
          | pevgw AS (SELECT eval_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
          |     CASE WHEN i+pcol.l-1 <= len(ws) THEN array_to_string(list_slice(ws, i, i+pcol.l-1), ' ') END),
          |     s -> s IS NOT NULL))) AS g FROM pev CROSS JOIN pcol WHERE len(ws) >= pcol.l),
@@ -257,22 +273,26 @@ object SparkEntry {
          |   WHERE coalesce(c.keep, dd.doc_id) = dd.doc_id AND dd.doc_id % 5 <> 0
          |     AND NOT EXISTS (SELECT 1 FROM pflag f WHERE f.doc_id = dd.doc_id)),
          | qual AS (SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
-         |     CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)/len(ws) AS mwl
+         |     CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)/len(ws) AS mwl,
+         |     list_filter(list_transform(ws, (x,i) ->
+         |       CASE WHEN i+1 <= len(ws) THEN array_to_string(list_slice(ws, i, i+1), ' ') END),
+         |       s -> s IS NOT NULL) AS bi
          |   FROM surv),
          | kept AS (SELECT doc_id, n_words FROM qual
-         |   WHERE n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0),
+         |   WHERE n_words >= ${cfg.minWords} AND n_words <= ${cfg.maxWords}
+         |     AND mwl >= ${cfg.minMeanWordLen} AND mwl <= ${cfg.maxMeanWordLen}$repGate),
          | samp AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
-         |     CASE WHEN n_words < 70 THEN 'short' ELSE 'long' END AS stratum,
+         |     CASE WHEN n_words < ${cfg.shortBandWords} THEN 'short' ELSE 'long' END AS stratum,
          |     ((${HashA(0)}*doc_id + ${HashB(0)}) % $P) % 1000 AS coin
          |   FROM kept),
          | sel AS (SELECT doc_id, stratum, n_tokens FROM samp
-         |   WHERE coin < CASE stratum WHEN 'short' THEN 500 ELSE 750 END),
+         |   WHERE coin < CASE stratum WHEN 'short' THEN ${cfg.shortPermille} ELSE ${cfg.longPermille} END),
          | pk AS (SELECT doc_id, stratum, n_tokens,
          |   CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
          |  FROM sel)
          |SELECT doc_id, stratum, n_tokens, start_offset,
-         | CAST(floor(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS bin
+         | CAST(floor(CAST(start_offset AS DOUBLE) / ${cfg.seqLen}) AS BIGINT) AS bin
          |FROM pk""".stripMargin
   }
 
@@ -386,9 +406,9 @@ object SparkEntry {
          |                AND trg.pos > a.pos AND trg.pos < b.pos)""".stripMargin
     },
     "dedup_minhash_lsh" ->
-      (minhashCandCtes + "\nSELECT doc_a, doc_b FROM cand"),
+      (minhashCandCtes() + "\nSELECT doc_a, doc_b FROM cand"),
     "dedup_lsh_verified" ->
-      (lshVerifiedCtes +
+      (lshVerifiedCtes() +
         "\nSELECT doc_a, doc_b, n_common, n_a, n_b FROM verif"),
     // the corpus dedup deliverable: exact-dup edges ∪ the verified
     // near-dup pairs, closed transitively (recursive min-label
@@ -545,9 +565,10 @@ object SparkEntry {
         |  FROM (SELECT lang, source, unnest(string_split(text,' ')) AS w
         |        FROM documents) x
         |  GROUP BY 1, 2)
-        |SELECT d.lang, d.source, n_docs, total_tokens, total_chars, distinct_tokens,
+        |SELECT d.lang, d.source, n_docs, total_tokens, total_chars,
+        | CAST(COALESCE(distinct_tokens, 0) AS BIGINT) AS distinct_tokens,
         | CAST(total_tokens AS DOUBLE)/n_docs AS avg_doc_tokens
-        |FROM d JOIN u ON d.lang IS NOT DISTINCT FROM u.lang
+        |FROM d LEFT JOIN u ON d.lang IS NOT DISTINCT FROM u.lang
         |             AND d.source IS NOT DISTINCT FROM u.source""".stripMargin,
     // line-level boilerplate removal: a line in ≥2 distinct docs is
     // dropped everywhere; clean text rebuilt in original line order

@@ -278,6 +278,8 @@ object Dedup {
     key match {
       case None => tokenVocab(sh)
       case Some(k) =>
+        sweepStoppedEntries()
+        registerCleanup(sh.sparkSession)
         vocabCache.getOrElseUpdate(
           (sessionKey(sh.sparkSession), k), {
             val v = tokenVocab(sh).persist(StorageLevel.MEMORY_AND_DISK)
@@ -291,6 +293,38 @@ object Dedup {
       try df.unpersist() catch { case _: Throwable => () })
     vocabCache.clear()
   }
+
+  private[graft] def cachedVocabCount: Int = vocabCache.size
+
+  /** Automatic lifecycle cleanup, in two layers (UUID keys already prevent
+    * stale REUSE — see sessionKey — but entries pinned to dead sessions
+    * would otherwise accumulate for the JVM lifetime):
+    *  - a SparkListener registered once per SparkContext clears every
+    *    cached entry when the application ends (the persisted blocks die
+    *    with the context, so clearing the map is the whole job);
+    *  - a lookup-time sweep drops entries whose owning context has already
+    *    stopped — the listener bus is async, so a lookup can race the
+    *    onApplicationEnd delivery. Bounded by the cache size (one entry
+    *    per (session, corpus) — a handful per process). */
+  private val cleanupHooked = TrieMap.empty[String, Boolean]
+
+  private[graft] def registerCleanup(s: org.apache.spark.sql.SparkSession): Unit =
+    cleanupHooked.getOrElseUpdate(s.sparkContext.applicationId + "#" +
+        System.identityHashCode(s.sparkContext), {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          sweepStoppedEntries()
+      })
+      true
+    })
+
+  private[graft] def sweepStoppedEntries(): Unit =
+    vocabCache.foreach { case (k, df) =>
+      // no unpersist: a stopped context's blocks are already gone, and
+      // the call would throw on the dead session
+      if (df.sparkSession.sparkContext.isStopped) vocabCache.remove(k)
+    }
 
   /** MinHash signatures over LCG-permuted dense token ids (k columns h0..). */
   def minhashSignaturesPortable(docs: DataFrame, shingleN: Int, k: Int,

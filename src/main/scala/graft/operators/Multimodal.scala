@@ -67,11 +67,16 @@ object Multimodal {
     private def be16(b: Array[Byte], off: Int): Int =
       ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
 
-    /** (width, height) from a PNG or JPEG header; None for anything else. */
+    /** (width, height) from a PNG or JPEG header; None for anything else.
+      * Decoded dimensions must be POSITIVE: a corrupt IHDR can declare
+      * dims ≥ 2^31 (negative after .toInt) or zero — both take the
+      * deterministic fallback path instead of propagating downstream. */
     def decodeDims(b: Array[Byte]): Option[(Int, Int)] = {
       if (b.length >= 24 && b.take(8).sameElements(pngSig) &&
-          new String(b.slice(12, 16), "US-ASCII") == "IHDR")
-        Some((be32(b, 16).toInt, be32(b, 20).toInt))
+          new String(b.slice(12, 16), "US-ASCII") == "IHDR") {
+        val (w, h) = (be32(b, 16).toInt, be32(b, 20).toInt)
+        if (w > 0 && h > 0) Some((w, h)) else None
+      }
       else if (b.length >= 4 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8) {
         // walk the marker stream to the first SOFn frame header
         var i = 2
@@ -83,7 +88,10 @@ object Multimodal {
           else {
             val len = be16(b, i + 2)
             if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
-              if (i + 8 < b.length) return Some((be16(b, i + 7), be16(b, i + 5)))
+              if (i + 8 < b.length) {
+                val (w, h) = (be16(b, i + 7), be16(b, i + 5))
+                return if (w > 0 && h > 0) Some((w, h)) else None
+              }
               return None
             }
             if (len < 2) return None

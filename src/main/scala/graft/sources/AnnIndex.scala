@@ -82,15 +82,19 @@ object AnnIndex {
   }
 
   /** Cheap content fingerprint of the source table, one aggregation:
-    * (rows, min/max vec_id, sum of quantized first-dimension values).
+    * (rows, min/max vec_id, XOR of per-row full-vector hashes).
     * The id terms catch added/removed vectors; the CONTENT term catches
     * the common regeneration that keeps ids stable — re-embedding the
     * same documents with a new model — which (rows, min, max) alone
-    * would wave through, silently serving obsolete neighbors. */
+    * would wave through, silently serving obsolete neighbors. The hash
+    * covers EVERY dimension and the row's id (xxhash64 of the whole
+    * array — an earlier version sampled only dimension 1, waving through
+    * regenerations that preserved it, and threw on empty arrays under
+    * ANSI element_at); bit_xor combines order-independently and cannot
+    * overflow under ANSI (a SUM of hashes throws on long overflow). */
   def fingerprint(emb: DataFrame): (Long, Long, Long, Long) = {
     val r = emb.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id")),
-      sum(floor(element_at(col("embedding"), 1).cast("double") * 1000)
-        .cast("long"))).head
+      bit_xor(xxhash64(col("vec_id"), col("embedding")))).head
     (r.getLong(0),
       if (r.isNullAt(1)) 0L else r.getLong(1),
       if (r.isNullAt(2)) 0L else r.getLong(2),
@@ -164,6 +168,30 @@ object AnnIndex {
 
   def clearHandles(): Unit = handles.clear()
 
+  private[graft] def cachedHandleCount: Int = handles.size
+
+  /** Same two-layer lifecycle cleanup as Dedup.vocabCache: an
+    * application-end listener plus a lookup-time sweep of handles whose
+    * owning context has stopped (handles hold no persisted blocks, so
+    * removal is the whole cleanup). */
+  private val cleanupHooked = TrieMap.empty[String, Boolean]
+
+  private def registerCleanup(s: SparkSession): Unit =
+    cleanupHooked.getOrElseUpdate(s.sparkContext.applicationId + "#" +
+        System.identityHashCode(s.sparkContext), {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          sweepStoppedEntries()
+      })
+      true
+    })
+
+  private[graft] def sweepStoppedEntries(): Unit =
+    handles.foreach { case (k, h) =>
+      if (h.spark.sparkContext.isStopped) handles.remove(k)
+    }
+
   /** Injective directory-name encoding: ASCII alphanumerics pass through;
     * every other char becomes '_' + FIXED-WIDTH 4-hex of its UTF-16 unit.
     * '_' itself is escaped and the width is fixed, so the code is
@@ -175,7 +203,9 @@ object AnnIndex {
       s"_b${bits}c$nCells"
 
   def forTable(emb: => DataFrame, spark: SparkSession, key: String,
-               bits: Int = 4, nCells: Int = 16): Handle =
+               bits: Int = 4, nCells: Int = 16): Handle = {
+    sweepStoppedEntries()
+    registerCleanup(spark)
     handles.getOrElseUpdate((graft.operators.Dedup.sessionKey(spark), key), {
       val dir = Paths.get(sys.props("java.io.tmpdir"),
         dirName(key, bits, nCells)).toString
@@ -184,4 +214,5 @@ object AnnIndex {
           storedFingerprint(dir).contains(fingerprint(e))) load(spark, dir)
       else build(e, dir, bits, nCells)
     })
+  }
 }

@@ -39,19 +39,49 @@ class RunJobSpec extends AnyFunSuite {
 
   test("CurationJob materializes keep-list + packed resumably; re-run no-op") {
     val tmp = Files.createTempDirectory("graft_cjob").toString
-    val c1 = CurationJob.run(spark, "/root/testdata/sf0.001/documents.parquet",
-      s"$tmp/out", 4)
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    // no-eval run: decontamination SKIPPED (a production corpus is never
+    // decontaminated against a slice of itself)
+    val c1 = CurationJob.run(spark, docsPath, s"$tmp/out", 4)
     assert(c1("keep_list") > 0 && c1("packed") > 0)
     assert(c1("buckets_written_keep_list") == 4)
-    val c2 = CurationJob.run(spark, "/root/testdata/sf0.001/documents.parquet",
-      s"$tmp/out", 4)
+    val c2 = CurationJob.run(spark, docsPath, s"$tmp/out", 4)
     assert(c2("buckets_written_keep_list") == 0 &&
       c2("buckets_written_packed") == 0, "completed buckets must be skipped")
     assert(c2("keep_list") == c1("keep_list") && c2("packed") == c1("packed"))
     // the rollup landed too (the testdata corpus carries lang/source)
     assert(spark.read.parquet(s"$tmp/out/stats").count() > 0)
-    // the packed table matches the catalog pipeline over the same corpus
-    val direct = Queries.curationPipeline(spark, "/root/testdata/sf0.001").count()
+    // the packed table matches the pipeline over the same corpus + config
+    val direct = Queries.curationPipelineOver(
+      spark.read.parquet(docsPath), evalSet = None).count()
     assert(c1("packed") == direct)
+  }
+
+  test("CurationJob with an EXTERNAL eval table decontaminates against it") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_cjob_eval").toString
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    // baseline without eval, then pick three packed survivors and publish
+    // their exact texts as the external benchmark suite
+    val base = CurationJob.run(spark, docsPath, s"$tmp/base", 4)
+    val survivors = materialize.GraphMaterializer
+      .readTable(spark, s"$tmp/base/packed")
+      .select("doc_id").limit(3).collect().map(_.getLong(0))
+    assert(survivors.length == 3)
+    docs.filter(col("doc_id").isin(survivors: _*))
+      .select(col("doc_id"), col("text"))
+      .write.parquet(s"$tmp/eval")
+    val withEval = CurationJob.run(spark, docsPath, s"$tmp/out", 4,
+      evalSet = Some(spark.read.parquet(s"$tmp/eval")))
+    assert(withEval("packed") == base("packed") - 3,
+      "every doc matching the external eval suite must be dropped")
+    val packedIds = materialize.GraphMaterializer
+      .readTable(spark, s"$tmp/out/packed")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    survivors.foreach(id => assert(!packedIds.contains(id),
+      s"contaminated doc $id must not be packed"))
+    // the keep-list deliverable is decontamination-independent
+    assert(withEval("keep_list") == base("keep_list"))
   }
 }
