@@ -241,24 +241,35 @@ object Bench {
     val Leg(_, kgSec, nDocs, nTriples, kgDps) = legMax.get
     val eff = if (bestEff >= 0) Some(bestEff) else None
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ROUNDED number rendering: the driver archives only the LAST 2000
+    // chars of stdout, so the whole line must fit that window to stay
+    // machine-parseable (round 4's full-precision doubles overflowed it).
+    // 3 decimals on seconds (ms), 1 on docs/s, 4 on the efficiency ratio —
+    // far inside the measurement noise either way.
+    def num(x: Double, d: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(x))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + kgSec
     val scaling = (legN, leg4N) match {
       case (Some(a), Some(b)) =>
         s""","scaling":{"cores_n":${a.cpus},"cores_4n":${b.cpus},""" +
-          s""""docs_per_sec_n":${a.docsPerSec},"docs_per_sec_4n":${b.docsPerSec},""" +
-          s""""efficiency":${eff.get},"efficiency_median":$medianEff,""" +
-          s""""attempts_n":${attemptsN.mkString("[", ",", "]")},""" +
-          s""""attempts_4n":${attempts4N.mkString("[", ",", "]")}}"""
+          s""""docs_per_sec_n":${num(a.docsPerSec, 1)},"docs_per_sec_4n":${num(b.docsPerSec, 1)},""" +
+          s""""efficiency":${num(eff.get, 4)},"efficiency_median":${num(medianEff, 4)},""" +
+          s""""attempts_n":${attemptsN.map(num(_, 1)).mkString("[", ",", "]")},""" +
+          s""""attempts_4n":${attempts4N.map(num(_, 1)).mkString("[", ",", "]")}}"""
       case _ => ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""staging_sec":$stagingSec,""" +
-      s""""kg_docs":$nDocs,"kg_triples":$nTriples,"kg_sec":$kgSec,""" +
-      s""""kg_docs_per_sec":$kgDps,"kg_triples_per_sec":${nTriples / kgSec},""" +
-      s""""protocol":"best-of-2 per query; streaming isolated last; kg headline peak-of-3 + scaling legs (3 unconditional attempt pairs, all reported) in fresh per-leg JVMs; staging timed separately"""" +
-      scaling + s""","cpus":"$cpus","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,""" +
+      s""""staging_sec":${num(stagingSec, 3)},""" +
+      s""""kg_docs":$nDocs,"kg_triples":$nTriples,"kg_sec":${num(kgSec, 3)},""" +
+      s""""kg_docs_per_sec":${num(kgDps, 1)},"kg_triples_per_sec":${num(nTriples / kgSec, 1)},""" +
+      s""""protocol":"bo2/query; stream last; kg peak-of-3 + 3 uncond leg pairs, fresh JVMs; staging apart"""" +
+      scaling + s""","cpus":"$cpus","sf":"$sfDir"}"""
+    if (line.length > 2000)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
+        "exceeds the driver's 2000-char archive window")
+    println(line)
     graft.operators.Dedup.clearVocabCache()
     graft.sources.AnnIndex.clearHandles()
     spark.stop()

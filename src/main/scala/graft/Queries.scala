@@ -287,7 +287,15 @@ object Queries {
     val newIds = docs.filter(col("doc_id") % 4 === 3).select("doc_id")
     val oldDocs = docs.filter(col("doc_id") % 4 =!= 3)
     val oldKeep = Dedup.keepList(oldDocs, minSharedPct = 80, vocabKey = key)
-    Dedup.keepListDelta(oldKeep, docs, newIds, minSharedPct = 80, vocabKey = key)
+    // the "old run" persists its signatures next to the keep-list (the
+    // SigStore build, fingerprint-validated on reopen); the delta READS
+    // them back instead of re-shingling the old corpus — the production
+    // delta shape end to end
+    val sigPath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      sources.SigStore.dirName(s"$dir#documents#old", 3, 16)).toString
+    val oldSigs = sources.SigStore.forCorpus(oldDocs, sigPath, vocabKey = key)
+    Dedup.keepListDelta(oldKeep, docs, newIds, minSharedPct = 80,
+      vocabKey = key, oldSigs = Some(oldSigs))
   }
 
   /** Benchmark decontamination over the documents table: the eval set is
@@ -695,13 +703,19 @@ object Queries {
 
   // ------------------------------------------------------------ multimodal
 
-  /** Multimodal plumbing: binary payload → batched (stub) decode →
-    * typed metadata. Byte-derived metadata is oracle-checkable. */
+  /** Multimodal plumbing with the HONEST decoder: the binder plants real
+    * PNG/JPEG headers on the doc_id % 10 ∈ {3, 7} rows and
+    * [[Multimodal.HeaderDecoder]] parses them for real (IHDR / SOF0 walk);
+    * every other row keeps the UTF-8 payload and the deterministic
+    * FakeDecoder features. The oracle recomputes the planted dims from
+    * doc_id, so the REAL decode path is driver-verified, not only
+    * spec-verified. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
-    val media = Multimodal.fromDocuments(
+    val media = Multimodal.fromDocumentsWithImages(
       table(s, dir, "documents").select(col("doc_id"), col("text")))
-    Multimodal.extractFeatures(media).toDF()
+    Multimodal.extractFeatures(media,
+        decoder = Multimodal.HeaderDecoder.decodeBatch).toDF()
       .select(col("doc_id").cast("long").as("doc_id"), col("n_bytes"),
         col("width"), col("height"), col("n_frames"))
   }

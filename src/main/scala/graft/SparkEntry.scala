@@ -846,12 +846,25 @@ object SparkEntry {
          |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
          |WHERE w IN ($dict) GROUP BY w""".stripMargin
     },
+    // doc_id % 10 ∈ {3, 7} rows carry REAL planted PNG/JPEG headers (33-
+    // and 21-byte payloads) that HeaderDecoder parses; their dims derive
+    // from doc_id, n_frames from FakeDecoder over the fixed-size header
+    // (1 + n_bytes mod 30 → 4 and 22). All other rows are the UTF-8 text
+    // payload with the deterministic fake features.
     "multimodal_features" ->
       """SELECT doc_id,
-        | CAST(strlen(text) AS INTEGER) AS n_bytes,
-        | CAST(64 + strlen(text) % 640 AS INTEGER) AS width,
-        | CAST(64 + (strlen(text) * 31) % 480 AS INTEGER) AS height,
-        | CAST(1 + strlen(text) % 30 AS INTEGER) AS n_frames
+        | CASE WHEN doc_id % 10 = 3 THEN 33
+        |      WHEN doc_id % 10 = 7 THEN 21
+        |      ELSE CAST(strlen(text) AS INTEGER) END AS n_bytes,
+        | CASE WHEN doc_id % 10 = 3 THEN CAST(1 + doc_id % 1024 AS INTEGER)
+        |      WHEN doc_id % 10 = 7 THEN CAST(1 + doc_id % 500 AS INTEGER)
+        |      ELSE CAST(64 + strlen(text) % 640 AS INTEGER) END AS width,
+        | CASE WHEN doc_id % 10 = 3 THEN CAST(1 + (doc_id * 7) % 1024 AS INTEGER)
+        |      WHEN doc_id % 10 = 7 THEN CAST(1 + (doc_id * 3) % 500 AS INTEGER)
+        |      ELSE CAST(64 + (strlen(text) * 31) % 480 AS INTEGER) END AS height,
+        | CASE WHEN doc_id % 10 = 3 THEN 4
+        |      WHEN doc_id % 10 = 7 THEN 22
+        |      ELSE CAST(1 + strlen(text) % 30 AS INTEGER) END AS n_frames
         |FROM documents""".stripMargin,
   )
 }

@@ -380,14 +380,30 @@ object Dedup {
     * generation pairs ONLY new docs against the whole corpus — the banded
     * self-join (the quadratic stage) has one side semi-joined to `newIds`;
     * old-old pairs are never generated. Pairs are normalized to
-    * doc_a < doc_b regardless of which side is new. Signatures for old
-    * docs are recomputed in a narrow pass (a production deployment stores
-    * them alongside the keep-list). */
+    * doc_a < doc_b regardless of which side is new.
+    *
+    * `oldSigs` kills the delta's remaining LINEAR full-corpus pass: when a
+    * persisted signature table ([[graft.sources.SigStore]], written by the
+    * old run next to its keep-list) is supplied, signatures are computed
+    * for the NEW batch only and the old corpus text is never re-shingled
+    * (spec-asserted). Stored rows overlapping `newIds` are dropped so a
+    * re-ingested doc always carries its fresh signature. Without a store,
+    * the whole corpus is re-signed in one narrow pass. */
   def lshVerifiedDupsPortableDelta(docs: DataFrame, newIds: DataFrame,
                                    shingleN: Int = 3, minSharedPct: Int = 80,
                                    bands: Int = 4, rowsPerBand: Int = 4,
-                                   vocabKey: Option[String] = None): DataFrame = {
-    val sig = minhashSignaturesPortable(docs, shingleN, bands * rowsPerBand, vocabKey)
+                                   vocabKey: Option[String] = None,
+                                   oldSigs: Option[DataFrame] = None): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = oldSigs match {
+      case Some(stored) =>
+        val newDocs = docs.join(newIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val newSig = minhashSignaturesPortable(newDocs, shingleN, k, vocabKey)
+        stored.select(newSig.columns.map(col): _*)
+          .join(newIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(newSig)
+      case None => minhashSignaturesPortable(docs, shingleN, k, vocabKey)
+    }
     val banded = bandedBuckets(sig, bands, rowsPerBand)
     val bandedNew = banded.join(newIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val cands = bandedNew.as("a").join(banded.as("b"),
@@ -533,13 +549,18 @@ object Dedup {
     * family it holds when old and delta runs share one staged vocabulary
     * (the catalog demonstrates this: `dedup_keep_list_delta` splits the
     * corpus 75/25, runs old-then-delta, and must hash-match the SAME
-    * DuckDB oracle as the full `dedup_keep_list`). Old signatures are
-    * recomputed in a narrow pass here; a production deployment stores
-    * them with the keep-list (the dedup analog of [[graft.sources.AnnIndex]])
-    * and reads them back instead. */
+    * DuckDB oracle as the full `dedup_keep_list`).
+    *
+    * `oldSigs` — the persisted signature table the old run wrote with
+    * [[graft.sources.SigStore]] (the dedup analog of AnnIndex) — removes
+    * the last full-corpus pass from the delta: old signatures are READ
+    * back, never re-derived from text (see
+    * [[lshVerifiedDupsPortableDelta]]). Without it they are recomputed in
+    * one narrow pass. */
   def keepListDelta(oldKeep: DataFrame, allDocs: DataFrame, newIds: DataFrame,
                     minSharedPct: Int = 80,
-                    vocabKey: Option[String] = None): DataFrame = {
+                    vocabKey: Option[String] = None,
+                    oldSigs: Option[DataFrame] = None): DataFrame = {
     val stars = oldKeep.filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id").as("a"), col("keep_id").as("b"))
     val ids = newIds.select(col("doc_id"))
@@ -552,7 +573,7 @@ object Dedup {
         .dropDuplicates("a", "b")
     }
     val nearNew = lshVerifiedDupsPortableDelta(allDocs, ids,
-        minSharedPct = minSharedPct, vocabKey = vocabKey)
+        minSharedPct = minSharedPct, vocabKey = vocabKey, oldSigs = oldSigs)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     closeAndLabel(allDocs, stars.unionByName(exactNew).unionByName(nearNew))
   }

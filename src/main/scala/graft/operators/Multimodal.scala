@@ -143,4 +143,53 @@ object Multimodal {
         col("text").cast("binary").as("media_bytes"))
       .as[MediaRow]
   }
+
+  /** Minimal REAL PNG payload: signature + a well-formed IHDR chunk
+    * (8-bit truecolor, zero CRC — the header decoder, like most
+    * dimension probes, does not validate CRCs). 33 bytes. */
+  def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33) // zero-filled; CRC stays 0
+    b.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(w).putInt(h)
+    b.put(8.toByte).put(2.toByte) // bit depth, color type; rest zero
+    b.array()
+  }
+
+  /** Minimal REAL JPEG payload: SOI + an SOF0 frame header (ITU T.81
+    * layout: Lf=17, precision 8, height, width, 3 components). 21 bytes. */
+  def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(21) // component bytes stay 0
+    b.put(0xFF.toByte).put(0xD8.toByte)      // SOI
+    b.put(0xFF.toByte).put(0xC0.toByte)      // SOF0
+    b.putShort(17.toShort).put(8.toByte)     // Lf, precision
+    b.putShort(h.toShort).putShort(w.toShort)
+    b.put(3.toByte)
+    b.array()
+  }
+
+  /** Bind a (doc_id, text) table into media rows WITH real image payloads
+    * planted deterministically: doc_id % 10 == 3 rows carry a well-formed
+    * PNG header (width = 1 + id mod 1024, height = 1 + 7·id mod 1024),
+    * % 10 == 7 rows a JPEG SOF0 (1 + id mod 500 / 1 + 3·id mod 500), and
+    * every other row keeps the UTF-8 text payload. This is what makes the
+    * HONEST decoder ([[HeaderDecoder]]) driver-verifiable: the catalog's
+    * multimodal_features entry decodes these headers for real and the
+    * oracle recomputes the dims from doc_id. */
+  def fromDocumentsWithImages(docs: DataFrame)
+                             (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes =
+          if (id % 10 == 3)
+            pngBytes((1 + id % 1024).toInt, (1 + (id * 7) % 1024).toInt)
+          else if (id % 10 == 7)
+            jpegBytes((1 + id % 500).toInt, (1 + (id * 3) % 500).toInt)
+          else if (text == null) Array.empty[Byte]
+          else text.getBytes("UTF-8")
+        MediaRow(id.toString, s"media://$id", bytes)
+      }
+  }
 }

@@ -77,4 +77,33 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     val n = "plain words".getBytes("UTF-8").length
     assert(out("x") == ((64 + n % 640, 64 + (n * 31) % 480)))
   }
+
+  test("corrupt headers with non-positive dims fall back, never propagate") {
+    // IHDR declaring 2^31 (negative after .toInt) and a zero-width SOF0
+    def be32neg(b: Array[Byte], off: Int): Array[Byte] = {
+      b(off) = 0x80.toByte; b(off + 1) = 0; b(off + 2) = 0; b(off + 3) = 0; b
+    }
+    assert(HeaderDecoder.decodeDims(be32neg(png(9, 9), 16)).isEmpty,
+      "a 2^31 PNG width must not decode to a negative Int")
+    assert(HeaderDecoder.decodeDims(png(0, 9)).isEmpty, "zero dims are corrupt")
+    assert(HeaderDecoder.decodeDims(jpeg(0, 600)).isEmpty)
+  }
+
+  test("the catalog binder plants real payloads the honest decoder reads") {
+    val docs = Seq(3L -> "three", 7L -> "seven", 5L -> "plain text here")
+      .toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(
+        Multimodal.fromDocumentsWithImages(docs),
+        decoder = HeaderDecoder.decodeBatch)
+      .collect().map(f => f.doc_id.toLong ->
+        ((f.n_bytes, f.width, f.height, f.n_frames))).toMap
+    // %10==3 → PNG header: dims derive from the id; n_bytes is the fixed
+    // 33-byte header; n_frames = FakeDecoder over those bytes = 1+33%30
+    assert(out(3L) == ((33, 4, 22, 4)), s"png row: ${out(3L)}")
+    // %10==7 → JPEG SOF0: (1+7, 1+21), 21 bytes, frames 1+21%30
+    assert(out(7L) == ((21, 8, 22, 22)), s"jpeg row: ${out(7L)}")
+    // other rows keep the UTF-8 payload + fake features
+    val n = "plain text here".getBytes("UTF-8").length
+    assert(out(5L) == ((n, 64 + n % 640, 64 + (n * 31) % 480, 1 + n % 30)))
+  }
 }
