@@ -88,6 +88,9 @@ object RunJob {
   * corpus table, Iceberg-shaped resumable bucketed parquet like RunJob —
   * re-running after a crash resumes exactly at the incomplete buckets:
   *   <outDir>/keep_list  (doc_id, keep_id)          — the dedup table
+  *   <outDir>/signatures (doc_id, h0..h15)          — the minhash store
+  *                        tomorrow's delta reads instead of re-shingling
+  *                        this corpus (SigStore; atomic fingerprinted meta)
   *   <outDir>/packed     (doc_id, stratum, n_tokens, start_offset, bin)
   *                        — the curation pipeline's output
   *   <outDir>/stats      (per-(lang, source) rollup, plain overwrite —
@@ -146,6 +149,12 @@ object CurationJob {
       minSharedPct = config.minSharedPct)
     val wroteKeep = GraphMaterializer.writeResumable(
       spark, keep, s"$outDir/keep_list", nBuckets)
+    // the signature store rides along with the keep-list: tomorrow's
+    // delta run reads it back (Dedup.keepListDelta oldSigs) instead of
+    // re-shingling this corpus. forCorpus is resume-safe — a re-run
+    // fingerprint-matches and reopens instead of rebuilding.
+    val sigs = graft.sources.SigStore.forCorpus(
+      docs.select(col("doc_id"), col("text")), s"$outDir/signatures")
     // the pipeline REUSES the keep-list computed above (its CC closure is
     // checkpointed, so `keep` re-evaluates as one cheap join) — without
     // this the job would run the LSH verification + closure twice. Line
@@ -163,6 +172,7 @@ object CurationJob {
     Map(
       "keep_list" -> GraphMaterializer.lineageRowCount(spark, s"$outDir/keep_list"),
       "packed" -> GraphMaterializer.lineageRowCount(spark, s"$outDir/packed"),
+      "signatures" -> sigs.count(),
       "buckets_written_keep_list" -> wroteKeep,
       "buckets_written_packed" -> wrotePacked)
   }

@@ -493,18 +493,32 @@ object Dedup {
     * a recursive label-propagation CTE). */
   def keepList(docs: DataFrame, minSharedPct: Int = 80,
                vocabKey: Option[String] = None,
-               semanticPairs: Option[DataFrame] = None): DataFrame = {
+               semanticPairs: Option[DataFrame] = None,
+               semanticIdMap: Option[DataFrame] = None): DataFrame = {
     val exactEdges = exactDupEdges(docs)
     val nearEdges = lshVerifiedDupsPortable(docs, minSharedPct = minSharedPct,
         vocabKey = vocabKey)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     // optional third edge source: SEMANTIC near-dups from embedding-space
-    // cosine pairs (vec_id ≡ doc_id, e.g. SimSearch.quantizedCosinePairs
-    // output) — text-level LSH misses paraphrase duplicates that share
-    // almost no surface n-grams; a modern dedup deliverable unions exact,
-    // lexical and semantic edges before closing the clusters.
-    val semEdges = semanticPairs.map(_
-      .select(col("vec_a").as("a"), col("vec_b").as("b")))
+    // cosine pairs (e.g. SimSearch.quantizedCosinePairs output) —
+    // text-level LSH misses paraphrase duplicates that share almost no
+    // surface n-grams; a modern dedup deliverable unions exact, lexical
+    // and semantic edges before closing the clusters. Embedding tables
+    // whose ids are not the doc ids pass `semanticIdMap` (vec_id, doc_id)
+    // rows: endpoints resolve through two equi-joins (broadcastable —
+    // the map is id-pairs only), unmapped vectors contribute no edge, and
+    // two vectors of the same doc collapse to a dropped self-edge. The
+    // default (no map) keeps the vec_id ≡ doc_id convention.
+    val semEdges = semanticPairs.map { p =>
+      semanticIdMap match {
+        case Some(m) =>
+          p.join(m.select(col("vec_id").as("vec_a"), col("doc_id").as("a")), "vec_a")
+            .join(m.select(col("vec_id").as("vec_b"), col("doc_id").as("b")), "vec_b")
+            .filter(col("a") =!= col("b"))
+            .select(col("a"), col("b"))
+        case None => p.select(col("vec_a").as("a"), col("vec_b").as("b"))
+      }
+    }
     closeAndLabel(docs,
       semEdges.foldLeft(exactEdges.unionByName(nearEdges))(_ unionByName _))
   }

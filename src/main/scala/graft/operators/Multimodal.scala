@@ -42,8 +42,8 @@ object Multimodal {
       }
   }
 
-  /** REAL header decode for the two ubiquitous public image formats —
-    * enough to make width/height honest without media libraries:
+  /** REAL header decode for the ubiquitous public image formats — enough
+    * to make width/height honest without media libraries:
     *
     *  - PNG (public spec, RFC 2083 / W3C): 8-byte signature
     *    89 50 4E 47 0D 0A 1A 0A, then chunks; the FIRST chunk must be
@@ -53,8 +53,14 @@ object Multimodal {
     *    non-standalone marker carrying a big-endian length. The frame
     *    header SOFn (FF C0-CF except C4/C8/CC) carries height at payload
     *    offset 3-4 and width at 5-6, big-endian uint16.
+    *  - GIF (GIF87a/89a spec): 6-byte magic, then the Logical Screen
+    *    Descriptor's width and height as little-endian uint16.
+    *  - WebP (RIFF container spec): "RIFF" size "WEBP", then the first
+    *    chunk decides — "VP8 " lossy (sync 9D 01 2A, 14-bit LE dims),
+    *    "VP8L" lossless (sig 2F, two packed 14-bit dims minus one),
+    *    "VP8X" extended (24-bit LE canvas dims minus one).
     *
-    * Payloads that are neither fall back to the deterministic
+    * Payloads that are none of these fall back to the deterministic
     * FakeDecoder features (the synthetic-catalog oracle path). */
   object HeaderDecoder extends Serializable {
     private val pngSig =
@@ -67,16 +73,48 @@ object Multimodal {
     private def be16(b: Array[Byte], off: Int): Int =
       ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
 
-    /** (width, height) from a PNG or JPEG header; None for anything else.
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    private def le24(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16)
+
+    private def ascii(b: Array[Byte], off: Int, len: Int): String =
+      new String(b.slice(off, off + len), "US-ASCII")
+
+    private def positive(w: Int, h: Int): Option[(Int, Int)] =
+      if (w > 0 && h > 0) Some((w, h)) else None
+
+    /** WebP: dims from whichever VP8/VP8L/VP8X chunk leads the RIFF. */
+    private def webpDims(b: Array[Byte]): Option[(Int, Int)] =
+      ascii(b, 12, 4) match {
+        case "VP8 " if b.length >= 30 &&
+            (b(23) & 0xff) == 0x9D && (b(24) & 0xff) == 0x01 &&
+            (b(25) & 0xff) == 0x2A =>
+          positive(le16(b, 26) & 0x3FFF, le16(b, 28) & 0x3FFF)
+        case "VP8L" if b.length >= 25 && (b(20) & 0xff) == 0x2F =>
+          val bits = (b(21) & 0xffL) | ((b(22) & 0xffL) << 8) |
+            ((b(23) & 0xffL) << 16) | ((b(24) & 0xffL) << 24)
+          positive((bits & 0x3FFF).toInt + 1, ((bits >> 14) & 0x3FFF).toInt + 1)
+        case "VP8X" if b.length >= 30 =>
+          positive(le24(b, 24) + 1, le24(b, 27) + 1)
+        case _ => None
+      }
+
+    /** (width, height) from a PNG/JPEG/GIF/WebP header; None otherwise.
       * Decoded dimensions must be POSITIVE: a corrupt IHDR can declare
       * dims ≥ 2^31 (negative after .toInt) or zero — both take the
       * deterministic fallback path instead of propagating downstream. */
     def decodeDims(b: Array[Byte]): Option[(Int, Int)] = {
       if (b.length >= 24 && b.take(8).sameElements(pngSig) &&
-          new String(b.slice(12, 16), "US-ASCII") == "IHDR") {
-        val (w, h) = (be32(b, 16).toInt, be32(b, 20).toInt)
-        if (w > 0 && h > 0) Some((w, h)) else None
-      }
+          ascii(b, 12, 4) == "IHDR")
+        positive(be32(b, 16).toInt, be32(b, 20).toInt)
+      else if (b.length >= 10 &&
+          (ascii(b, 0, 6) == "GIF87a" || ascii(b, 0, 6) == "GIF89a"))
+        positive(le16(b, 6), le16(b, 8))
+      else if (b.length >= 16 && ascii(b, 0, 4) == "RIFF" &&
+          ascii(b, 8, 4) == "WEBP")
+        webpDims(b)
       else if (b.length >= 4 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8) {
         // walk the marker stream to the first SOFn frame header
         var i = 2

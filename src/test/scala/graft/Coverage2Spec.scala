@@ -148,6 +148,22 @@ class Coverage2Spec extends AnyFunSuite {
     assert(run(Some(sem)) == Map(10L -> 10L, 20L -> 10L, 25L -> 10L, 30L -> 30L))
   }
 
+  test("semantic edges resolve through an explicit vec→doc id map") {
+    // same geometry as the identity-convention test above, but the
+    // embedding table's ids are its own (1000, 2000) — the map joins them
+    // back to doc ids; an unmapped pair (3000, 4000) contributes nothing
+    val docs = Seq(
+      10L -> "alpha beta gamma delta epsilon",
+      20L -> "totally unrelated surface words here",
+      30L -> "another separate document entirely now").toDF("doc_id", "text")
+    val sem = Seq((1000L, 2000L), (3000L, 4000L)).toDF("vec_a", "vec_b")
+    val idMap = Seq((1000L, 10L), (2000L, 20L)).toDF("vec_id", "doc_id")
+    val keep = graft.operators.Dedup.keepList(docs, minSharedPct = 80,
+        semanticPairs = Some(sem), semanticIdMap = Some(idMap))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep == Map(10L -> 10L, 20L -> 10L, 30L -> 30L), s"$keep")
+  }
+
   test("incremental keep-list: a new doc merges two old clusters; delta == full") {
     // old corpus: {1, 2} exact dups of base, {10} = base + 8 appended
     // words (J(1,10) = 30/38 ≈ 0.789 < 0.8 → SEPARATE old clusters). The

@@ -78,6 +78,42 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(out("x") == ((64 + n % 640, 64 + (n * 31) % 480)))
   }
 
+  test("GIF and WebP (VP8/VP8L/VP8X) headers parse to exact dimensions") {
+    def gif(w: Int, h: Int, magic: String = "GIF89a"): Array[Byte] =
+      magic.getBytes("US-ASCII") ++ Array[Byte](
+        (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+        (h & 0xff).toByte, ((h >> 8) & 0xff).toByte)
+    assert(HeaderDecoder.decodeDims(gif(320, 200)).contains((320, 200)))
+    assert(HeaderDecoder.decodeDims(gif(1, 70000 & 0xffff, "GIF87a"))
+      .contains((1, 70000 & 0xffff)))
+    assert(HeaderDecoder.decodeDims(gif(0, 10)).isEmpty, "zero dims are corrupt")
+    assert(HeaderDecoder.decodeDims("GIF89a".getBytes("US-ASCII")).isEmpty)
+
+    def riff(fourcc: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ Array.fill(4)(0.toByte) ++
+        "WEBP".getBytes("US-ASCII") ++ fourcc.getBytes("US-ASCII") ++
+        Array.fill(4)(0.toByte) ++ payload
+    // VP8 lossy: 3-byte frame tag, sync 9D 01 2A, then 14-bit LE dims
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+      (640 & 0xff).toByte, (640 >> 8).toByte,
+      (360 & 0xff).toByte, (360 >> 8).toByte))
+    assert(HeaderDecoder.decodeDims(vp8).contains((640, 360)))
+    // VP8L lossless: sig 2F, then w-1 (14 bits) | h-1 (14 bits) packed LE
+    val bits = (799L & 0x3FFF) | ((599L & 0x3FFF) << 14)
+    val vp8l = riff("VP8L", Array[Byte](0x2F,
+      (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+      ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte))
+    assert(HeaderDecoder.decodeDims(vp8l).contains((800, 600)))
+    // VP8X extended: flags + reserved, then 24-bit LE canvas dims minus 1
+    val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0,
+      (1023 & 0xff).toByte, ((1023 >> 8) & 0xff).toByte, 0,
+      (767 & 0xff).toByte, ((767 >> 8) & 0xff).toByte, 0))
+    assert(HeaderDecoder.decodeDims(vp8x).contains((1024, 768)))
+    // truncated VP8 sync / unknown chunk → fallback
+    assert(HeaderDecoder.decodeDims(vp8.take(25)).isEmpty)
+    assert(HeaderDecoder.decodeDims(riff("ALPH", Array.fill(10)(1.toByte))).isEmpty)
+  }
+
   test("corrupt headers with non-positive dims fall back, never propagate") {
     // IHDR declaring 2^31 (negative after .toInt) and a zero-width SOF0
     def be32neg(b: Array[Byte], off: Int): Array[Byte] = {

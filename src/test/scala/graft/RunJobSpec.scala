@@ -51,6 +51,13 @@ class RunJobSpec extends AnyFunSuite {
     assert(c2("keep_list") == c1("keep_list") && c2("packed") == c1("packed"))
     // the rollup landed too (the testdata corpus carries lang/source)
     assert(spark.read.parquet(s"$tmp/out/stats").count() > 0)
+    // the signature store rode along with the keep-list: one row per doc,
+    // and the re-run REOPENED it (fingerprint match → meta untouched)
+    val nDocs = spark.read.parquet(docsPath).count()
+    assert(c1("signatures") == nDocs && c2("signatures") == nDocs)
+    val meta = java.nio.file.Paths.get(s"$tmp/out/signatures",
+      sources.SigStore.MetaFile)
+    assert(java.nio.file.Files.exists(meta), "the sidecar is the commit marker")
     // the packed table matches the pipeline over the same corpus + config
     val direct = Queries.curationPipelineOver(
       spark.read.parquet(docsPath), evalSet = None).count()
