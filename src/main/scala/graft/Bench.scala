@@ -159,7 +159,7 @@ object Bench {
     // (changed from 1.6M in round 4 — cross-round headline comparisons
     // straddle that boundary).
     val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "1200000").toInt
-    // headline follows the leg knob (2× → the 1.6M default), so one env
+    // headline follows the leg knob (2× → the 2.4M default), so one env
     // var still scales the WHOLE bench down for a smoke run
     val headDocs = sys.env.getOrElse("SPARK_GRAFT_KG_HEADLINE_DOCS",
       (2 * kgDocs).toString).toInt
@@ -266,9 +266,11 @@ object Bench {
       s""""kg_docs_per_sec":${num(kgDps, 1)},"kg_triples_per_sec":${num(nTriples / kgSec, 1)},""" +
       s""""protocol":"bo2/query; stream last; kg peak-of-3 + 3 uncond leg pairs, fresh JVMs; staging apart"""" +
       scaling + s""","cpus":"$cpus","sf":"$sfDir"}"""
-    if (line.length > 2000)
+    // >= not >: the trailing newline occupies one char of the 2000-char
+    // tail window, so a line of exactly 2000 already loses its first '{'
+    if (line.length >= 2000)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars " +
-        "exceeds the driver's 2000-char archive window")
+        "overflows the driver's 2000-char archive window")
     println(line)
     graft.operators.Dedup.clearVocabCache()
     graft.sources.AnnIndex.clearHandles()

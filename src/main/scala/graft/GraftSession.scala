@@ -35,9 +35,19 @@ object GraftSession {
     "spark.sql.files.maxPartitionBytes" -> "1m",
     "spark.sql.files.openCostInBytes" -> "64k")
 
+  /** An externally supplied master (spark-submit sets `spark.master` as a
+    * system property on the driver JVM; standalone scripts may export
+    * SPARK_MASTER). When present, the builder must NOT override it —
+    * hardcoding .master(local[...]) would silently force a cluster job
+    * onto the driver host. */
+  private[graft] def externalMaster: Option[String] =
+    sys.props.get("spark.master").orElse(sys.env.get("SPARK_MASTER"))
+      .filter(_.nonEmpty)
+
   def build(cpus: String, appName: String,
             extra: Seq[(String, String)]): SparkSession = {
-    val b = SparkSession.builder().master(s"local[$cpus]").appName(appName)
+    val b = SparkSession.builder().appName(appName)
+    if (externalMaster.isEmpty) b.master(s"local[$cpus]")
     (commonOptions(cpus) ++ extra).foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()
   }

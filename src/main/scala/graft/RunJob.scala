@@ -150,11 +150,16 @@ object CurationJob {
     val wroteKeep = GraphMaterializer.writeResumable(
       spark, keep, s"$outDir/keep_list", nBuckets)
     // the signature store rides along with the keep-list: tomorrow's
-    // delta run reads it back (Dedup.keepListDelta oldSigs) instead of
-    // re-shingling this corpus. forCorpus is resume-safe — a re-run
-    // fingerprint-matches and reopens instead of rebuilding.
-    val sigs = graft.sources.SigStore.forCorpus(
-      docs.select(col("doc_id"), col("text")), s"$outDir/signatures")
+    // delta run primes its vocab cache from <out>/signatures/_vocab
+    // (Dedup.primeVocabCache + SigStore.loadVocab), reads the signatures
+    // back (keepListDelta oldSigs) and shingles only the new batch — the
+    // vocabulary ships WITH the signatures because the portable hashes
+    // are functions of it. forCorpus is resume-safe: a re-run fingerprint-
+    // matches (corpus + vocab) and reopens instead of rebuilding.
+    graft.sources.SigStore.forCorpus(
+      docs.select(col("doc_id"), col("text")), s"$outDir/signatures",
+      vocab = graft.operators.Dedup.tokenVocab(
+        graft.operators.Dedup.shingleRows(docs, 3)))
     // the pipeline REUSES the keep-list computed above (its CC closure is
     // checkpointed, so `keep` re-evaluates as one cheap join) — without
     // this the job would run the LSH verification + closure twice. Line
@@ -172,7 +177,10 @@ object CurationJob {
     Map(
       "keep_list" -> GraphMaterializer.lineageRowCount(spark, s"$outDir/keep_list"),
       "packed" -> GraphMaterializer.lineageRowCount(spark, s"$outDir/packed"),
-      "signatures" -> sigs.count(),
+      // row count from the store's meta sidecar — no re-scan of the
+      // freshly written table (same policy as the lineage counts above)
+      "signatures" -> graft.sources.SigStore
+        .storedRows(s"$outDir/signatures").getOrElse(-1L),
       "buckets_written_keep_list" -> wroteKeep,
       "buckets_written_packed" -> wrotePacked)
   }
@@ -180,8 +188,15 @@ object CurationJob {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: CurationJob <docsParquet> <outDir> [nBuckets] [eval=<parquet>] [k=v ...]")
-    val nBuckets = args.lift(2).filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(32)
-    val kvArgs = args.drop(2).filter(_.contains("="))
+    // strict trailing-arg parse: at most one positional (numeric nBuckets),
+    // everything else must be k=v — a typo like `minWords 100` must FAIL,
+    // not silently curate with the default gates
+    val (kvArgs, positional) = args.drop(2).partition(_.contains("="))
+    val bad = positional.filterNot(a => a.nonEmpty && a.forall(_.isDigit))
+    require(bad.isEmpty && positional.length <= 1,
+      s"unrecognized arguments: ${(bad ++ positional.drop(1)).mkString(" ")} " +
+        "(expected one numeric [nBuckets] and k=v overrides)")
+    val nBuckets = positional.headOption.map(_.toInt).getOrElse(32)
     val evalPath = kvArgs.collectFirst { case kv if kv.startsWith("eval=") =>
       kv.stripPrefix("eval=") }
     val config = parseConfig(kvArgs.filterNot(_.startsWith("eval=")).toSeq)

@@ -129,7 +129,8 @@ object SparkEntry {
   /** minhashCandCtes extended with the exact word-Jaccard verification —
     * ends in `verif(doc_a, doc_b, n_common, n_a, n_b)`, shared by
     * dedup_lsh_verified and dedup_keep_list. */
-  private def lshVerifiedCtes(src: String = "documents"): String =
+  private def lshVerifiedCtes(src: String = "documents",
+                              pct: Int = 80): String =
     minhashCandCtes(src) +
       s""",
         | wset AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
@@ -143,7 +144,7 @@ object SparkEntry {
         |   CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
         |  FROM comm JOIN sizes sa ON comm.doc_a = sa.doc_id
         |   JOIN sizes sb ON comm.doc_b = sb.doc_id
-        |  WHERE n_common * 180 >= 80 * (sa.n + sb.n))""".stripMargin
+        |  WHERE n_common * ${100 + pct} >= $pct * (sa.n + sb.n))""".stripMargin
 
   private def simhashSqlGen: String = {
     import graft.operators.Dedup.{HashA, HashB}
@@ -178,7 +179,8 @@ object SparkEntry {
     * Shared by the two keep-list oracles and the curation-pipeline
     * composition. */
   private def keepListCtes(withSemantic: Boolean,
-                           src: String = "documents"): String = {
+                           src: String = "documents",
+                           pct: Int = 80): String = {
     val semCtes = if (!withSemantic) "" else
       "," + quantVCte.stripPrefix("WITH") + "," + planeWgtCte(6) +
         """,
@@ -199,7 +201,7 @@ object SparkEntry {
           |   JOIN snorms nb ON vec_b = nb.vec_id
           |   WHERE qdot > 0 AND 400*qdot*qdot >= 9*na.n*nb.n)""".stripMargin
     val semUnion = if (withSemantic) " UNION SELECT a, b FROM sem" else ""
-    "WITH RECURSIVE" + lshVerifiedCtes(src).stripPrefix("WITH") + semCtes +
+    "WITH RECURSIVE" + lshVerifiedCtes(src, pct).stripPrefix("WITH") + semCtes +
       s""",
          | exg AS (SELECT md5(text) AS h, min(doc_id) AS m FROM $src AS src2 GROUP BY 1),
          | ex AS (SELECT d.doc_id AS a, g.m AS b FROM $src AS d
@@ -226,9 +228,13 @@ object SparkEntry {
     * mirror, flags only), then the quality gates (word count, mean word
     * length, bigram-repetition fraction), LCG-coin sampling and the
     * window-form prefix sum — the same stages chained in SQL exactly as
-    * Queries.curationPipeline chains the operators. Every constant is
-    * read from the SAME CurationConfig instance the catalog entry pins,
-    * so gates/rates can never drift between the engines. */
+    * Queries.curationPipeline chains the operators. Every constant the
+    * config carries (keep-list threshold, decontam shingle length, the
+    * quality gates, sampling band/rates, seqLen) is read from the SAME
+    * CurationConfig instance the catalog entry pins, so THOSE can never
+    * drift between the engines; the shingle n = 3 and 4×4 banding shape
+    * remain the operator-family constants shared with the dedup entries
+    * (not config knobs on either side). */
   private val catalogCuration = CurationConfig()
 
   private def curationPipelineSql: String = {
@@ -240,7 +246,8 @@ object SparkEntry {
          |     AND (CASE WHEN len(bi) > 0
          |       THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(bi)) AS DOUBLE) / CAST(len(bi) AS DOUBLE)
          |       ELSE CAST(0 AS DOUBLE) END) <= $t""".stripMargin).getOrElse("")
-    keepListCtes(withSemantic = false, src = corpusSrc) +
+    keepListCtes(withSemantic = false, src = corpusSrc,
+        pct = cfg.minSharedPct) +
       s""",
          | pd AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          | pev AS (SELECT doc_id AS eval_id, ws FROM pd WHERE doc_id % 5 = 0),

@@ -279,7 +279,7 @@ object Dedup {
       case None => tokenVocab(sh)
       case Some(k) =>
         sweepStoppedEntries()
-        registerCleanup(sh.sparkSession)
+        graft.core.SessionCleanup.hook(sh.sparkSession)
         vocabCache.getOrElseUpdate(
           (sessionKey(sh.sparkSession), k), {
             val v = tokenVocab(sh).persist(StorageLevel.MEMORY_AND_DISK)
@@ -287,6 +287,22 @@ object Dedup {
             v
           })
     }
+
+  /** Seed the cache for `key` with an ALREADY-MATERIALIZED vocabulary —
+    * the delta-ingest path: a stored vocabulary (SigStore.loadVocab) is
+    * primed under the run's key so every portable operator — including
+    * the new-batch signature pass — ranks tokens exactly as the stored
+    * signatures did. No-op when the key is already cached. */
+  def primeVocabCache(key: String, vocab: DataFrame): Unit = {
+    sweepStoppedEntries()
+    graft.core.SessionCleanup.hook(vocab.sparkSession)
+    vocabCache.getOrElseUpdate((sessionKey(vocab.sparkSession), key), {
+      val v = vocab.persist(StorageLevel.MEMORY_AND_DISK)
+      v.count()
+      v
+    })
+    ()
+  }
 
   def clearVocabCache(): Unit = {
     vocabCache.values.foreach(df =>
@@ -296,33 +312,15 @@ object Dedup {
 
   private[graft] def cachedVocabCount: Int = vocabCache.size
 
-  /** Automatic lifecycle cleanup, in two layers (UUID keys already prevent
-    * stale REUSE — see sessionKey — but entries pinned to dead sessions
-    * would otherwise accumulate for the JVM lifetime):
-    *  - a SparkListener registered once per SparkContext clears every
-    *    cached entry when the application ends (the persisted blocks die
-    *    with the context, so clearing the map is the whole job);
-    *  - a lookup-time sweep drops entries whose owning context has already
-    *    stopped — the listener bus is async, so a lookup can race the
-    *    onApplicationEnd delivery. Bounded by the cache size (one entry
-    *    per (session, corpus) — a handful per process). */
-  private val cleanupHooked = TrieMap.empty[String, Boolean]
-
-  private[graft] def registerCleanup(s: org.apache.spark.sql.SparkSession): Unit =
-    cleanupHooked.getOrElseUpdate(s.sparkContext.applicationId + "#" +
-        System.identityHashCode(s.sparkContext), {
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          sweepStoppedEntries()
-      })
-      true
-    })
+  // UUID keys already prevent stale REUSE (see sessionKey); the shared
+  // SessionCleanup layers (application-end listener + this lookup-time
+  // sweep) stop entries pinned to dead sessions from accumulating for
+  // the JVM lifetime. No unpersist on sweep: a stopped context's blocks
+  // are already gone, and the call would throw on the dead session.
+  graft.core.SessionCleanup.registerSweep(() => sweepStoppedEntries())
 
   private[graft] def sweepStoppedEntries(): Unit =
     vocabCache.foreach { case (k, df) =>
-      // no unpersist: a stopped context's blocks are already gone, and
-      // the call would throw on the dead session
       if (df.sparkSession.sparkContext.isStopped) vocabCache.remove(k)
     }
 
@@ -330,7 +328,17 @@ object Dedup {
   def minhashSignaturesPortable(docs: DataFrame, shingleN: Int, k: Int,
                                 vocabKey: Option[String] = None): DataFrame = {
     val sh = shingleRows(docs, shingleN)
-    val t = sh.join(tokenVocabCached(sh, vocabKey), "sh")
+    minhashSignaturesWithVocab(docs, shingleN, k, tokenVocabCached(sh, vocabKey))
+  }
+
+  /** Signatures under an EXPLICIT (sh, tid) vocabulary — the store/delta
+    * path, where the vocabulary is itself a persisted artifact
+    * ([[graft.sources.SigStore]]) and must rank tokens identically across
+    * runs. Tokens absent from the vocabulary contribute no hash (inner
+    * join), which is what makes stored and fresh signatures comparable. */
+  def minhashSignaturesWithVocab(docs: DataFrame, shingleN: Int, k: Int,
+                                 vocab: DataFrame): DataFrame = {
+    val t = shingleRows(docs, shingleN).join(vocab, "sh")
       .select(col("doc_id"), col("tid"))
     val mins = (0 until k).map(s => min(lcgHash(s, col("tid"))).as(s"h$s"))
     t.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)

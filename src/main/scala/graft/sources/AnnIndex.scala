@@ -170,22 +170,9 @@ object AnnIndex {
 
   private[graft] def cachedHandleCount: Int = handles.size
 
-  /** Same two-layer lifecycle cleanup as Dedup.vocabCache: an
-    * application-end listener plus a lookup-time sweep of handles whose
-    * owning context has stopped (handles hold no persisted blocks, so
-    * removal is the whole cleanup). */
-  private val cleanupHooked = TrieMap.empty[String, Boolean]
-
-  private def registerCleanup(s: SparkSession): Unit =
-    cleanupHooked.getOrElseUpdate(s.sparkContext.applicationId + "#" +
-        System.identityHashCode(s.sparkContext), {
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          sweepStoppedEntries()
-      })
-      true
-    })
+  // same lifecycle layers as Dedup.vocabCache, via the shared helper
+  // (handles hold no persisted blocks, so removal is the whole cleanup)
+  graft.core.SessionCleanup.registerSweep(() => sweepStoppedEntries())
 
   private[graft] def sweepStoppedEntries(): Unit =
     handles.foreach { case (k, h) =>
@@ -205,7 +192,7 @@ object AnnIndex {
   def forTable(emb: => DataFrame, spark: SparkSession, key: String,
                bits: Int = 4, nCells: Int = 16): Handle = {
     sweepStoppedEntries()
-    registerCleanup(spark)
+    graft.core.SessionCleanup.hook(spark)
     handles.getOrElseUpdate((graft.operators.Dedup.sessionKey(spark), key), {
       val dir = Paths.get(sys.props("java.io.tmpdir"),
         dirName(key, bits, nCells)).toString

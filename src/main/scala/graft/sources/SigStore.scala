@@ -14,27 +14,33 @@ import java.nio.file.{Files, Paths}
   * signatures of the old corpus — is recomputed on every delta: a full
   * re-shingle of 100 TB of old text per day. This object persists the
   * signature table once (one narrow k×8-byte row per doc, written next to
-  * the keep-list), fingerprints the source corpus, and serves the stored
-  * rows back to every delta; the delta then shingles ONLY the new batch
-  * (spec-asserted in SigStoreSpec: the old text is never re-shingled).
+  * the keep-list), and serves the stored rows back to every delta; the
+  * delta then shingles ONLY the new batch (spec-asserted in SigStoreSpec:
+  * the old text is never re-shingled).
   *
-  * Validity contract: signatures must be comparable across the old run
-  * and the delta. With the production xxhash64 family they are corpus-
-  * independent, so a stored table is unconditionally reusable. With the
-  * portable LCG family (the oracle-checkable catalog path) signatures are
-  * functions of the staged token vocabulary — build and read the store
-  * under the SAME `vocabKey` the delta uses (the same contract
-  * [[Dedup.keepListDelta]] already documents for its edge sources).
+  * The portable LCG signatures are functions of the token VOCABULARY, so
+  * the vocabulary is part of the artifact: `build` takes the exact (sh,
+  * tid) table the signatures are computed under, persists it in the
+  * `_vocab` subdir (underscore-prefixed → invisible to the signature
+  * parquet scan), and records fingerprints of BOTH the source corpus and
+  * the vocabulary in the meta sidecar. A delta run reprimes its session
+  * cache from [[loadVocab]] (via Dedup.primeVocabCache) so the new
+  * batch's signatures rank tokens exactly as the stored ones did;
+  * new-batch tokens absent from the stored vocabulary contribute no
+  * shingle hash (bounded recall loss — rebuild the store when the
+  * vocabulary drifts far). `forCorpus` validates both fingerprints on
+  * reopen, so a changed corpus OR a changed vocabulary triggers a
+  * rebuild — never a silently incomparable signature set.
   *
-  * Same durability pattern as AnnIndex: an atomic meta sidecar doubles as
-  * the commit marker (a crashed build is invisible), reopen validates a
-  * content fingerprint of the source (count, min/max doc_id, XOR of
-  * per-row (doc_id, text) hashes), and a missing/corrupt/stale sidecar
-  * triggers a rebuild — never a stale serve, never a permanent failure.
+  * Same durability pattern as AnnIndex: the atomic meta sidecar doubles
+  * as the commit marker (a crashed build is invisible), and a missing/
+  * corrupt/stale sidecar means rebuild — never a stale serve, never a
+  * permanent failure.
   */
 object SigStore {
 
   val MetaFile = "_graft_sig_meta.txt"
+  val VocabDir = "_vocab"
 
   /** Content fingerprint of the source corpus: one narrow aggregation,
     * no shuffle beyond the final combine. bit_xor is order-independent
@@ -49,32 +55,57 @@ object SigStore {
       if (r.isNullAt(3)) 0L else r.getLong(3))
   }
 
-  /** Compute the portable signatures for `docs` and persist them; returns
-    * the READ-BACK table (a parquet scan, so consumers never re-derive
-    * the signatures from text). */
-  def build(docs: DataFrame, path: String, shingleN: Int = 3, k: Int = 16,
-            vocabKey: Option[String] = None): DataFrame = {
-    Dedup.minhashSignaturesPortable(docs, shingleN, k, vocabKey)
+  /** Fingerprint of a (sh, tid) vocabulary — any rank reassignment
+    * changes some (sh, tid) pair and flips the XOR term. */
+  def vocabFingerprint(vocab: DataFrame): (Long, Long) = {
+    val r = vocab.agg(count(lit(1)),
+      bit_xor(xxhash64(col("sh"), col("tid")))).head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Compute the portable signatures of `docs` UNDER `vocab`, persist
+    * signatures + vocabulary + meta; returns the READ-BACK signature
+    * table (a parquet scan — consumers never re-derive from text). */
+  def build(docs: DataFrame, path: String, vocab: DataFrame,
+            shingleN: Int = 3, k: Int = 16): DataFrame = {
+    Dedup.minhashSignaturesWithVocab(docs, shingleN, k, vocab)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-    writeMeta(path, shingleN, k, fingerprint(docs))
+    vocab.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/$VocabDir")
+    val sigRows = load(docs.sparkSession, path).count() // parquet-footer count
+    writeMeta(path, shingleN, k, fingerprint(docs), vocabFingerprint(vocab),
+      sigRows)
     load(docs.sparkSession, path)
   }
 
   /** Reopen a previously built store (no validation — production callers
-    * that own the write path skip the fingerprint scan). */
+    * that own the write path skip the fingerprint scans). */
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The persisted (sh, tid) vocabulary the stored signatures rank under
+    * — prime it into the session cache (Dedup.primeVocabCache) before
+    * computing delta-batch signatures. */
+  def loadVocab(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/$VocabDir")
+
+  /** Stored signature row count from the meta sidecar — metrics without
+    * any re-scan of the written table. */
+  def storedRows(path: String): Option[Long] =
+    storedMeta(path).map(_._4)
+
   /** Build-or-reopen with staleness validation: reopen only when the meta
-    * sidecar exists, parses, matches (shingleN, k) and the stored
-    * fingerprint equals the live source's. Anything else → rebuild. */
-  def forCorpus(docs: DataFrame, path: String, shingleN: Int = 3, k: Int = 16,
-                vocabKey: Option[String] = None): DataFrame = {
-    val fresh = storedMeta(path).exists { case (sn, kk, fp) =>
-      sn == shingleN && kk == k && fp == fingerprint(docs)
+    * sidecar exists, parses, matches (shingleN, k) and BOTH stored
+    * fingerprints (source corpus, vocabulary) equal the live ones.
+    * Anything else → rebuild. */
+  def forCorpus(docs: DataFrame, path: String, vocab: DataFrame,
+                shingleN: Int = 3, k: Int = 16): DataFrame = {
+    val fresh = storedMeta(path).exists { case (sn, kk, (fp, vfp), _) =>
+      sn == shingleN && kk == k && fp == fingerprint(docs) &&
+        vfp == vocabFingerprint(vocab)
     }
     if (fresh) load(docs.sparkSession, path)
-    else build(docs, path, shingleN, k, vocabKey)
+    else build(docs, path, vocab, shingleN, k)
   }
 
   /** Injective tmp-dir name for a corpus key (same prefix-free escaping
@@ -84,18 +115,23 @@ object SigStore {
       if (c.isLetterOrDigit && c < 0x80) c.toString else f"_${c.toInt}%04x") +
       s"_n${shingleN}k$k"
 
-  private def storedMeta(path: String): Option[(Int, Int, (Long, Long, Long, Long))] =
+  private def storedMeta(path: String)
+      : Option[(Int, Int, ((Long, Long, Long, Long), (Long, Long)), Long)] =
     scala.util.Try {
       val h = Files.readAllLines(Paths.get(path, MetaFile),
         StandardCharsets.UTF_8).get(0).split(' ')
       (h(0).toInt, h(1).toInt,
-        (h(2).toLong, h(3).toLong, h(4).toLong, h(5).toLong))
+        ((h(2).toLong, h(3).toLong, h(4).toLong, h(5).toLong),
+          (h(6).toLong, h(7).toLong)),
+        h(8).toLong)
     }.toOption
 
   /** Atomic (temp + rename) — the sidecar is the commit marker. */
   private def writeMeta(path: String, shingleN: Int, k: Int,
-                        fp: (Long, Long, Long, Long)): Unit = {
-    val body = s"$shingleN $k ${fp._1} ${fp._2} ${fp._3} ${fp._4}\n"
+                        fp: (Long, Long, Long, Long), vfp: (Long, Long),
+                        sigRows: Long): Unit = {
+    val body = s"$shingleN $k ${fp._1} ${fp._2} ${fp._3} ${fp._4} " +
+      s"${vfp._1} ${vfp._2} $sigRows\n"
     val tmp = Files.createTempFile(Paths.get(path), "_graft_meta", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(path, MetaFile),

@@ -41,4 +41,16 @@ class SessionConfigSpec extends AnyFunSuite {
     assert(bench.conf.get("spark.sql.files.maxPartitionBytes") !=
       untouched.conf.get("spark.sql.files.maxPartitionBytes"))
   }
+
+  test("an external master (spark-submit) is respected; local is a fallback") {
+    assert(GraftSession.externalMaster.isEmpty,
+      "the test JVM must not carry spark.master")
+    sys.props("spark.master") = "yarn"
+    try assert(GraftSession.externalMaster.contains("yarn"),
+      "builder must not override a submit-provided master with local[*]")
+    finally sys.props.remove("spark.master")
+    sys.props("spark.master") = ""
+    try assert(GraftSession.externalMaster.isEmpty, "empty string is no master")
+    finally sys.props.remove("spark.master")
+  }
 }
