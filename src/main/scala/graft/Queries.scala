@@ -420,6 +420,43 @@ object Queries {
   def textGopher(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherQuality(table(s, dir, "documents"))
 
+  /** PII redaction over the documents table. The corpus is synthetic word
+    * soup with nothing to redact, so the binder plants deterministic
+    * doc_id-derived emails/IPs/phones first ([[TextAnalysis.withPlantedPii]]
+    * — the text analog of the multimodal entry's planted image headers);
+    * the oracle reconstructs the same planted text with string
+    * concatenation and runs the same regexes through RE2, so the masking
+    * and the counts are verified by an independent regex engine. */
+  def textPii(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiRedact(TextAnalysis.withPlantedPii(
+      table(s, dir, "documents").select(col("doc_id"), col("text"))))
+
+  /** Window length for repeated-passage detection and the cross-source
+    * overlap census — shared with the generated oracle SQL. */
+  val PassageK = 8
+
+  /** Repeated-passage detection: maximal duplicated k-token spans. */
+  def textDupPassages(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupPassages(table(s, dir, "documents"), k = PassageK, minDocs = 2L)
+
+  /** Cross-source n-gram overlap census (contamination matrix). */
+  def corpusOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceOverlap(table(s, dir, "documents"), k = PassageK)
+
+  /** Uniform language-mix rebalancing: deterministic downsampling of
+    * over-represented languages toward the uniform share. */
+  def textMixture(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.mixtureSample(
+      table(s, dir, "documents").select(col("doc_id"), col("lang")),
+      idCol = col("doc_id"), groupCol = col("lang"))
+      .select(col("doc_id"), col("lang"), col("rate_pm"), col("coin"))
+
+  /** fastText-style hashed linear classifier score per document (shares
+    * the session-cached word vocabulary with fingerprint/simhash). */
+  def textClassifier(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifierScore(table(s, dir, "documents"),
+      vocabKey = Some(s"$dir#documents#words"))
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprintsPortable(table(s, dir, "documents"),
       vocabKey = Some(s"$dir#documents#words"))

@@ -75,7 +75,12 @@ object SparkEntry {
     "text_pack_chunks" -> (Queries.textPackChunks _),
     "text_gopher" -> (Queries.textGopher _),
     "text_line_dedup" -> (Queries.textLineDedup _),
+    "text_pii" -> (Queries.textPii _),
+    "text_dup_passages" -> (Queries.textDupPassages _),
+    "text_mixture" -> (Queries.textMixture _),
+    "text_classifier" -> (Queries.textClassifier _),
     "corpus_stats" -> (Queries.corpusStats _),
+    "corpus_overlap" -> (Queries.corpusOverlap _),
     // the end-to-end composition: keep-list → decontam → quality →
     // sample → pack, one bit-exact oracle
     "curation_pipeline" -> (Queries.curationPipeline _),
@@ -561,6 +566,99 @@ object SparkEntry {
         |   AND CAST(n_alpha_words AS DOUBLE)/n_words >= 0.8
         |   AND n_stop_hits >= 2 AS INTEGER) AS passes_gopher
         |FROM c""".stripMargin,
+    // PII redaction: the oracle rebuilds the planted text from doc_id with
+    // string concatenation and runs the SAME regex constants through RE2
+    // (DuckDB) that Spark runs through java.util.regex — the patterns are
+    // restricted to the syntax where the two engines agree (TextAnalysis
+    // scaladoc). Counts are per-pass sequential, mirroring piiRedact.
+    "text_pii" -> {
+      import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH d AS (SELECT doc_id, CASE
+         |   WHEN doc_id % 7 = 2 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |     || '@m' || CAST(doc_id % 10 AS VARCHAR) || '.example.com now'
+         |   WHEN doc_id % 7 = 4 THEN text || ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |     || '.' || CAST((doc_id*3) % 256 AS VARCHAR)
+         |     || '.' || CAST((doc_id*5) % 256 AS VARCHAR) || ' up'
+         |   WHEN doc_id % 7 = 6 THEN text || ' call +' || CAST(1 + doc_id % 9 AS VARCHAR)
+         |     || ' ' || CAST(100 + doc_id % 900 AS VARCHAR)
+         |     || ' ' || CAST(100 + (doc_id*3) % 900 AS VARCHAR)
+         |     || ' ' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ok'
+         |   ELSE text END AS text FROM documents),
+         | e AS (SELECT doc_id, text, regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM d),
+         | i AS (SELECT doc_id, text, t1, regexp_replace(t1, '$Ipv4Re', '<IP>', 'g') AS t2 FROM e)
+         |SELECT doc_id, regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g') AS clean_text,
+         | CAST(COALESCE(len(regexp_extract_all(text, '$EmailRe')), 0) AS BIGINT) AS n_emails,
+         | CAST(COALESCE(len(regexp_extract_all(t1, '$Ipv4Re')), 0) AS BIGINT) AS n_ips,
+         | CAST(COALESCE(len(regexp_extract_all(t2, '$PhoneRe')), 0) AS BIGINT) AS n_phones
+         |FROM i""".stripMargin
+    },
+    // repeated-passage detection: positioned k-grams, cross-doc census,
+    // gaps-and-islands interval merge — the window frames are identical
+    // in both engines (ROWS UNBOUNDED..1 PRECEDING cummax; running sum)
+    "text_dup_passages" -> {
+      val k = Queries.PassageK; val km1 = k - 1
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+         |   WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         | g AS (SELECT doc_id, unnest(range(0, len(ws)-$km1)) AS pos,
+         |    unnest(list_transform(range(0, len(ws)-$km1),
+         |      i -> array_to_string(list_slice(ws, i+1, i+$k), ' '))) AS gr FROM d),
+         | dup AS (SELECT gr FROM (SELECT gr, count(DISTINCT doc_id) AS nd
+         |         FROM g GROUP BY gr) x WHERE nd >= 2),
+         | m AS (SELECT doc_id, pos FROM g JOIN dup USING (gr)),
+         | i1 AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(max(pos+$k) OVER
+         |    (PARTITION BY doc_id ORDER BY pos
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |    THEN 1 ELSE 0 END AS ni FROM m),
+         | i2 AS (SELECT doc_id, pos, sum(ni) OVER
+         |    (PARTITION BY doc_id ORDER BY pos) AS island FROM i1)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+         | CAST(max(pos)+$k AS BIGINT) AS end_tok,
+         | CAST(count(*) AS BIGINT) AS n_grams
+         |FROM i2 GROUP BY doc_id, island""".stripMargin
+    },
+    // uniform language-mix rebalance: integer floor-div rates + LCG coin
+    "text_mixture" -> {
+      import graft.operators.Dedup.{HashA, HashB}
+      s"""WITH c AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS cnt
+         |   FROM documents GROUP BY 1),
+         | t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         |        CAST(count(*) AS BIGINT) AS ngroups FROM c),
+         | r AS (SELECT grp, CAST(LEAST(1000, (1000*total) // (ngroups*cnt)) AS BIGINT)
+         |        AS rate_pm FROM c CROSS JOIN t),
+         | d AS (SELECT doc_id, lang,
+         |        ((${HashA(1)}*doc_id + ${HashB(1)}) % $P) % 1000 AS coin FROM documents)
+         |SELECT doc_id, lang, rate_pm, coin
+         |FROM d JOIN r ON d.lang IS NOT DISTINCT FROM r.grp
+         |WHERE coin < rate_pm""".stripMargin
+    },
+    // hashed linear classifier: same dense word vocabulary as the
+    // fingerprint/simhash family, weights a pure LCG function of tid
+    "text_classifier" -> {
+      import graft.operators.TextAnalysis.{ClsA, ClsB, ClsDim}
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+         | vocab AS (SELECT w, row_number() OVER (ORDER BY w) AS tid
+         |           FROM (SELECT DISTINCT w FROM t)),
+         | s AS (SELECT doc_id, CAST(sum((($ClsA*(tid % $ClsDim) + $ClsB) % $P) % 2001 - 1000)
+         |        AS BIGINT) AS logit
+         |       FROM t JOIN vocab USING (w) GROUP BY doc_id)
+         |SELECT doc_id, logit, CAST(logit > 0 AS INTEGER) AS label_keep FROM s""".stripMargin
+    },
+    // cross-source n-gram overlap census (contamination matrix)
+    "corpus_overlap" -> {
+      val k = Queries.PassageK; val km1 = k - 1
+      s"""WITH d AS (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents
+         |   WHERE text IS NOT NULL AND doc_id IS NOT NULL AND source IS NOT NULL),
+         | g AS (SELECT DISTINCT source, gr FROM (SELECT source,
+         |    unnest(list_transform(range(0, len(ws)-$km1),
+         |      i -> array_to_string(list_slice(ws, i+1, i+$k), ' '))) AS gr FROM d) x),
+         | tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+         | sh AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        CAST(count(*) AS BIGINT) AS shared_grams
+         |        FROM g a JOIN g b ON a.gr = b.gr AND a.source < b.source GROUP BY 1, 2)
+         |SELECT source_a, source_b, shared_grams, ta.n AS grams_a, tb.n AS grams_b
+         |FROM sh JOIN tot ta ON sh.source_a = ta.source
+         |        JOIN tot tb ON sh.source_b = tb.source""".stripMargin
+    },
     // corpus reporting rollup: exact integers + one per-group division
     "corpus_stats" ->
       """WITH d AS (SELECT lang, source,

@@ -861,4 +861,91 @@ object Dedup {
         lit(minSharedPct) * (col("n_a") + col("n_b")))
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"))
   }
+
+  // --------------------- repeated-passage detection --------------------------
+
+  /** Positioned word k-grams: one (doc_id, pos, g) row per k-token window,
+    * pos 0-based. Short docs (< k tokens) contribute nothing — the
+    * sequence() bound must be guarded, because Spark's sequence(0, n)
+    * DESCENDS for negative n instead of returning empty. */
+  private def posGramRows(docs: DataFrame, k: Int,
+                          extra: Seq[String] = Nil): DataFrame = {
+    val ws = split(col("text"), " ")
+    val idxs = when(size(ws) >= lit(k), sequence(lit(0), size(ws) - lit(k)))
+      .otherwise(array().cast("array<int>"))
+    docs.where(col("text").isNotNull && col("doc_id").isNotNull)
+      .select((col("doc_id") +: extra.map(col)) :+
+        posexplode(transform(idxs, i => concat_ws(" ", slice(ws, i + lit(1), lit(k)))))
+          .as(Seq("pos", "g")): _*)
+  }
+
+  /** Exact repeated-PASSAGE detection (the span-level flavor of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models Better":
+    * duplicated text is usually a shared boilerplate span inside otherwise
+    * distinct documents, which document-level dedup cannot see). A k-token
+    * window occurring in ≥ minDocs DISTINCT documents marks token range
+    * [pos, pos+k) in every document carrying it; overlapping and touching
+    * marks merge into maximal intervals per document. Output one row per
+    * interval: (doc_id, start_tok, end_tok exclusive, n_grams = number of
+    * duplicated windows merged into it). Intra-doc self-repetition is NOT
+    * flagged (that is [[TextAnalysis.repetition]]'s signal); the grouping
+    * key is distinct-document count, the cross-corpus notion.
+    *
+    * Scale shape: the window census is distinct (g, doc_id) → count per g —
+    * both map-side combinable; the mark join is a plain equi-join on the
+    * gram key (hot boilerplate grams are AQE-skew-splittable). The interval
+    * merge uses a Window PARTITIONED BY doc_id — bounded by a single
+    * document's length, never by corpus size, so unlike a global window it
+    * survives any scale-up. The reference engine has no passage-level
+    * operator; this is engine-side depth for the curation family. */
+  def dupPassages(docs: DataFrame, k: Int = 8, minDocs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = posGramRows(docs, k)
+    val dup = grams.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= lit(minDocs)).select(col("g"))
+    val marked = grams.join(dup, "g").select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMaxEnd = max(col("pos") + lit(k))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("ni", when(col("pos") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + lit(k)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_grams"))
+  }
+
+  /** Cross-source n-gram overlap census: for every pair of sources, how
+    * many distinct k-token windows they share, alongside each side's own
+    * distinct-window count — the contamination/provenance matrix a corpus
+    * audit publishes (containment = shared/min, Jaccard = shared/(a+b−s)
+    * are one division away, left to the consumer to keep the output
+    * integer-exact). Null-source docs are excluded: the pair key orders
+    * sources with `<`, which is undefined for null provenance.
+    *
+    * Scale shape: distinct (source, g) — map-side combinable — then an
+    * equi-join on the gram key whose fan-out is bounded by the number of
+    * SOURCES squared, not documents; per-source totals are a count-by-key.
+    * A gram shared by every one of S sources yields S·(S−1)/2 pair rows,
+    * independent of corpus size. */
+  def crossSourceOverlap(docs: DataFrame, k: Int = 8): DataFrame = {
+    val sg = posGramRows(docs.where(col("source").isNotNull), k, Seq("source"))
+    val distinctSg = sg.select(col("source"), col("g")).distinct()
+    val totals = distinctSg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = distinctSg.as("a").join(distinctSg.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(totals.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "grams_a"), "source_a")
+      .join(totals.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "grams_b"), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("grams_a"), col("grams_b"))
+  }
 }

@@ -44,4 +44,44 @@ object Sampling {
       .withColumn("coin", coin)
       .filter(col("coin") < rate)
   }
+
+  /** Rebalance a corpus toward a UNIFORM mix over the values of `groupCol`
+    * (language is the canonical case) by deterministic downsampling: each
+    * group's keep-rate is its uniform-share target over its actual share,
+
+    *   rate‰(g) = min(1000, ⌊1000·total / (ngroups·count(g))⌋)
+    *
+    * so over-represented groups are cut toward total/ngroups docs and
+    * under-represented ones keep everything (a sampler cannot upsample
+    * without replication — the cap records that honestly; a DoReMi-style
+    * weighted target is this same operator with a weights table in place
+    * of the uniform 1/ngroups). The per-row coin is the same LCG family as
+    * [[stratifiedSample]] (index `hashIdx` — a different index than the
+    * stratified sampler's 0, so composing both never correlates the
+    * coins), making the sample stable under reruns and repartitioning.
+    * Null group values form their own group (null-safe join), mirroring
+    * the corpus-stats rollup.
+    *
+    * Scale shape: one map-side-combinable count-by-group, a broadcast of
+    * the tiny rates table (|groups| rows), then a pure per-row filter —
+    * no data-sized shuffle anywhere. All arithmetic is BIGINT (1000·total
+    * overflows only past ~9·10¹⁵ docs). */
+  def mixtureSample(docs: DataFrame, idCol: Column, groupCol: Column,
+                    hashIdx: Int = 1): DataFrame = {
+    val counts = docs.groupBy(groupCol.as("grp")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("ngroups"))
+    // SQL `div` is exact BIGINT floor-division — a double `/` + cast loses
+    // exactness past 2^53, which 1000·total reaches at ~9·10¹² docs
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate_pm",
+        least(lit(1000L), expr("(1000 * total) div (ngroups * cnt)")))
+      .select(col("grp"), col("rate_pm"))
+    val coin = pmod(
+      pmod(lit(Dedup.HashA(hashIdx)) * idCol.cast("long") + lit(Dedup.HashB(hashIdx)),
+        lit(Dedup.HashP)),
+      lit(1000L))
+    docs.join(broadcast(rates), groupCol <=> col("grp"))
+      .withColumn("coin", coin)
+      .filter(col("coin") < col("rate_pm"))
+  }
 }

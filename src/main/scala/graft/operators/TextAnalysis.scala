@@ -197,4 +197,108 @@ object TextAnalysis {
           ((lit(61L) * (col("pos") + lit(1)).cast("long") + lit(29L)) % lit(Dedup.HashP)))
         .as("fp"))
   }
+
+  // ------------------------------ PII redaction ------------------------------
+
+  /** PII patterns shared VERBATIM between the Spark expressions and the
+    * generated DuckDB oracle. Both engines must interpret them identically,
+    * so the patterns restrict themselves to the syntax where java.util.regex
+    * and RE2 (DuckDB's engine) agree: plain character classes, bounded
+    * quantifiers, no lookaround, no backreferences, no \b word boundaries
+    * (RE2 and Java disagree on \b inside classes). Redaction order is
+    * load-bearing: emails first (an address like `x@10.1.2.3` must not be
+    * double-counted by the IP pass — the alpha-TLD requirement rejects it as
+    * an email and the IP pass picks up the host part), then IPs, then
+    * phones (whose digit-run class would otherwise swallow bare IPs). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Mask emails, IPv4 addresses and international-format phone numbers in
+    * `text`, in that order, and count what each pass removed. Counts are
+    * taken on the input of the SAME pass that redacts them (sequential
+    * semantics: the IP count never sees digits an email pass consumed), so
+    * n_emails + n_ips + n_phones is exactly the number of `<...>` masks in
+    * clean_text. Null text stays null with zero counts.
+    *
+    * Scale shape: three chained regexp_replace + three regexp_count
+    * expressions — one narrow whole-stage-codegen pass, no shuffle, no
+    * state; the filter/projection survives any scale-up unchanged. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val clean = regexp_replace(afterIp, PhoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      clean.as("clean_text"),
+      coalesce(regexp_count(col("text"), lit(EmailRe)), lit(0)).cast("long").as("n_emails"),
+      coalesce(regexp_count(afterEmail, lit(Ipv4Re)), lit(0)).cast("long").as("n_ips"),
+      coalesce(regexp_count(afterIp, lit(PhoneRe)), lit(0)).cast("long").as("n_phones"))
+  }
+
+  /** Deterministically plant PII onto a (doc_id, text) corpus so the
+    * redactor has something real to find: doc_id % 7 == 2 rows get an
+    * email, % 7 == 4 an IPv4 host, % 7 == 6 a phone number — each derived
+    * from doc_id alone, so the catalog oracle reconstructs the same
+    * planted text with string concatenation and runs the same regexes
+    * (the analog of [[Multimodal.fromDocumentsWithImages]] for images).
+    * Null text stays null (concat propagates). */
+  def withPlantedPii(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    val planted = when(id % 7 === 2, concat(col("text"),
+        lit(" contact user"), s(id), lit("@m"), s(id % 10), lit(".example.com now")))
+      .when(id % 7 === 4, concat(col("text"),
+        lit(" host 10."), s(id % 256), lit("."), s((id * 3) % 256),
+        lit("."), s((id * 5) % 256), lit(" up")))
+      .when(id % 7 === 6, concat(col("text"),
+        lit(" call +"), s(lit(1) + id % 9), lit(" "), s(lit(100) + id % 900),
+        lit(" "), s(lit(100) + (id * 3) % 900), lit(" "),
+        s(lit(1000) + id % 9000), lit(" ok")))
+      .otherwise(col("text"))
+    docs.withColumn("text", planted)
+  }
+
+  // ------------------------- hashed linear classifier ------------------------
+
+  /** Dedicated LCG constants for the classifier weights — own seeded
+    * stream (same JDK-specified recipe as [[Dedup.HashA]]) so the weight
+    * table cannot correlate with the simhash/minhash permutations that
+    * share the token-id space. */
+  private val clsRng = new java.util.Random(246813579L)
+  val ClsA: Long = 1L + java.lang.Math.floorMod(clsRng.nextLong(), Dedup.HashP - 1)
+  val ClsB: Long = java.lang.Math.floorMod(clsRng.nextLong(), Dedup.HashP)
+
+  /** Hashed-feature dimensionality (the fastText hashing trick: tokens
+    * colliding mod ClsDim share a weight, so the weight table is fixed-size
+    * no matter how large the vocabulary grows). */
+  val ClsDim = 4096L
+
+  /** fastText-style linear quality classifier over hashed bag-of-words
+    * features: logit(doc) = Σ_tokens w(tid mod D) with a deterministic
+    * integer weight table w(j) = ((ClsA·j + ClsB) mod P) mod 2001 − 1000
+    * (range [−1000, 1000]). Pure integer arithmetic end-to-end, so the
+    * DuckDB oracle reproduces logits bit-exactly; a real deployment swaps
+    * the LCG weight table for trained weights (a broadcast array or a
+    * lookup join — the plan shape is identical).
+    *
+    * Scale shape: explode → equi-join with the dense vocabulary (the same
+    * session-cached table every portable-hash operator shares) → map-side-
+    * combinable sum per doc. At 100 TB the weight table itself never
+    * shuffles — it is a function of tid, not a side table. Docs with no
+    * tokens (null text) carry no feature rows and are absent, matching the
+    * SQL mirror. */
+  def classifierScore(docs: DataFrame,
+                      vocabKey: Option[String] = None): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val vocab = Dedup.tokenVocabCached(t.select(col("w").as("sh")), vocabKey)
+    val weight =
+      ((lit(ClsA) * (col("tid") % lit(ClsDim)) + lit(ClsB)) % lit(Dedup.HashP)) % lit(2001L) - lit(1000L)
+    t.join(vocab, t("w") === vocab("sh"))
+      .groupBy(col("doc_id"))
+      .agg(sum(weight).as("logit"))
+      .select(col("doc_id"), col("logit"),
+        (col("logit") > 0L).cast("int").as("label_keep"))
+  }
 }

@@ -1,0 +1,163 @@
+package graft
+
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 curation-depth operators: PII redaction, repeated-passage
+  * detection, cross-source overlap census, mixture rebalancing, and the
+  * hashed linear classifier — each against hand-computed expectations.
+  */
+class CurationDepthSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------ PII redaction -----------------------------
+
+  private def redact(texts: (Long, String)*): Map[Long, (String, Long, Long, Long)] =
+    TextAnalysis.piiRedact(texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  test("piiRedact masks emails, IPs and phones with sequential counts") {
+    val out = redact(
+      1L -> "reach user123@m3.example.com now",
+      2L -> "host 10.34.102.170 up",
+      3L -> "call +3 512 298 4032 ok",
+      4L -> "multi a@b.co and c@d.org end",
+      5L -> "plain words only here")
+    assert(out(1L) == (("reach <EMAIL> now", 1L, 0L, 0L)))
+    assert(out(2L) == (("host <IP> up", 0L, 1L, 0L)))
+    assert(out(3L) == (("call <PHONE> ok", 0L, 0L, 1L)))
+    assert(out(4L) == (("multi <EMAIL> and <EMAIL> end", 2L, 0L, 0L)))
+    assert(out(5L) == (("plain words only here", 0L, 0L, 0L)))
+  }
+
+  test("piiRedact pass order: an @IP address is an IP hit, not a double count") {
+    // x@10.1.2.3 is NOT an email (no alpha TLD), so the email pass leaves
+    // it and the IP pass redacts the host part — exactly once.
+    val out = redact(1L -> "x@10.1.2.3 tricky", 2L -> "1.2.3.4.5 chain")
+    assert(out(1L) == (("x@<IP> tricky", 0L, 1L, 0L)))
+    // leftmost-first: the first four octets match, the tail survives
+    assert(out(2L) == (("<IP>.5 chain", 0L, 1L, 0L)))
+  }
+
+  test("piiRedact: null text stays null with zero counts") {
+    val out = TextAnalysis.piiRedact(
+      Seq((1L, Option.empty[String])).toDF("doc_id", "text")).collect()
+    assert(out.length == 1 && out(0).isNullAt(1) &&
+      out(0).getLong(2) == 0L && out(0).getLong(3) == 0L && out(0).getLong(4) == 0L)
+  }
+
+  test("withPlantedPii plants on the doc_id residues and propagates null") {
+    val planted = TextAnalysis.withPlantedPii(
+      Seq((2L, Some("base")), (4L, Some("base")), (6L, Some("base")),
+        (0L, Some("base")), (9L, Option.empty[String])).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(planted(2L).get == "base contact user2@m2.example.com now")
+    assert(planted(4L).get == "base host 10.4.12.20 up")
+    assert(planted(6L).get == "base call +7 106 118 1006 ok")
+    assert(planted(0L).get == "base")
+    assert(planted(9L).isEmpty) // 9 % 7 == 2 but null text stays null
+  }
+
+  // ------------------------- repeated-passage detection ----------------------
+
+  private def toks(p: String, n: Int): String = (1 to n).map(p + _).mkString(" ")
+
+  test("dupPassages merges cross-doc duplicated windows into maximal intervals") {
+    val shared12 = toks("S", 12)
+    val docs = Seq(
+      1L -> s"${toks("x", 5)} $shared12 ${toks("y", 5)}", // S at pos 5..16
+      2L -> s"$shared12 ${toks("z", 8)}",                 // S at pos 0..11
+      3L -> toks("u", 30),                                // nothing shared
+      4L -> toks("S", 8)                                  // first 8 of S only
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupPassages(docs, k = 8, minDocs = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // five windows fit inside the 12-token run; they merge into one span
+    assert(out == Set((1L, 5L, 17L, 5L), (2L, 0L, 12L, 5L), (4L, 0L, 8L, 1L)))
+  }
+
+  test("dupPassages ignores intra-doc self-repetition and short docs") {
+    val rep = toks("R", 8)
+    val docs = Seq(
+      5L -> s"$rep $rep ${toks("q", 4)}", // the same window twice, ONE doc
+      6L -> toks("w", 7)                  // < k tokens, no windows
+    ).toDF("doc_id", "text")
+    assert(Dedup.dupPassages(docs, k = 8, minDocs = 2L).count() == 0L)
+  }
+
+  // ------------------------- cross-source overlap census ---------------------
+
+  test("crossSourceOverlap counts shared distinct grams per source pair") {
+    val a8 = toks("A", 8)
+    val docs = Seq(
+      (1L, Some("s1"), s"$a8 f1 f2"),   // 3 windows
+      (2L, Some("s2"), s"$a8 g1"),      // 2 windows
+      (3L, Some("s2"), toks("h", 8)),   // 1 window, unique
+      (4L, Some("s3"), a8),             // 1 window
+      (5L, Option.empty[String], a8)    // null source: excluded
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.crossSourceOverlap(docs, k = 8).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      ("s1", "s2") -> ((1L, 3L, 3L)),
+      ("s1", "s3") -> ((1L, 3L, 1L)),
+      ("s2", "s3") -> ((1L, 3L, 1L))))
+  }
+
+  // ----------------------------- mixture rebalance ---------------------------
+
+  test("mixtureSample caps minority rates at 1000 and cuts the majority") {
+    val docs = ((1L to 8L).map(i => (i, Some("en"))) ++
+      Seq((9L, Some("de")), (10L, Some("de")),
+        (11L, Option.empty[String]), (12L, Option.empty[String])))
+      .toDF("doc_id", "lang")
+    val out = Sampling.mixtureSample(docs, col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("rate_pm"), col("coin")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // total 12, 3 groups: en 12000/(3*8)=500; de and null cap at 1000
+    assert(Seq(9L, 10L, 11L, 12L).forall(id => out(id)._1 == 1000L))
+    val coin = (id: Long) => Math.floorMod(
+      Math.floorMod(Dedup.HashA(1) * id + Dedup.HashB(1), Dedup.HashP), 1000L)
+    (1L to 8L).foreach { id =>
+      assert(out.contains(id) == (coin(id) < 500L))
+      out.get(id).foreach { case (r, c) => assert(r == 500L && c == coin(id)) }
+    }
+  }
+
+  test("mixtureSample is stable under repartitioning and broadcasts the rates") {
+    val docs = (1L to 40L).map(i => (i, if (i % 4 == 0L) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val once = Sampling.mixtureSample(docs, col("doc_id"), col("lang"))
+    val again = Sampling.mixtureSample(docs.repartition(7), col("doc_id"), col("lang"))
+    assert(once.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // the rates join must be broadcast — a data-sized shuffle there would
+    // defeat the operator's no-shuffle contract
+    val plan = once.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast rates join in:\n$plan")
+  }
+
+  // --------------------------- hashed linear classifier ----------------------
+
+  test("classifierScore computes the LCG-weighted logit over dense token ids") {
+    import TextAnalysis.{ClsA, ClsB, ClsDim}
+    val docs = Seq((1L, Some("a b")), (2L, Some("c")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val w = (tid: Long) => Math.floorMod(
+      Math.floorMod(ClsA * (tid % ClsDim) + ClsB, Dedup.HashP), 2001L) - 1000L
+    // sorted distinct vocabulary: a->1, b->2, c->3
+    val out = TextAnalysis.classifierScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out.keySet == Set(1L, 2L)) // null-text doc carries no features
+    assert(out(1L)._1 == w(1) + w(2))
+    assert(out(2L)._1 == w(3))
+    out.foreach { case (_, (logit, keep)) =>
+      assert(keep == (if (logit > 0) 1 else 0))
+    }
+  }
+}
