@@ -29,7 +29,12 @@ import org.apache.spark.sql.types.DecimalType
   *    voids corpora whose docs are single lines, like the catalog's).
   *  - `shortBandWords`, `shortPermille`/`longPermille`: stratified
   *    sampling bands and rates.
-  *  - `seqLen`: packing sequence length. */
+  *  - `seqLen`: packing sequence length.
+  *  - `redactPii`: PII-mask the survivors after the gates and before
+  *    sampling/packing (masks must not perturb dedup hashes or quality
+  *    stats, and no address may reach a training bin) — off by default.
+  *  - `minClassifierLogit`: learned-quality gate on the hashed linear
+  *    classifier's logit — None disables. */
 case class CurationConfig(
   minSharedPct: Int = 80,
   decontamShingleN: Int = 8,
@@ -43,7 +48,9 @@ case class CurationConfig(
   shortBandWords: Int = 70,
   shortPermille: Int = 500,
   longPermille: Int = 750,
-  seqLen: Int = 2048)
+  seqLen: Int = 2048,
+  redactPii: Boolean = false,
+  minClassifierLogit: Option[Long] = None)
 
 /** Implementations behind SparkEntry.queries.
   *
@@ -443,6 +450,14 @@ object Queries {
   def corpusOverlap(s: SparkSession, dir: String): DataFrame =
     Dedup.crossSourceOverlap(table(s, dir, "documents"), k = PassageK)
 
+  /** Detection → removal composed: strip every duplicated passage
+    * [[Dedup.dupPassages]] finds from the corpus (exact-duplicate docs
+    * come back as the empty string — all their tokens are shared). */
+  def textPassageClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Dedup.removePassages(docs, Dedup.dupPassages(docs, k = PassageK, minDocs = 2L))
+  }
+
   /** Uniform language-mix rebalancing: deterministic downsampling of
     * over-represented languages toward the uniform share. */
   def textMixture(s: SparkSession, dir: String): DataFrame =
@@ -600,7 +615,23 @@ object Queries {
           .select(col("doc_id")), "doc_id")
       case None => gateIds
     }
-    val qual = clean.join(qualIds, "doc_id")
+    // optional learned-quality gate: the hashed linear classifier's logit
+    // (vocabulary ranked over the gate's own input — deterministic)
+    val scoredIds = config.minClassifierLogit match {
+      case Some(t) => qualIds.join(
+        TextAnalysis.classifierScore(clean).filter(col("logit") >= t)
+          .select(col("doc_id")), "doc_id")
+      case None => qualIds
+    }
+    val gated = clean.join(scoredIds, "doc_id")
+    // PII redaction AFTER dedup/decontam/gates (masks would perturb the
+    // dedup hashes and quality stats) and BEFORE sampling/packing, so no
+    // address ever reaches a training bin
+    val qual =
+      if (config.redactPii)
+        TextAnalysis.piiRedact(gated)
+          .select(col("doc_id"), col("clean_text").as("text"))
+      else gated
     // the sampled survivors feed TWO branches (the packing input and the
     // stratum join-back); localCheckpoint materializes them once, so the
     // decontamination gram join and quality pass upstream are not

@@ -128,6 +128,10 @@ object CurationJob {
         case Array("shortPermille", v) => c.copy(shortPermille = v.toInt)
         case Array("longPermille", v) => c.copy(longPermille = v.toInt)
         case Array("seqLen", v) => c.copy(seqLen = v.toInt)
+        case Array("redactPii", v) => c.copy(redactPii = v.toBoolean)
+        case Array("minClassifierLogit", "none") => c.copy(minClassifierLogit = None)
+        case Array("minClassifierLogit", v) =>
+          c.copy(minClassifierLogit = Some(v.toLong))
         case other => sys.error(s"unknown config arg '${other.mkString("=")}'")
       }
     }

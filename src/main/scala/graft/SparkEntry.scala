@@ -77,6 +77,7 @@ object SparkEntry {
     "text_line_dedup" -> (Queries.textLineDedup _),
     "text_pii" -> (Queries.textPii _),
     "text_dup_passages" -> (Queries.textDupPassages _),
+    "text_passage_clean" -> (Queries.textPassageClean _),
     "text_mixture" -> (Queries.textMixture _),
     "text_classifier" -> (Queries.textClassifier _),
     "corpus_stats" -> (Queries.corpusStats _),
@@ -101,6 +102,32 @@ object SparkEntry {
   // hand-maintained, so constants can never drift from the Scala side.
 
   private val P = graft.operators.Dedup.HashP
+
+  /** CTE chain ending in `iv(doc_id, start_tok, end_tok, n_grams)` — the
+    * repeated-passage interval construction shared by text_dup_passages
+    * and text_passage_clean: positioned k-grams → cross-doc census →
+    * gaps-and-islands merge (frames identical in both engines). */
+  private def dupPassageCtes: String = {
+    val k = Queries.PassageK; val km1 = k - 1
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+       |   WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+       | g AS (SELECT doc_id, unnest(range(0, len(ws)-$km1)) AS pos,
+       |    unnest(list_transform(range(0, len(ws)-$km1),
+       |      i -> array_to_string(list_slice(ws, i+1, i+$k), ' '))) AS gr FROM d),
+       | dup AS (SELECT gr FROM (SELECT gr, count(DISTINCT doc_id) AS nd
+       |         FROM g GROUP BY gr) x WHERE nd >= 2),
+       | m AS (SELECT doc_id, pos FROM g JOIN dup USING (gr)),
+       | i1 AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(max(pos+$k) OVER
+       |    (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS ni FROM m),
+       | i2 AS (SELECT doc_id, pos, sum(ni) OVER
+       |    (PARTITION BY doc_id ORDER BY pos) AS island FROM i1),
+       | iv AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+       |    CAST(max(pos)+$k AS BIGINT) AS end_tok,
+       |    CAST(count(*) AS BIGINT) AS n_grams
+       |   FROM i2 GROUP BY doc_id, island)""".stripMargin
+  }
 
   /** CTE chain ending in `cand(doc_a, doc_b)` — the portable MinHash-LSH
     * candidate construction (3-gram shingles, k=16, 4 bands × 4 rows).
@@ -595,27 +622,27 @@ object SparkEntry {
     // repeated-passage detection: positioned k-grams, cross-doc census,
     // gaps-and-islands interval merge — the window frames are identical
     // in both engines (ROWS UNBOUNDED..1 PRECEDING cummax; running sum)
-    "text_dup_passages" -> {
-      val k = Queries.PassageK; val km1 = k - 1
-      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
-         |   WHERE text IS NOT NULL AND doc_id IS NOT NULL),
-         | g AS (SELECT doc_id, unnest(range(0, len(ws)-$km1)) AS pos,
-         |    unnest(list_transform(range(0, len(ws)-$km1),
-         |      i -> array_to_string(list_slice(ws, i+1, i+$k), ' '))) AS gr FROM d),
-         | dup AS (SELECT gr FROM (SELECT gr, count(DISTINCT doc_id) AS nd
-         |         FROM g GROUP BY gr) x WHERE nd >= 2),
-         | m AS (SELECT doc_id, pos FROM g JOIN dup USING (gr)),
-         | i1 AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(max(pos+$k) OVER
-         |    (PARTITION BY doc_id ORDER BY pos
-         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |    THEN 1 ELSE 0 END AS ni FROM m),
-         | i2 AS (SELECT doc_id, pos, sum(ni) OVER
-         |    (PARTITION BY doc_id ORDER BY pos) AS island FROM i1)
-         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
-         | CAST(max(pos)+$k AS BIGINT) AS end_tok,
-         | CAST(count(*) AS BIGINT) AS n_grams
-         |FROM i2 GROUP BY doc_id, island""".stripMargin
-    },
+    "text_dup_passages" ->
+      s"""$dupPassageCtes
+         |SELECT doc_id, start_tok, end_tok, n_grams FROM iv""".stripMargin,
+    // detection -> removal composed: tokens LEFT JOIN the merged intervals
+    // on the doc key (disjoint ranges: at most one match per token), the
+    // string_agg ORDER BY skips removed tokens like collect_list skips
+    // nulls; a fully-duplicated doc COALESCEs to the empty string
+    "text_passage_clean" ->
+      s"""$dupPassageCtes,
+         | allt AS (SELECT doc_id, unnest(string_split(text,' ')) AS w,
+         |    unnest(range(0, len(string_split(text,' ')))) AS pos
+         |   FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         | mk AS (SELECT a.doc_id, a.pos, a.w, iv.start_tok FROM allt a
+         |   LEFT JOIN iv ON iv.doc_id = a.doc_id
+         |    AND a.pos >= iv.start_tok AND a.pos < iv.end_tok)
+         |SELECT doc_id,
+         | COALESCE(string_agg(CASE WHEN start_tok IS NULL THEN w END, ' ' ORDER BY pos), '')
+         |   AS clean_text,
+         | CAST(sum(CASE WHEN start_tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_removed_tokens
+         |FROM mk GROUP BY doc_id""".stripMargin,
     // uniform language-mix rebalance: integer floor-div rates + LCG coin
     "text_mixture" -> {
       import graft.operators.Dedup.{HashA, HashB}

@@ -918,6 +918,39 @@ object Dedup {
       .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_grams"))
   }
 
+  /** Strip flagged token ranges from their documents — the removal half
+    * of the Lee et al. passage-dedup pair ([[dupPassages]] detects, this
+    * rewrites). `intervals` is (doc_id, start_tok, end_tok exclusive) with
+    * DISJOINT ranges per doc (dupPassages merges overlaps — arbitrary
+    * callers must too, or tokens under two ranges duplicate through the
+    * join). Output one row per doc with non-null id and text: the
+    * surviving tokens rejoined in order (canonical single-space form — the
+    * token-stream view a packing stage consumes anyway) plus the removed-
+    * token count; a fully-duplicated doc comes back as the empty string,
+    * which is the honest answer, not a dropped row.
+    *
+    * Scale shape: tokens join intervals on the DOC key (equi-join with a
+    * range residual — never a broadcast-range explosion), then one
+    * groupBy(doc) whose collect_list is bounded by a single document's
+    * length. Same rebuild idiom as [[lineDedup]]: collect_list skips the
+    * when()-nulled removed tokens, sort_array on (pos, w) restores order. */
+  def removePassages(docs: DataFrame, intervals: DataFrame): DataFrame = {
+    val iv = intervals.select(col("doc_id").as("i_doc"),
+      col("start_tok"), col("end_tok"))
+    val toks = docs.where(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val marked = toks.join(iv,
+      toks("doc_id") === iv("i_doc") &&
+        col("pos") >= col("start_tok") && col("pos") < col("end_tok"), "left")
+    marked.groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(sort_array(collect_list(
+          when(col("start_tok").isNull, struct(col("pos"), col("w"))))),
+          s => s.getField("w"))).as("clean_text"),
+        sum(when(col("start_tok").isNotNull, 1L).otherwise(0L))
+          .as("n_removed_tokens"))
+  }
+
   /** Cross-source n-gram overlap census: for every pair of sources, how
     * many distinct k-token windows they share, alongside each side's own
     * distinct-window count — the contamination/provenance matrix a corpus

@@ -88,6 +88,23 @@ class CurationDepthSpec extends AnyFunSuite {
     assert(Dedup.dupPassages(docs, k = 8, minDocs = 2L).count() == 0L)
   }
 
+  test("removePassages strips flagged spans; full duplicates empty out") {
+    val shared12 = toks("S", 12)
+    val docs = Seq(
+      1L -> s"${toks("x", 5)} $shared12 ${toks("y", 5)}",
+      2L -> s"$shared12 ${toks("z", 8)}",
+      3L -> toks("u", 30),
+      4L -> toks("S", 8)
+    ).toDF("doc_id", "text")
+    val out = Dedup.removePassages(docs, Dedup.dupPassages(docs, k = 8, minDocs = 2L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, s"${toks("x", 5)} ${toks("y", 5)}", 12L),
+      (2L, toks("z", 8), 12L),
+      (3L, toks("u", 30), 0L),   // untouched: canonical token stream back
+      (4L, "", 8L)))             // fully duplicated -> empty, not dropped
+  }
+
   // ------------------------- cross-source overlap census ---------------------
 
   test("crossSourceOverlap counts shared distinct grams per source pair") {

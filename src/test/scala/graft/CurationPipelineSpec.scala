@@ -144,6 +144,38 @@ class CurationPipelineSpec extends AnyFunSuite {
       s"the external eval set must knock out the contaminated doc: $withEval")
   }
 
+  test("redactPii masks survivors after the gates, before packing") {
+    // 56 distinct words + "call +1 234 567 8901": 61 tokens raw, the
+    // phone is 4 tokens -> 1 mask, so the packed row must carry 58
+    // tokens when the stage is on and 61 when off. Redaction must run
+    // AFTER dedup (the doc still dedups/gates on its raw text).
+    val Seq(id) = coinPassingIds(1, 500)
+    val words = (1 to 56).map(i => f"pii$i%03d").mkString(" ")
+    val docs = Seq(id -> s"$words call +1 234 567 8901").toDF("doc_id", "text")
+    def nTokens(cfg: CurationConfig): Long =
+      Queries.curationPipelineOver(docs, None, cfg)
+        .collect().map(r => r.getLong(2)).head
+    assert(nTokens(CurationConfig()) == 61L)
+    assert(nTokens(CurationConfig(redactPii = true)) == 58L)
+  }
+
+  test("minClassifierLogit gates on the hashed linear score") {
+    val Seq(idA, idB) = coinPassingIds(2, 500)
+    val docs = Seq(
+      idA -> (1 to 60).map(i => f"cla$i%03d").mkString(" "),
+      idB -> (1 to 60).map(i => f"clb$i%03d").mkString(" ")).toDF("doc_id", "text")
+    val logits = TextAnalysis.classifierScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (top, topLogit) = logits.maxBy(_._2)
+    assert(logits(idA) != logits(idB), "test docs must separate")
+    def run(cfg: CurationConfig) =
+      Queries.curationPipelineOver(docs, None, cfg)
+        .collect().map(_.getLong(0)).toSet
+    assert(run(CurationConfig()) == Set(idA, idB))
+    assert(run(CurationConfig(minClassifierLogit = Some(topLogit))) == Set(top),
+      "the threshold at the max logit must keep exactly the top doc")
+  }
+
   test("corpus stats keep groups whose docs all have null text") {
     val docs = Seq(
       (1L, "alpha beta", "en", "s1"),
