@@ -159,6 +159,28 @@ class CurationDepthSpec extends AnyFunSuite {
       s"expected a broadcast rates join in:\n$plan")
   }
 
+  test("piiRedact composes with a stream: ingestion-time scrubbing") {
+    // a pure projection needs no state or watermark — the same expression
+    // tree runs per micro-batch, which is how a production ingest scrubs
+    // PII before anything lands on disk
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = TextAnalysis.piiRedact(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_pii_stream").start()
+    try {
+      input.addData(1L -> "reach user1@m.example.com now", 2L -> "plain words")
+      q.processAllAvailable()
+      input.addData(3L -> "host 10.1.2.3 up")
+      q.processAllAvailable()
+      val rows = spark.table("graft_pii_stream").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2) + r.getLong(3))).toMap
+      assert(rows(1L) == (("reach <EMAIL> now", 1L)))
+      assert(rows(2L) == (("plain words", 0L)))
+      assert(rows(3L) == (("host <IP> up", 1L)))
+    } finally q.stop()
+  }
+
   // --------------------------- hashed linear classifier ----------------------
 
   test("classifierScore computes the LCG-weighted logit over dense token ids") {

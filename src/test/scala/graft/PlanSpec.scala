@@ -50,6 +50,14 @@ class PlanSpec extends AnyFunSuite {
       s"the fused extract->score pass must not shuffle:\n$plan")
   }
 
+  test("text_pii is one narrow codegen pass: no Exchange anywhere") {
+    // three regex replaces + three counts must stay a pure projection —
+    // a shuffle here would mean the operator stopped being per-row
+    val plan = physical("text_pii")
+    assert(!plan.contains("Exchange"), s"PII redaction must not shuffle:\n$plan")
+    assert(plan.contains("*(1)"), "the projection must be whole-stage codegen'd")
+  }
+
   test("kg_triples / kg_mentions scan the documents table exactly once") {
     for (q <- Seq("kg_triples", "kg_mentions", "kg_cooccur_pairs")) {
       val plan = physical(q)
