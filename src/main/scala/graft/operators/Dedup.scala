@@ -901,8 +901,10 @@ object Dedup {
   def dupPassages(docs: DataFrame, k: Int = 8, minDocs: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = posGramRows(docs, k)
-    val dup = grams.select(col("g"), col("doc_id")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+    // countDistinct — same plan Spark derives for distinct().groupBy.count
+    // (partial agg on (g, doc) before the first shuffle, then the deduped
+    // g-keyed count), kept in this form to match lineDedup's census
+    val dup = grams.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= lit(minDocs)).select(col("g"))
     val marked = grams.join(dup, "g").select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
