@@ -472,6 +472,26 @@ object Queries {
     TextAnalysis.classifierScore(table(s, dir, "documents"),
       vocabKey = Some(s"$dir#documents#words"))
 
+  /** Target mix for the weighted-mixture catalog entry (ppm of the final
+    * corpus per language; shared with the generated oracle's VALUES list).
+    * en is deliberately UNDER its actual share (→ a real cut) while the
+    * rest sit above theirs (→ capped at keep-everything). */
+  val MixtureTargets: Seq[(String, Long)] = Seq(
+    "en" -> 300000L, "de" -> 175000L, "es" -> 175000L,
+    "fr" -> 175000L, "zh" -> 175000L)
+
+  /** Weighted (DoReMi-style) language-mix rebalance toward
+    * [[MixtureTargets]]; coin at hash index 2 so composing with the
+    * uniform mixture or the stratified sampler never correlates. */
+  def textMixtureWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Sampling.mixtureSampleTo(
+      table(s, dir, "documents").select(col("doc_id"), col("lang")),
+      idCol = col("doc_id"), groupCol = col("lang"),
+      targets = MixtureTargets.toDF("grp", "target_ppm"), hashIdx = 2)
+      .select(col("doc_id"), col("lang"), col("rate_pm"), col("coin"))
+  }
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprintsPortable(table(s, dir, "documents"),
       vocabKey = Some(s"$dir#documents#words"))

@@ -79,6 +79,7 @@ object SparkEntry {
     "text_dup_passages" -> (Queries.textDupPassages _),
     "text_passage_clean" -> (Queries.textPassageClean _),
     "text_mixture" -> (Queries.textMixture _),
+    "text_mixture_weighted" -> (Queries.textMixtureWeighted _),
     "text_classifier" -> (Queries.textClassifier _),
     "corpus_stats" -> (Queries.corpusStats _),
     "corpus_overlap" -> (Queries.corpusOverlap _),
@@ -654,6 +655,25 @@ object SparkEntry {
          |        AS rate_pm FROM c CROSS JOIN t),
          | d AS (SELECT doc_id, lang,
          |        ((${HashA(1)}*doc_id + ${HashB(1)}) % $P) % 1000 AS coin FROM documents)
+         |SELECT doc_id, lang, rate_pm, coin
+         |FROM d JOIN r ON d.lang IS NOT DISTINCT FROM r.grp
+         |WHERE coin < rate_pm""".stripMargin
+    },
+    // weighted mixture: the targets VALUES list is generated from the
+    // same Scala constant the binder feeds the operator
+    "text_mixture_weighted" -> {
+      import graft.operators.Dedup.{HashA, HashB}
+      val values = Queries.MixtureTargets
+        .map { case (g, p) => s"('$g', ${p})" }.mkString(", ")
+      s"""WITH tgt(grp, target_ppm) AS (VALUES $values),
+         | c AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS cnt
+         |   FROM documents GROUP BY 1),
+         | t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         | r AS (SELECT c.grp, CAST(LEAST(1000, (target_ppm*total) // (1000*cnt)) AS BIGINT)
+         |        AS rate_pm FROM c JOIN tgt ON c.grp IS NOT DISTINCT FROM tgt.grp
+         |        CROSS JOIN t),
+         | d AS (SELECT doc_id, lang,
+         |        ((${HashA(2)}*doc_id + ${HashB(2)}) % $P) % 1000 AS coin FROM documents)
          |SELECT doc_id, lang, rate_pm, coin
          |FROM d JOIN r ON d.lang IS NOT DISTINCT FROM r.grp
          |WHERE coin < rate_pm""".stripMargin

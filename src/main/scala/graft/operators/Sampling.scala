@@ -84,4 +84,37 @@ object Sampling {
       .withColumn("coin", coin)
       .filter(col("coin") < col("rate_pm"))
   }
+
+  /** DoReMi-style WEIGHTED mixture: `targets` (grp, target_ppm) pins each
+    * group's desired share of the final mix in parts-per-million, and the
+    * keep-rate is the exact integer form of 1000 · target-share /
+    * actual-share,
+    *
+    *   rate‰(g) = min(1000, ⌊target_ppm(g)·total / (1000·count(g))⌋)
+    *
+    * (algebraically 1000·(target_ppm/10⁶)/(cnt/total), rearranged so the
+    * division happens once — BIGINT-exact to ~9·10¹² docs). Groups ABSENT
+    * from the targets table are dropped: the table pins the whole mix, and
+    * an unlisted group's target is zero. [[mixtureSample]] is the uniform
+    * special case (kept separate: its ⌊1000·total/(n·cnt)⌋ form is exact
+    * where a ⌊10⁶/n⌋-ppm row here would round). Same scale shape: one
+    * count-by-group, a broadcast rates table, a per-row coin filter. */
+  def mixtureSampleTo(docs: DataFrame, idCol: Column, groupCol: Column,
+                      targets: DataFrame, hashIdx: Int = 1): DataFrame = {
+    val counts = docs.groupBy(groupCol.as("grp")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    val rates = counts
+      .join(targets, counts("grp") <=> targets("grp"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rate_pm",
+        least(lit(1000L), expr("(target_ppm * total) div (1000 * cnt)")))
+      .select(counts("grp"), col("rate_pm"))
+    val coin = pmod(
+      pmod(lit(Dedup.HashA(hashIdx)) * idCol.cast("long") + lit(Dedup.HashB(hashIdx)),
+        lit(Dedup.HashP)),
+      lit(1000L))
+    docs.join(broadcast(rates), groupCol <=> col("grp"))
+      .withColumn("coin", coin)
+      .filter(col("coin") < col("rate_pm"))
+  }
 }

@@ -181,6 +181,26 @@ class CurationDepthSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mixtureSampleTo rebalances toward weighted targets; unlisted groups drop") {
+    // a:4 docs, b:12, c:2 (unlisted) — total 18. target a=750000ppm →
+    // rate (750000·18) div (1000·4) = 3375 → cap 1000 (upsample-capped);
+    // target b=250000ppm → (250000·18) div (1000·12) = 375‰.
+    val docs = ((1L to 4L).map((_, "a")) ++ (5L to 16L).map((_, "b")) ++
+      Seq((17L, "c"), (18L, "c"))).toDF("doc_id", "lang")
+    val targets = Seq("a" -> 750000L, "b" -> 250000L).toDF("grp", "target_ppm")
+    val out = Sampling.mixtureSampleTo(docs, col("doc_id"), col("lang"), targets)
+      .select(col("doc_id"), col("lang"), col("rate_pm")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(!out.values.exists(_._1 == "c"), "unlisted groups must drop")
+    assert((1L to 4L).forall(id => out(id) == (("a", 1000L))))
+    val coin = (id: Long) => Math.floorMod(
+      Math.floorMod(Dedup.HashA(1) * id + Dedup.HashB(1), Dedup.HashP), 1000L)
+    (5L to 16L).foreach { id =>
+      assert(out.contains(id) == (coin(id) < 375L))
+      out.get(id).foreach(v => assert(v == (("b", 375L))))
+    }
+  }
+
   // --------------------------- hashed linear classifier ----------------------
 
   test("classifierScore computes the LCG-weighted logit over dense token ids") {
@@ -198,5 +218,26 @@ class CurationDepthSpec extends AnyFunSuite {
     out.foreach { case (_, (logit, keep)) =>
       assert(keep == (if (logit > 0) 1 else 0))
     }
+  }
+
+  test("classifierScoreWith on the LCG table equals the inline form; sparse drops") {
+    import TextAnalysis.{ClsA, ClsB, ClsDim}
+    val docs = Seq((1L, "a b c a"), (2L, "d e"), (3L, "f")).toDF("doc_id", "text")
+    val w = (j: Long) => Math.floorMod(
+      Math.floorMod(ClsA * j + ClsB, Dedup.HashP), 2001L) - 1000L
+    val full = (0L until ClsDim).map(j => (j, w(j))).toDF("feature", "weight")
+    val inline = TextAnalysis.classifierScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val external = TextAnalysis.classifierScoreWith(docs, full, ClsDim).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(external == inline,
+      "the external weight table must reproduce the inline LCG scores")
+    // sparse table: only feature of token id 1 present ("a" -> tid 1);
+    // every other token contributes zero
+    val sparse = Seq((1L % ClsDim, 7L)).toDF("feature", "weight")
+    val sp = TextAnalysis.classifierScoreWith(docs, sparse, ClsDim).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sp(1L) == 14L, "two 'a' occurrences at weight 7")
+    assert(sp(2L) == 0L && sp(3L) == 0L)
   }
 }
