@@ -264,7 +264,7 @@ object Bench {
       s""""staging_sec":${num(stagingSec, 3)},""" +
       s""""kg_docs":$nDocs,"kg_triples":$nTriples,"kg_sec":${num(kgSec, 3)},""" +
       s""""kg_docs_per_sec":${num(kgDps, 1)},"kg_triples_per_sec":${num(nTriples / kgSec, 1)},""" +
-      s""""protocol":"bo2/query; stream last; kg peak-of-3 + 3 uncond leg pairs, fresh JVMs; staging apart"""" +
+      s""""protocol":"bo2;stream-last;kg-po3;3-uncond-leg-pairs;fresh-jvms;staging-apart"""" +
       scaling + s""","cpus":"$cpus","sf":"$sfDir"}"""
     // >= not >: the trailing newline occupies one char of the 2000-char
     // tail window, so a line of exactly 2000 already loses its first '{'

@@ -480,6 +480,28 @@ object Queries {
     "en" -> 300000L, "de" -> 175000L, "es" -> 175000L,
     "fr" -> 175000L, "zh" -> 175000L)
 
+  /** Blocklisted registered domains for the URL-filter catalog entry
+    * (shared with the generated oracle's VALUES list). The planting
+    * scheme produces hosts w{·}.example{0..6}.org, so these flag the
+    * doc_id % 7 ∈ {2, 5} subset of the planted rows. */
+  val UrlBlocklist: Seq[String] = Seq("example2.org", "example5.org")
+
+  /** URL/domain blocklist filter over planted URLs (the C4/UT1 curation
+    * stage); the oracle re-runs the same three regexes through RE2. */
+  def textUrlFlags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.urlFlags(
+      TextAnalysis.withPlantedUrls(
+        table(s, dir, "documents").select(col("doc_id"), col("text"))),
+      blocklist = UrlBlocklist.toDF("domain"))
+  }
+
+  /** Cluster-size histogram of the dedup keep-list (reporting rollup). */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterSizeHistogram(
+      Dedup.keepList(table(s, dir, "documents"), minSharedPct = 80,
+        vocabKey = Some(s"$dir#documents#sh3")))
+
   /** Weighted (DoReMi-style) language-mix rebalance toward
     * [[MixtureTargets]]; coin at hash index 2 so composing with the
     * uniform mixture or the stratified sampler never correlates. */

@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_lsh_verified" -> (Queries.dedupLshVerified _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_keep_list" -> (Queries.dedupKeepList _),
+    "dedup_cluster_sizes" -> (Queries.dedupClusterSizes _),
     "dedup_keep_list_semantic" -> (Queries.dedupKeepListSemantic _),
     "dedup_keep_list_delta" -> (Queries.dedupKeepListDelta _),
     "dedup_embedding_grid" -> (Queries.dedupEmbeddingGrid _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "text_gopher" -> (Queries.textGopher _),
     "text_line_dedup" -> (Queries.textLineDedup _),
     "text_pii" -> (Queries.textPii _),
+    "text_url_flags" -> (Queries.textUrlFlags _),
     "text_dup_passages" -> (Queries.textDupPassages _),
     "text_passage_clean" -> (Queries.textPassageClean _),
     "text_mixture" -> (Queries.textMixture _),
@@ -455,6 +457,16 @@ object SparkEntry {
     // propagation == the engine's connected components; numeric min ==
     // the engine's %020d-padded string min for non-negative ids)
     "dedup_keep_list" -> keepListSql(withSemantic = false),
+    // reporting rollup over the same closure: cluster-size histogram
+    "dedup_cluster_sizes" ->
+      (keepListCtes(withSemantic = false) +
+        """
+          |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+          |  SELECT keep_id, CAST(count(*) AS BIGINT) AS cluster_size FROM (
+          |    SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS keep_id
+          |    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc) k
+          |  GROUP BY keep_id) h
+          |GROUP BY cluster_size""".stripMargin),
     // the three-edge-source variant: + embedding cosine near-dup edges
     "dedup_keep_list_semantic" -> keepListSql(withSemantic = true),
     // the end-to-end curation deliverable (five verified stages chained)
@@ -619,6 +631,25 @@ object SparkEntry {
          | CAST(COALESCE(len(regexp_extract_all(t1, '$Ipv4Re')), 0) AS BIGINT) AS n_ips,
          | CAST(COALESCE(len(regexp_extract_all(t2, '$PhoneRe')), 0) AS BIGINT) AS n_phones
          |FROM i""".stripMargin
+    },
+    // URL/domain blocklist: planted URLs rebuilt from doc_id, the same
+    // extract/host/registered-domain regexes re-run through RE2, equi-join
+    // on the registered domain against the generated VALUES blocklist
+    "text_url_flags" -> {
+      import graft.operators.TextAnalysis.{HostRe, RegDomainRe, UrlRe}
+      val bl = Queries.UrlBlocklist.map(d => s"('$d')").mkString(", ")
+      s"""WITH bl(domain) AS (VALUES $bl),
+         | d AS (SELECT doc_id, CASE WHEN doc_id % 9 = 5
+         |   THEN text || ' see https://w' || CAST(doc_id % 50 AS VARCHAR)
+         |     || '.example' || CAST(doc_id % 7 AS VARCHAR)
+         |     || '.org/p/' || CAST(doc_id AS VARCHAR) || ' end'
+         |   ELSE text END AS text FROM documents),
+         | u AS (SELECT doc_id, unnest(regexp_extract_all(text, '$UrlRe')) AS url
+         |   FROM d WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         | h AS (SELECT doc_id, url, regexp_extract(url, '$HostRe', 1) AS host FROM u),
+         | r AS (SELECT doc_id, url, regexp_extract(host, '$RegDomainRe', 1) AS domain FROM h)
+         |SELECT doc_id, url, r.domain AS domain
+         |FROM r JOIN bl ON r.domain = bl.domain""".stripMargin
     },
     // repeated-passage detection: positioned k-grams, cross-doc census,
     // gaps-and-islands interval merge — the window frames are identical

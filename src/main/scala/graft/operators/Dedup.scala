@@ -920,6 +920,15 @@ object Dedup {
       .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_grams"))
   }
 
+  /** Cluster-size histogram over a keep-list — the one-line reporting
+    * rollup a dedup run publishes next to its deliverable ("how much of
+    * the corpus is duplicated, in clusters of what size"): (cluster_size,
+    * n_clusters) from two map-side-combinable count-by-key aggregations.
+    * cluster_size 1 counts the unduplicated docs. */
+  def clusterSizeHistogram(keepList: DataFrame): DataFrame =
+    keepList.groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   /** Strip flagged token ranges from their documents — the removal half
     * of the Lee et al. passage-dedup pair ([[dupPassages]] detects, this
     * rewrites). `intervals` is (doc_id, start_tok, end_tok exclusive) with

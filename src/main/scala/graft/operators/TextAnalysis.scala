@@ -259,6 +259,49 @@ object TextAnalysis {
     docs.withColumn("text", planted)
   }
 
+  // ----------------------------- URL / domain filter -------------------------
+
+  /** URL-filter patterns, same java.regex ∩ RE2 discipline as the PII set.
+    * UrlRe's group 1 is the optional path — extraction always uses group 0
+    * (Spark's regexp_extract_all DEFAULTS to group 1, DuckDB to 0, so the
+    * Spark side passes the index explicitly). */
+  val UrlRe = "https?://[A-Za-z0-9.-]+(/[^ ]*)?"
+  val HostRe = "://([^/ ]+)"
+  val RegDomainRe = "([A-Za-z0-9-]+\\.[A-Za-z]+)$"
+
+  /** Flag documents carrying URLs whose REGISTERED domain (the last two
+    * host labels — the C4/UT1 blocklist key, so `ads.example.org` and
+    * `cdn.example.org` both match a blocklist row `example.org`) appears
+    * in `blocklist` (one `domain` column). Output one row per flagged
+    * (doc, url): consumers anti-join the doc_ids or audit the URLs.
+    *
+    * Scale shape: extraction is per-row regex (codegen), the blocklist —
+    * even UT1's millions of rows are a few tens of MB — rides a BROADCAST
+    * equi-join on the registered-domain key; nothing data-sized shuffles. */
+  def urlFlags(docs: DataFrame, blocklist: DataFrame): DataFrame = {
+    val urls = docs.where(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
+    urls
+      .withColumn("host", regexp_extract(col("url"), HostRe, 1))
+      .withColumn("domain", regexp_extract(col("host"), RegDomainRe, 1))
+      .join(broadcast(blocklist), Seq("domain"))
+      .select(col("doc_id"), col("url"), col("domain"))
+  }
+
+  /** Deterministically plant URLs (doc_id % 9 == 5 rows get one, host and
+    * path derived from the id) — the PII-planting analog for the URL
+    * filter, so the catalog oracle re-runs the same regexes in RE2. */
+  def withPlantedUrls(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    docs.withColumn("text",
+      when(id % 9 === 5, concat(col("text"),
+        lit(" see https://w"), s(id % 50), lit(".example"), s(id % 7),
+        lit(".org/p/"), s(id), lit(" end")))
+        .otherwise(col("text")))
+  }
+
   // ------------------------- hashed linear classifier ------------------------
 
   /** Dedicated LCG constants for the classifier weights — own seeded

@@ -105,6 +105,34 @@ class CurationDepthSpec extends AnyFunSuite {
       (4L, "", 8L)))             // fully duplicated -> empty, not dropped
   }
 
+  test("urlFlags matches on the registered domain, subdomains included") {
+    val docs = Seq(
+      1L -> "visit https://ads.bad.org/x now",     // subdomain of blocked
+      2L -> "visit https://bad.org plain",         // apex, no path
+      3L -> "visit https://good.net/ok fine",      // not blocked
+      4L -> "two https://a.bad.org/1 and https://b.bad.org/2", // both flagged
+      5L -> "no urls at all here").toDF("doc_id", "text")
+    val bl = Seq("bad.org").toDF("domain")
+    val out = TextAnalysis.urlFlags(docs, bl).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set(
+      (1L, "https://ads.bad.org/x"),
+      (2L, "https://bad.org"),
+      (4L, "https://a.bad.org/1"),
+      (4L, "https://b.bad.org/2")))
+  }
+
+  test("clusterSizeHistogram counts clusters by size, singletons included") {
+    val keepList = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // one cluster of 3
+      (4L, 4L), (5L, 4L),             // one of 2
+      (6L, 6L), (7L, 7L)              // two singletons
+    ).toDF("doc_id", "keep_id")
+    val out = Dedup.clusterSizeHistogram(keepList).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
+  }
+
   // ------------------------- cross-source overlap census ---------------------
 
   test("crossSourceOverlap counts shared distinct grams per source pair") {
