@@ -103,7 +103,7 @@ object RunJob {
   * skipped — a production corpus is never decontaminated against a slice
   * of itself. Every [[CurationConfig]] gate/rate is threadable as a
   * `k=v` arg (e.g. `minWords=100 longPermille=500 lineDedupMinDocs=2
-  * fullGopher=true`). */
+  * fullGopher=true redactPii=true minClassifierLogit=0`). */
 object CurationJob {
 
   /** `k=v` command-line overrides → CurationConfig. */
