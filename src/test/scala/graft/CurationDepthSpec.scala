@@ -105,6 +105,41 @@ class CurationDepthSpec extends AnyFunSuite {
       (4L, "", 8L)))             // fully duplicated -> empty, not dropped
   }
 
+  test("removePassages conserves tokens: kept + removed == original, every doc") {
+    // seeded random word soup over a 9-word vocabulary — plenty of shared
+    // 8-gram runs across 60 docs, none hand-placed
+    val rng = new scala.util.Random(4242)
+    val vocab = ('a' to 'i').map(_.toString)
+    val docs = (1L to 60L).map(id =>
+      id -> Seq.fill(5 + rng.nextInt(40))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      .toDF("doc_id", "text")
+    val orig = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1).split(" ").length.toLong).toMap
+    val cleaned = Dedup.removePassages(docs, Dedup.dupPassages(docs, k = 8, minDocs = 2L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(cleaned.length == 60)
+    cleaned.foreach { case (id, clean, removed) =>
+      val kept = if (clean.isEmpty) 0L else clean.split(" ").length.toLong
+      assert(kept + removed == orig(id),
+        s"doc $id: kept $kept + removed $removed != ${orig(id)}")
+    }
+  }
+
+  test("piiRedact is idempotent: a redacted corpus has nothing left to redact") {
+    val once = TextAnalysis.piiRedact(TextAnalysis.withPlantedPii(
+      Queries.table(spark, "/root/testdata/sf0.001", "documents")
+        .select(col("doc_id"), col("text"))))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = TextAnalysis.piiRedact(once).collect()
+    twice.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L,
+        s"doc ${r.getLong(0)}: masks must not re-match")
+    }
+    val pairs = once.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    twice.foreach(r =>
+      assert(Option(r.getString(1)) == pairs(r.getLong(0)), "text must be a fixed point"))
+  }
+
   test("urlFlags matches on the registered domain, subdomains included") {
     val docs = Seq(
       1L -> "visit https://ads.bad.org/x now",     // subdomain of blocked
