@@ -502,6 +502,33 @@ object Queries {
       Dedup.keepList(table(s, dir, "documents"), minSharedPct = 80,
         vocabKey = Some(s"$dir#documents#sh3")))
 
+  /** Per-language corpus AUDIT — the one-table report a curation team
+    * reads before running the pipeline: volumes, how much is duplicated
+    * (docs whose keep_id is another doc), how much passes the quality
+    * gates. Composable form: takes the corpus and its keep-list. */
+  def corpusAuditOver(docs: DataFrame, keepList: DataFrame): DataFrame = {
+    val dupIds = keepList.filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    val gates = TextAnalysis.gopherQuality(docs).select(col("doc_id"),
+      (col("n_words").between(50, 100000) &&
+        col("mean_word_len").between(3.0, 10.0)).cast("long").as("passq"))
+    docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .join(gates, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"),
+        sum(coalesce(col("passq"), lit(0L))).as("n_pass_quality"),
+        sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  def corpusAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    corpusAuditOver(docs, Dedup.keepList(docs, minSharedPct = 80,
+      vocabKey = Some(s"$dir#documents#sh3")))
+  }
+
   /** Weighted (DoReMi-style) language-mix rebalance toward
     * [[MixtureTargets]]; coin at hash index 2 so composing with the
     * uniform mixture or the stratified sampler never correlates. */

@@ -85,6 +85,7 @@ object SparkEntry {
     "text_classifier" -> (Queries.textClassifier _),
     "corpus_stats" -> (Queries.corpusStats _),
     "corpus_overlap" -> (Queries.corpusOverlap _),
+    "corpus_audit" -> (Queries.corpusAudit _),
     // the end-to-end composition: keep-list → decontam → quality →
     // sample → pack, one bit-exact oracle
     "curation_pipeline" -> (Queries.curationPipeline _),
@@ -457,6 +458,28 @@ object SparkEntry {
     // propagation == the engine's connected components; numeric min ==
     // the engine's %020d-padded string min for non-negative ids)
     "dedup_keep_list" -> keepListSql(withSemantic = false),
+    // per-language audit: volumes + dup count (keep-list closure) +
+    // quality-gate pass count, one GROUP BY lang
+    "corpus_audit" ->
+      (keepListCtes(withSemantic = false) +
+        """,
+          | kl AS (SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS keep_id
+          |   FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc),
+          | gq AS (SELECT doc_id, CASE WHEN len(ws) >= 50 AND len(ws) <= 100000
+          |     AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)/len(ws) >= 3.0
+          |     AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)/len(ws) <= 10.0
+          |    THEN 1 ELSE 0 END AS passq
+          |   FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) x),
+          | au AS (SELECT lang, doc_id, len(string_split(text,' ')) AS n_tokens
+          |   FROM documents)
+          |SELECT au.lang,
+          | CAST(count(*) AS BIGINT) AS n_docs,
+          | CAST(sum(CASE WHEN kl.keep_id <> kl.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+          |   AS n_dup_docs,
+          | CAST(sum(passq) AS BIGINT) AS n_pass_quality,
+          | CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+          |FROM au JOIN kl ON au.doc_id = kl.doc_id JOIN gq ON au.doc_id = gq.doc_id
+          |GROUP BY au.lang""".stripMargin),
     // reporting rollup over the same closure: cluster-size histogram
     "dedup_cluster_sizes" ->
       (keepListCtes(withSemantic = false) +

@@ -157,6 +157,26 @@ class CurationDepthSpec extends AnyFunSuite {
       (4L, "https://b.bad.org/2")))
   }
 
+  test("corpusAuditOver reports volumes, dup and quality counts per lang") {
+    val good = (1 to 60).map(i => f"wrd$i%03d").mkString(" ")
+    val docs = Seq(
+      (1L, Some("en"), Some(good)),            // passes both gates
+      (2L, Some("en"), Some("tiny")),           // fails word count
+      (3L, Some("de"), Some("dup words here")), // cluster rep
+      (4L, Some("de"), Some("dup words here")), // duplicate of 3
+      (5L, Option.empty[String], Option.empty[String]))
+      .toDF("doc_id", "lang", "text")
+    val keep = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "keep_id")
+    val out = Queries.corpusAuditOver(docs, keep).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out(Some("en")) == ((2L, 0L, 1L, 61L)))
+    assert(out(Some("de")) == ((2L, 1L, 0L, 6L)))
+    assert(out(None) == ((1L, 0L, 0L, -1L)), "all-null-text group: null tokens")
+  }
+
   test("clusterSizeHistogram counts clusters by size, singletons included") {
     val keepList = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L),   // one cluster of 3
