@@ -506,12 +506,16 @@ object Queries {
     * reads before running the pipeline: volumes, how much is duplicated
     * (docs whose keep_id is another doc), how much passes the quality
     * gates. Composable form: takes the corpus and its keep-list. */
-  def corpusAuditOver(docs: DataFrame, keepList: DataFrame): DataFrame = {
+  def corpusAuditOver(docs: DataFrame, keepList: DataFrame,
+                      config: CurationConfig = CurationConfig()): DataFrame = {
     val dupIds = keepList.filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit(1L).as("is_dup"))
+    // the SAME word gates the pipeline applies, read from the SAME config
+    // the generated oracle interpolates — constants can never drift
     val gates = TextAnalysis.gopherQuality(docs).select(col("doc_id"),
-      (col("n_words").between(50, 100000) &&
-        col("mean_word_len").between(3.0, 10.0)).cast("long").as("passq"))
+      (col("n_words").between(config.minWords, config.maxWords) &&
+        col("mean_word_len").between(config.minMeanWordLen, config.maxMeanWordLen))
+        .cast("long").as("passq"))
     docs.select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .join(dupIds, Seq("doc_id"), "left")

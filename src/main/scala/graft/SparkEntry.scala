@@ -459,15 +459,19 @@ object SparkEntry {
     // the engine's %020d-padded string min for non-negative ids)
     "dedup_keep_list" -> keepListSql(withSemantic = false),
     // per-language audit: volumes + dup count (keep-list closure) +
-    // quality-gate pass count, one GROUP BY lang
-    "corpus_audit" ->
-      (keepListCtes(withSemantic = false) +
-        """,
+    // quality-gate pass count, one GROUP BY lang. Gate constants read
+    // from the same catalogCuration the pipeline oracle uses; LEFT joins
+    // mirror the Spark side so a null-doc_id row stays in the volumes
+    // (an equi-join would silently drop it from the oracle only)
+    "corpus_audit" -> {
+      val cfg = catalogCuration
+      keepListCtes(withSemantic = false) +
+        s""",
           | kl AS (SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS keep_id
           |   FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc),
-          | gq AS (SELECT doc_id, CASE WHEN len(ws) >= 50 AND len(ws) <= 100000
-          |     AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)/len(ws) >= 3.0
-          |     AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)/len(ws) <= 10.0
+          | gq AS (SELECT doc_id, CASE WHEN len(ws) >= ${cfg.minWords} AND len(ws) <= ${cfg.maxWords}
+          |     AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)/len(ws) >= ${cfg.minMeanWordLen}
+          |     AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)/len(ws) <= ${cfg.maxMeanWordLen}
           |    THEN 1 ELSE 0 END AS passq
           |   FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) x),
           | au AS (SELECT lang, doc_id, len(string_split(text,' ')) AS n_tokens
@@ -476,10 +480,12 @@ object SparkEntry {
           | CAST(count(*) AS BIGINT) AS n_docs,
           | CAST(sum(CASE WHEN kl.keep_id <> kl.doc_id THEN 1 ELSE 0 END) AS BIGINT)
           |   AS n_dup_docs,
-          | CAST(sum(passq) AS BIGINT) AS n_pass_quality,
+          | CAST(COALESCE(sum(passq), 0) AS BIGINT) AS n_pass_quality,
           | CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-          |FROM au JOIN kl ON au.doc_id = kl.doc_id JOIN gq ON au.doc_id = gq.doc_id
-          |GROUP BY au.lang""".stripMargin),
+          |FROM au LEFT JOIN kl ON au.doc_id = kl.doc_id
+          |        LEFT JOIN gq ON au.doc_id = gq.doc_id
+          |GROUP BY au.lang""".stripMargin
+    },
     // reporting rollup over the same closure: cluster-size histogram
     "dedup_cluster_sizes" ->
       (keepListCtes(withSemantic = false) +

@@ -76,6 +76,15 @@ object Sampling {
       .withColumn("rate_pm",
         least(lit(1000L), expr("(1000 * total) div (ngroups * cnt)")))
       .select(col("grp"), col("rate_pm"))
+    applyRates(docs, rates, idCol, groupCol, hashIdx)
+  }
+
+  /** The shared sampling tail: broadcast the (grp, rate_pm) table, join
+    * null-safely on the group, flip the per-row LCG coin, keep the row
+    * iff coin < rate. One copy, so a coin or join fix reaches every
+    * mixture sampler. */
+  private def applyRates(docs: DataFrame, rates: DataFrame, idCol: Column,
+                         groupCol: Column, hashIdx: Int): DataFrame = {
     val coin = pmod(
       pmod(lit(Dedup.HashA(hashIdx)) * idCol.cast("long") + lit(Dedup.HashB(hashIdx)),
         lit(Dedup.HashP)),
@@ -109,12 +118,6 @@ object Sampling {
       .withColumn("rate_pm",
         least(lit(1000L), expr("(target_ppm * total) div (1000 * cnt)")))
       .select(counts("grp"), col("rate_pm"))
-    val coin = pmod(
-      pmod(lit(Dedup.HashA(hashIdx)) * idCol.cast("long") + lit(Dedup.HashB(hashIdx)),
-        lit(Dedup.HashP)),
-      lit(1000L))
-    docs.join(broadcast(rates), groupCol <=> col("grp"))
-      .withColumn("coin", coin)
-      .filter(col("coin") < col("rate_pm"))
+    applyRates(docs, rates, idCol, groupCol, hashIdx)
   }
 }

@@ -262,10 +262,16 @@ object TextAnalysis {
   // ----------------------------- URL / domain filter -------------------------
 
   /** URL-filter patterns, same java.regex ∩ RE2 discipline as the PII set.
-    * UrlRe's group 1 is the optional path — extraction always uses group 0
-    * (Spark's regexp_extract_all DEFAULTS to group 1, DuckDB to 0, so the
-    * Spark side passes the index explicitly). */
-  val UrlRe = "https?://[A-Za-z0-9.-]+(/[^ ]*)?"
+    * UrlRe carries groups — extraction always uses group 0 (Spark's
+    * regexp_extract_all DEFAULTS to group 1, DuckDB to 0, so the Spark
+    * side passes the index explicitly). The host is label(.label)* with
+    * dots ONLY as separators, never inside the label class: a sentence-
+    * final URL ("see https://ads.bad.org. next") must not swallow the
+    * terminal dot — a `[A-Za-z0-9.-]+` host did, and the $-anchored
+    * registered-domain extract then failed on the trailing-dot host,
+    * silently unflagging blocklisted sentence-final URLs (the common
+    * case in real web text). */
+  val UrlRe = "https?://[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*(/[^ ]*)?"
   val HostRe = "://([^/ ]+)"
   val RegDomainRe = "([A-Za-z0-9-]+\\.[A-Za-z]+)$"
 

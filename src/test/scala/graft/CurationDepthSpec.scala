@@ -146,7 +146,9 @@ class CurationDepthSpec extends AnyFunSuite {
       2L -> "visit https://bad.org plain",         // apex, no path
       3L -> "visit https://good.net/ok fine",      // not blocked
       4L -> "two https://a.bad.org/1 and https://b.bad.org/2", // both flagged
-      5L -> "no urls at all here").toDF("doc_id", "text")
+      5L -> "no urls at all here",
+      6L -> "see https://ads.bad.org. next",       // sentence-final dot
+      7L -> "end of line https://bad.org.").toDF("doc_id", "text")
     val bl = Seq("bad.org").toDF("domain")
     val out = TextAnalysis.urlFlags(docs, bl).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
@@ -154,7 +156,9 @@ class CurationDepthSpec extends AnyFunSuite {
       (1L, "https://ads.bad.org/x"),
       (2L, "https://bad.org"),
       (4L, "https://a.bad.org/1"),
-      (4L, "https://b.bad.org/2")))
+      (4L, "https://b.bad.org/2"),
+      (6L, "https://ads.bad.org"),  // terminal punctuation stays outside
+      (7L, "https://bad.org")))
   }
 
   test("corpusAuditOver reports volumes, dup and quality counts per lang") {
