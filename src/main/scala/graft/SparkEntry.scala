@@ -1058,24 +1058,32 @@ object SparkEntry {
          |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
          |WHERE w IN ($dict) GROUP BY w""".stripMargin
     },
-    // doc_id % 10 ∈ {3, 7} rows carry REAL planted PNG/JPEG headers (33-
-    // and 21-byte payloads) that HeaderDecoder parses; their dims derive
-    // from doc_id, n_frames from FakeDecoder over the fixed-size header
-    // (1 + n_bytes mod 30 → 4 and 22). All other rows are the UTF-8 text
-    // payload with the deterministic fake features.
+    // doc_id % 10 ∈ {3, 7, 1, 9} rows carry REAL planted PNG/JPEG/GIF/
+    // WebP headers (33/21/10/25-byte payloads) that HeaderDecoder parses;
+    // their dims derive from doc_id, n_frames from FakeDecoder over the
+    // fixed-size header (1 + n_bytes mod 30 → 4/22/11/26). All other rows
+    // are the UTF-8 text payload with the deterministic fake features.
     "multimodal_features" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 10 = 3 THEN 33
         |      WHEN doc_id % 10 = 7 THEN 21
+        |      WHEN doc_id % 10 = 1 THEN 10
+        |      WHEN doc_id % 10 = 9 THEN 25
         |      ELSE CAST(strlen(text) AS INTEGER) END AS n_bytes,
         | CASE WHEN doc_id % 10 = 3 THEN CAST(1 + doc_id % 1024 AS INTEGER)
         |      WHEN doc_id % 10 = 7 THEN CAST(1 + doc_id % 500 AS INTEGER)
+        |      WHEN doc_id % 10 = 1 THEN CAST(1 + doc_id % 1000 AS INTEGER)
+        |      WHEN doc_id % 10 = 9 THEN CAST(1 + doc_id % 800 AS INTEGER)
         |      ELSE CAST(64 + strlen(text) % 640 AS INTEGER) END AS width,
         | CASE WHEN doc_id % 10 = 3 THEN CAST(1 + (doc_id * 7) % 1024 AS INTEGER)
         |      WHEN doc_id % 10 = 7 THEN CAST(1 + (doc_id * 3) % 500 AS INTEGER)
+        |      WHEN doc_id % 10 = 1 THEN CAST(1 + (doc_id * 9) % 1000 AS INTEGER)
+        |      WHEN doc_id % 10 = 9 THEN CAST(1 + (doc_id * 5) % 800 AS INTEGER)
         |      ELSE CAST(64 + (strlen(text) * 31) % 480 AS INTEGER) END AS height,
         | CASE WHEN doc_id % 10 = 3 THEN 4
         |      WHEN doc_id % 10 = 7 THEN 22
+        |      WHEN doc_id % 10 = 1 THEN 11
+        |      WHEN doc_id % 10 = 9 THEN 26
         |      ELSE CAST(1 + strlen(text) % 30 AS INTEGER) END AS n_frames
         |FROM documents""".stripMargin,
   )

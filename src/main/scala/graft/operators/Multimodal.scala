@@ -206,14 +206,34 @@ object Multimodal {
     b.array()
   }
 
+  /** Minimal REAL GIF payload: logical-screen header — magic + u16 LE
+    * width/height. 10 bytes. */
+  def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ Array[Byte](
+      (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+      (h & 0xff).toByte, ((h >> 8) & 0xff).toByte)
+
+  /** Minimal REAL WebP payload: RIFF/WEBP container + VP8L chunk —
+    * signature 0x2F, then (w−1 | (h−1)«14) packed 14-bit LE. 25 bytes. */
+  def webpBytes(w: Int, h: Int): Array[Byte] = {
+    val v = (w - 1) | ((h - 1) << 14)
+    "RIFF".getBytes("US-ASCII") ++ Array.fill(4)(0.toByte) ++
+      "WEBP".getBytes("US-ASCII") ++ "VP8L".getBytes("US-ASCII") ++
+      Array.fill(4)(0.toByte) ++ Array[Byte](0x2F,
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  }
+
   /** Bind a (doc_id, text) table into media rows WITH real image payloads
     * planted deterministically: doc_id % 10 == 3 rows carry a well-formed
     * PNG header (width = 1 + id mod 1024, height = 1 + 7·id mod 1024),
-    * % 10 == 7 rows a JPEG SOF0 (1 + id mod 500 / 1 + 3·id mod 500), and
+    * % 10 == 7 rows a JPEG SOF0 (1 + id mod 500 / 1 + 3·id mod 500),
+    * % 10 == 1 a GIF logical screen (1 + id mod 1000 / 1 + 9·id mod 1000),
+    * % 10 == 9 a WebP VP8L (1 + id mod 800 / 1 + 5·id mod 800), and
     * every other row keeps the UTF-8 text payload. This is what makes the
-    * HONEST decoder ([[HeaderDecoder]]) driver-verifiable: the catalog's
-    * multimodal_features entry decodes these headers for real and the
-    * oracle recomputes the dims from doc_id. */
+    * HONEST decoder ([[HeaderDecoder]]) driver-verifiable across ALL FOUR
+    * public formats: the catalog's multimodal_features entry decodes these
+    * headers for real and the oracle recomputes the dims from doc_id. */
   def fromDocumentsWithImages(docs: DataFrame)
                              (implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
@@ -225,6 +245,10 @@ object Multimodal {
             pngBytes((1 + id % 1024).toInt, (1 + (id * 7) % 1024).toInt)
           else if (id % 10 == 7)
             jpegBytes((1 + id % 500).toInt, (1 + (id * 3) % 500).toInt)
+          else if (id % 10 == 1)
+            gifBytes((1 + id % 1000).toInt, (1 + (id * 9) % 1000).toInt)
+          else if (id % 10 == 9)
+            webpBytes((1 + id % 800).toInt, (1 + (id * 5) % 800).toInt)
           else if (text == null) Array.empty[Byte]
           else text.getBytes("UTF-8")
         MediaRow(id.toString, s"media://$id", bytes)

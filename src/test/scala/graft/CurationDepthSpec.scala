@@ -288,6 +288,29 @@ class CurationDepthSpec extends AnyFunSuite {
     }
   }
 
+  test("urlFlags composes with a stream: ingestion-time blocklist guard") {
+    // the blocklist side is static, so the stream-static broadcast join
+    // runs per micro-batch — the production shape of an ingest-time
+    // domain filter
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = TextAnalysis.urlFlags(
+        input.toDF().toDF("doc_id", "text"),
+        Seq("bad.org").toDF("domain"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_url_stream").start()
+    try {
+      input.addData(1L -> "see https://x.bad.org/1 now", 2L -> "clean doc")
+      q.processAllAvailable()
+      input.addData(3L -> "late https://bad.org. arrival")
+      q.processAllAvailable()
+      val flagged = spark.table("graft_url_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(flagged == Set(
+        (1L, "https://x.bad.org/1"), (3L, "https://bad.org")))
+    } finally q.stop()
+  }
+
   // --------------------------- hashed linear classifier ----------------------
 
   test("classifierScore computes the LCG-weighted logit over dense token ids") {

@@ -142,4 +142,16 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     val n = "plain text here".getBytes("UTF-8").length
     assert(out(5L) == ((n, 64 + n % 640, 64 + (n * 31) % 480, 1 + n % 30)))
   }
+
+  test("planted GIF/WebP builders round-trip through the real decoder") {
+    assert(HeaderDecoder.decodeDims(Multimodal.gifBytes(640, 480))
+      .contains((640, 480)))
+    assert(HeaderDecoder.decodeDims(Multimodal.gifBytes(1, 65535))
+      .contains((1, 65535)))
+    assert(HeaderDecoder.decodeDims(Multimodal.webpBytes(800, 600))
+      .contains((800, 600)))
+    // 14-bit boundary: VP8L dims max out at 16384
+    assert(HeaderDecoder.decodeDims(Multimodal.webpBytes(16384, 1))
+      .contains((16384, 1)))
+  }
 }
