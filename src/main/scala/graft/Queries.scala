@@ -502,6 +502,15 @@ object Queries {
       Dedup.keepList(table(s, dir, "documents"), minSharedPct = 80,
         vocabKey = Some(s"$dir#documents#sh3")))
 
+  /** Token-distribution drift between the doc_id-parity snapshot halves
+    * (the deterministic stand-in for yesterday's vs today's crawl). */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    TextAnalysis.tokenDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), topN = 50)
+  }
+
   /** Per-language corpus AUDIT — the one-table report a curation team
     * reads before running the pipeline: volumes, how much is duplicated
     * (docs whose keep_id is another doc), how much passes the quality

@@ -86,6 +86,7 @@ object SparkEntry {
     "corpus_stats" -> (Queries.corpusStats _),
     "corpus_overlap" -> (Queries.corpusOverlap _),
     "corpus_audit" -> (Queries.corpusAudit _),
+    "corpus_drift" -> (Queries.corpusDrift _),
     // the end-to-end composition: keep-list → decontam → quality →
     // sample → pack, one bit-exact oracle
     "curation_pipeline" -> (Queries.curationPipeline _),
@@ -458,6 +459,26 @@ object SparkEntry {
     // propagation == the engine's connected components; numeric min ==
     // the engine's %020d-padded string min for non-negative ids)
     "dedup_keep_list" -> keepListSql(withSemantic = false),
+    // token-distribution drift between the parity snapshot halves:
+    // exact ppm rates, deterministic (diff DESC, token ASC) top-50
+    "corpus_drift" ->
+      """WITH ca AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt_a FROM (
+        |    SELECT unnest(string_split(text,' ')) AS w FROM documents
+        |    WHERE doc_id % 2 = 0) x GROUP BY w),
+        | cb AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt_b FROM (
+        |    SELECT unnest(string_split(text,' ')) AS w FROM documents
+        |    WHERE doc_id % 2 <> 0) x GROUP BY w),
+        | ta AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a FROM ca),
+        | tb AS (SELECT CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM cb),
+        | j AS (SELECT COALESCE(ca.w, cb.w) AS w,
+        |    COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |   FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+        | r AS (SELECT w, cnt_a, cnt_b,
+        |    (cnt_a * 1000000) // tot_a AS ppm_a,
+        |    (cnt_b * 1000000) // tot_b AS ppm_b
+        |   FROM j CROSS JOIN ta CROSS JOIN tb)
+        |SELECT w, cnt_a, cnt_b, ppm_a, ppm_b, abs(ppm_a - ppm_b) AS ppm_diff
+        |FROM r ORDER BY ppm_diff DESC, w ASC LIMIT 50""".stripMargin,
     // per-language audit: volumes + dup count (keep-list closure) +
     // quality-gate pass count, one GROUP BY lang. Gate constants read
     // from the same catalogCuration the pipeline oracle uses; LEFT joins

@@ -308,6 +308,43 @@ object TextAnalysis {
         .otherwise(col("text")))
   }
 
+  // ------------------------------ corpus drift -------------------------------
+
+  /** Token-distribution DRIFT between two corpus snapshots — the debugging
+    * table for "what changed between yesterday's crawl and today's": per
+    * token, raw counts and integer parts-per-million rates in each side,
+    * ranked by absolute ppm difference (ties broken by token, so the top-N
+    * cut is deterministic — an oracle-safe LIMIT). Rates are exact BIGINT
+    * floor-division (cnt·10⁶ div total — overflow needs a 9-trillion-token
+    * snapshot side); a token absent from one side counts 0 there (FULL
+    * OUTER join), which is exactly the new/vanished-vocabulary signal.
+    *
+    * Scale shape: two map-side-combinable count-by-token passes, one
+    * full-outer equi-join on the token key, a global top-N (Spark's
+    * orderBy+limit plans TakeOrderedAndProject — per-partition heaps, no
+    * full sort). */
+  def tokenDrift(a: DataFrame, b: DataFrame, topN: Int = 50): DataFrame = {
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val ca = counts(a).withColumnRenamed("cnt", "cnt_a")
+    val cb = counts(b).withColumnRenamed("cnt", "cnt_b")
+    val joined = ca.join(cb, Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .crossJoin(broadcast(ca.agg(sum(col("cnt_a")).as("tot_a"))))
+      .crossJoin(broadcast(cb.agg(sum(col("cnt_b")).as("tot_b"))))
+      .withColumn("ppm_a", expr("(cnt_a * 1000000) div tot_a"))
+      .withColumn("ppm_b", expr("(cnt_b * 1000000) div tot_b"))
+      .withColumn("ppm_diff", abs(col("ppm_a") - col("ppm_b")))
+    joined
+      .select(col("w"), col("cnt_a"), col("cnt_b"),
+        col("ppm_a"), col("ppm_b"), col("ppm_diff"))
+      .orderBy(col("ppm_diff").desc, col("w").asc)
+      .limit(topN)
+  }
+
   // ------------------------- hashed linear classifier ------------------------
 
   /** Dedicated LCG constants for the classifier weights — own seeded

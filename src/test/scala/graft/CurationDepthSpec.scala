@@ -161,6 +161,23 @@ class CurationDepthSpec extends AnyFunSuite {
       (7L, "https://bad.org")))
   }
 
+  test("tokenDrift ranks by exact ppm divergence with a deterministic cut") {
+    // A: x x y (tot 3) vs B: y z (tot 2). ppm: x 666666↔0 (diff 666666),
+    // z 0↔500000 (500000), y 333333↔500000 (166667)
+    val a = Seq(1L -> "x x y").toDF("doc_id", "text")
+    val b = Seq(2L -> "y z").toDF("doc_id", "text")
+    val all = TextAnalysis.tokenDrift(a, b, topN = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(all.toSeq == Seq(
+      ("x", 2L, 0L, 666666L, 0L, 666666L),
+      ("z", 0L, 1L, 0L, 500000L, 500000L),
+      ("y", 1L, 1L, 333333L, 500000L, 166667L)))
+    // topN cuts deterministically
+    assert(TextAnalysis.tokenDrift(a, b, topN = 2).collect()
+      .map(_.getString(0)).toSeq == Seq("x", "z"))
+  }
+
   test("corpusAuditOver reports volumes, dup and quality counts per lang") {
     val good = (1 to 60).map(i => f"wrd$i%03d").mkString(" ")
     val docs = Seq(
