@@ -332,6 +332,40 @@ object Queries {
       shingleN = 8)
   }
 
+  /** The SAME decontamination contract as [[textDecontam]], computed
+    * through [[Dedup.decontaminateBloom]] — eval grams folded into one
+    * Bloom filter, corpus grams prefiltered before the (non-broadcast)
+    * exact join. Shares text_decontam's oracle SQL verbatim: the two
+    * operators hash-matching the same DuckDB result is the proof that
+    * the Bloom prefilter is lossless. */
+  def textDecontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Dedup.decontaminateBloom(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      shingleN = 8)
+  }
+
+  /** Exact-k stratified sample over the language strata: the 50
+    * smallest-hash docs per lang, deterministic ties — the window runs
+    * over O(k) pre-thinned survivors per stratum, never the full corpus
+    * (see [[Sampling.stratifiedExactK]]). Oracle = the plain full-table
+    * ROW_NUMBER form, so the prefiltered plan is proven exact. */
+  def textSampleTopK(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.stratifiedExactK(table(s, dir, "documents"),
+      col("doc_id"), col("lang"), k = 50)
+
+  /** KG EDGE ROLLUP — the merge step that turns per-document extractions
+    * into one knowledge-graph edge table: group triples by
+    * (subj, pred, obj), count supporting documents and keep the first
+    * (minimum) doc id as provenance. One map-side-combinable aggregation
+    * over the triple key; at corpus scale this is where a billion
+    * extraction rows become the million-edge graph that ships. */
+  def kgEdgeRollup(s: SparkSession, dir: String): DataFrame =
+    kgTriples(s, dir)
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+
   /** Embedding near-dup groups on a floor(x*2) grid — first 8 dims as
     * grouping keys (bit-exact vs the SQL oracle). */
   def dedupEmbeddingGrid(s: SparkSession, dir: String): DataFrame = {

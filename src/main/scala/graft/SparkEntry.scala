@@ -70,7 +70,9 @@ object SparkEntry {
     "text_langid" -> (Queries.textLangId _),
     "text_fingerprint" -> (Queries.textFingerprint _),
     "text_decontam" -> (Queries.textDecontam _),
+    "text_decontam_bloom" -> (Queries.textDecontamBloom _),
     "text_sample" -> (Queries.textSample _),
+    "text_sample_topk" -> (Queries.textSampleTopK _),
     "text_repetition" -> (Queries.textRepetition _),
     "text_pack" -> (Queries.textPack _),
     "text_pack_chunks" -> (Queries.textPackChunks _),
@@ -94,6 +96,7 @@ object SparkEntry {
     "kg_mentions" -> (Queries.kgMentions _),
     "kg_cooccur_pairs" -> (Queries.kgCooccurPairs _),
     "kg_triples" -> (Queries.kgTriples _),
+    "kg_edge_rollup" -> (Queries.kgEdgeRollup _),
     "kg_pipeline_triples" -> (Queries.kgPipelineTriples _),
     "kg_nodes" -> (Queries.kgNodes _),
     // multimodal plumbing
@@ -107,6 +110,55 @@ object SparkEntry {
   // hand-maintained, so constants can never drift from the Scala side.
 
   private val P = graft.operators.Dedup.HashP
+
+  /** Decontamination oracle, mirroring Dedup.decontaminate branch for
+    * branch: 8-grams both sides for docs ≥ 8 words; sub-8-word docs match
+    * by whole-doc containment (windows generated at exactly the short
+    * lengths present on the other side). eval = doc_id % 5 == 0. Shared
+    * verbatim by text_decontam and text_decontam_bloom — one oracle, two
+    * physical plans. */
+  private val decontamSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      | ev AS (SELECT doc_id AS eval_id, ws FROM d WHERE doc_id % 5 = 0),
+      | co AS (SELECT doc_id, ws FROM d WHERE doc_id % 5 <> 0),
+      | cog AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
+      |     CASE WHEN i+7 <= len(ws) THEN array_to_string(list_slice(ws, i, i+7), ' ') END),
+      |     s -> s IS NOT NULL))) AS g FROM co WHERE len(ws) >= 8),
+      | evg AS (SELECT eval_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
+      |     CASE WHEN i+7 <= len(ws) THEN array_to_string(list_slice(ws, i, i+7), ' ') END),
+      |     s -> s IS NOT NULL))) AS g FROM ev WHERE len(ws) >= 8),
+      | m1 AS (SELECT doc_id, eval_id, g FROM cog JOIN evg USING (g)),
+      | evs AS (SELECT eval_id, array_to_string(ws,' ') AS g, len(ws) AS l
+      |         FROM ev WHERE len(ws) < 8),
+      | evl AS (SELECT DISTINCT l FROM evs),
+      | cosw AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
+      |     CASE WHEN i+evl.l-1 <= len(ws) THEN array_to_string(list_slice(ws, i, i+evl.l-1), ' ') END),
+      |     s -> s IS NOT NULL))) AS g FROM co CROSS JOIN evl WHERE len(ws) >= evl.l),
+      | m2 AS (SELECT doc_id, eval_id, cosw.g FROM cosw JOIN evs ON cosw.g = evs.g),
+      | co_s AS (SELECT doc_id, array_to_string(ws,' ') AS g FROM co WHERE len(ws) < 8),
+      | co_l AS (SELECT DISTINCT len(ws) AS l FROM co WHERE len(ws) < 8),
+      | evgw AS (SELECT eval_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
+      |     CASE WHEN i+co_l.l-1 <= len(ws) THEN array_to_string(list_slice(ws, i, i+co_l.l-1), ' ') END),
+      |     s -> s IS NOT NULL))) AS g FROM ev CROSS JOIN co_l WHERE len(ws) >= co_l.l),
+      | m3 AS (SELECT doc_id, eval_id, co_s.g FROM co_s JOIN evgw ON co_s.g = evgw.g),
+      | allm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+      |SELECT doc_id, count(DISTINCT eval_id) AS n_eval_docs,
+      |  count(DISTINCT g) AS n_shared_ngrams
+      |FROM allm GROUP BY doc_id""".stripMargin
+
+  /** kg_triples oracle body — also the inner query of kg_edge_rollup's. */
+  private def kgTriplesSql: String = {
+    def has(w: String) =
+      s"(length(text) - length(replace(text, '$w', ''))) / ${w.length} > 0"
+    val trig = Queries.kgTriggerWords.map(has).mkString("(", " OR ", ")")
+    val ws = Queries.kgDictWords
+    val branches = for {
+      i <- ws.indices; j <- (i + 1) until ws.length
+    } yield
+      s"""SELECT doc_id, '${ws(i)}' AS subj, 'co_complex' AS pred, '${ws(j)}' AS obj
+         |FROM documents WHERE ${has(ws(i))} AND ${has(ws(j))} AND $trig""".stripMargin
+    branches.mkString("\nUNION ALL\n")
+  }
 
   /** CTE chain ending in `iv(doc_id, start_tok, end_tok, n_grams)` — the
     * repeated-passage interval construction shared by text_dup_passages
@@ -854,38 +906,27 @@ object SparkEntry {
          |SELECT doc_id, stratum, coin FROM d
          |WHERE coin < CASE stratum WHEN 'short' THEN 250 ELSE 750 END""".stripMargin
     },
-    // decontamination, mirroring Dedup.decontaminate branch for branch:
-    // 8-grams both sides for docs ≥ 8 words; sub-8-word docs match by
-    // whole-doc containment (windows generated at exactly the short
-    // lengths present on the other side). eval = doc_id % 5 == 0.
-    "text_decontam" ->
-      """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-        | ev AS (SELECT doc_id AS eval_id, ws FROM d WHERE doc_id % 5 = 0),
-        | co AS (SELECT doc_id, ws FROM d WHERE doc_id % 5 <> 0),
-        | cog AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
-        |     CASE WHEN i+7 <= len(ws) THEN array_to_string(list_slice(ws, i, i+7), ' ') END),
-        |     s -> s IS NOT NULL))) AS g FROM co WHERE len(ws) >= 8),
-        | evg AS (SELECT eval_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
-        |     CASE WHEN i+7 <= len(ws) THEN array_to_string(list_slice(ws, i, i+7), ' ') END),
-        |     s -> s IS NOT NULL))) AS g FROM ev WHERE len(ws) >= 8),
-        | m1 AS (SELECT doc_id, eval_id, g FROM cog JOIN evg USING (g)),
-        | evs AS (SELECT eval_id, array_to_string(ws,' ') AS g, len(ws) AS l
-        |         FROM ev WHERE len(ws) < 8),
-        | evl AS (SELECT DISTINCT l FROM evs),
-        | cosw AS (SELECT doc_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
-        |     CASE WHEN i+evl.l-1 <= len(ws) THEN array_to_string(list_slice(ws, i, i+evl.l-1), ' ') END),
-        |     s -> s IS NOT NULL))) AS g FROM co CROSS JOIN evl WHERE len(ws) >= evl.l),
-        | m2 AS (SELECT doc_id, eval_id, cosw.g FROM cosw JOIN evs ON cosw.g = evs.g),
-        | co_s AS (SELECT doc_id, array_to_string(ws,' ') AS g FROM co WHERE len(ws) < 8),
-        | co_l AS (SELECT DISTINCT len(ws) AS l FROM co WHERE len(ws) < 8),
-        | evgw AS (SELECT eval_id, unnest(list_distinct(list_filter(list_transform(ws, (x,i) ->
-        |     CASE WHEN i+co_l.l-1 <= len(ws) THEN array_to_string(list_slice(ws, i, i+co_l.l-1), ' ') END),
-        |     s -> s IS NOT NULL))) AS g FROM ev CROSS JOIN co_l WHERE len(ws) >= co_l.l),
-        | m3 AS (SELECT doc_id, eval_id, co_s.g FROM co_s JOIN evgw ON co_s.g = evgw.g),
-        | allm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
-        |SELECT doc_id, count(DISTINCT eval_id) AS n_eval_docs,
-        |  count(DISTINCT g) AS n_shared_ngrams
-        |FROM allm GROUP BY doc_id""".stripMargin,
+    "text_decontam" -> decontamSql,
+    // the Bloom-prefiltered form is contract-identical to text_decontam;
+    // checking BOTH against one oracle SQL is the losslessness proof
+    "text_decontam_bloom" -> decontamSql,
+    // exact-k per-stratum sample: the oracle is the naive full-table
+    // window; the Spark side ranks only pre-thinned survivors (plus the
+    // provable per-stratum fallback), so a hash match proves the
+    // threshold construction exact. Coin = LCG family index 3 (plain %
+    // mirrors pmod on this table's non-negative ids).
+    "text_sample_topk" -> {
+      import graft.operators.Dedup.{HashA, HashB}
+      s"""SELECT lang AS stratum, doc_id, rn FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY (${HashA(3)}*doc_id + ${HashB(3)}) % $P, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 50""".stripMargin
+    },
+    "kg_edge_rollup" ->
+      s"""SELECT subj, pred, obj, count(*) AS n_docs, min(doc_id) AS first_doc
+         |FROM ($kgTriplesSql) GROUP BY subj, pred, obj""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
@@ -1057,18 +1098,7 @@ object SparkEntry {
          | CAST(($n) * (($n) - 1) / 2 AS BIGINT) AS n_pairs
          |FROM documents WHERE ($n) > 0""".stripMargin
     },
-    "kg_triples" -> {
-      def has(w: String) =
-        s"(length(text) - length(replace(text, '$w', ''))) / ${w.length} > 0"
-      val trig = Queries.kgTriggerWords.map(has).mkString("(", " OR ", ")")
-      val ws = Queries.kgDictWords
-      val branches = for {
-        i <- ws.indices; j <- (i + 1) until ws.length
-      } yield
-        s"""SELECT doc_id, '${ws(i)}' AS subj, 'co_complex' AS pred, '${ws(j)}' AS obj
-           |FROM documents WHERE ${has(ws(i))} AND ${has(ws(j))} AND $trig""".stripMargin
-      branches.mkString("\nUNION ALL\n")
-    },
+    "kg_triples" -> kgTriplesSql,
     // node table (S7): one row per canonical entity, mention count over
     // the corpus; same word-position grounds as kg_pipeline_triples
     "kg_nodes" -> {

@@ -695,14 +695,75 @@ object Dedup {
     * pass broadcastEval = false and the same plan becomes a shuffled
     * equi-join on the n-gram. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, shingleN: Int = 8,
-                    broadcastEval: Boolean = true): DataFrame = {
+                    broadcastEval: Boolean = true): DataFrame =
+    decontaminateImpl(corpus, evalSet, shingleN, broadcastEval,
+      fullGramPred = None)
+
+  /** [[decontaminate]] with a BLOOM-FILTER prefilter on the corpus n-gram
+    * stream — the form for an eval side too big to broadcast (the
+    * canonical case: decontaminating today's crawl against an entire
+    * PRIOR SNAPSHOT's n-grams, gigabytes of grams where benchmark suites
+    * are megabytes). `decontaminate(broadcastEval = false)` already
+    * handles that shape as a shuffled equi-join — but the shuffle then
+    * carries EVERY corpus n-gram (~10× corpus bytes at word-8-grams);
+    * against 100 TB that shuffle IS the job. Here the eval grams are
+    * first folded into one fixed-size Bloom filter (Spark's own
+    * runtime-filter machinery: catalyst `BloomFilterAggregate` /
+    * `BloomFilterMightContain` over `xxhash64(gram)` — codegen'd, the
+    * exact expressions `InjectRuntimeFilter` plants under AQE), and the
+    * corpus gram stream is filtered BEFORE the shuffle: only might-contain
+    * survivors (true matches + the fpp·|grams| false positives) are ever
+    * shuffled. The exact join downstream then discards the false
+    * positives, so the output is IDENTICAL to [[decontaminate]] — the
+    * catalog proves it by checking both against the same oracle SQL. A
+    * Bloom miss is definitive (no false negatives), which is what makes
+    * the prefilter lossless.
+    *
+    * The filter itself is one driver-side row (`numBits/8` bytes — 4 MiB
+    * at the default 2²⁵ bits) rebroadcast as a literal, the same bounded
+    * driver hop as a broadcast-join build side. Sub-`shingleN` docs match
+    * by containment exactly as in [[decontaminate]]; those branches stay
+    * broadcast (they are ≤ n−1 tiny gram sets by construction) and are
+    * NOT bloom-filtered. Defaults stay inside Spark's conf caps for
+    * runtime bloom filters (4·10⁶ items / 2²⁶ bits); size `numBits` ≈
+    * 10–15 bits per distinct eval gram for ~1% fpp at 100 TB. */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
+                         shingleN: Int = 8,
+                         expectedGrams: Long = 2L * 1000 * 1000,
+                         numBits: Long = 1L << 25): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val evalGrams = windowsAt(decontamWords(evalSet, "eval_id"),
+      "eval_id", lit(shingleN)).select(col("g"))
+    val bloomAgg = toCol(new BloomFilterAggregate(
+      toExpr(xxhash64(col("g"))), Literal(expectedGrams), Literal(numBits))
+      .toAggregateExpression())
+    // one bounded driver row: the serialized filter (numBits/8 bytes);
+    // null when the eval side has no full-length grams at all — then the
+    // full branch is provably empty and the prefilter degenerates to false
+    val bf = evalGrams.select(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val pred = Option(bf)
+      .map(b => toCol(BloomFilterMightContain(
+        Literal(b, BinaryType), toExpr(xxhash64(col("g"))))))
+      .getOrElse(lit(false))
+    decontaminateImpl(corpus, evalSet, shingleN, broadcastEval = false,
+      fullGramPred = Some(pred))
+  }
+
+  private def decontaminateImpl(corpus: DataFrame, evalSet: DataFrame,
+                                shingleN: Int, broadcastEval: Boolean,
+                                fullGramPred: Option[Column]): DataFrame = {
     val bcast = (df: DataFrame) => if (broadcastEval) broadcast(df) else df
     val words = decontamWords _
     val gramsAt = windowsAt _
     val cw = words(corpus, "doc_id")
     val ew = words(evalSet, "eval_id")
-    // standard branch: n-grams both sides
-    val full = gramsAt(cw, "doc_id", lit(shingleN))
+    // standard branch: n-grams both sides (bloom-prefiltered when given —
+    // the predicate sees the exploded gram column `g`)
+    val corpusGrams = gramsAt(cw, "doc_id", lit(shingleN))
+    val full = fullGramPred.fold(corpusGrams)(corpusGrams.filter)
       .join(bcast(gramsAt(ew, "eval_id", lit(shingleN))), "g")
     // short-eval containment: each sub-n eval doc is one whole-text gram;
     // the corpus emits windows at the lengths present in that set

@@ -94,6 +94,75 @@ object Sampling {
       .filter(col("coin") < col("rate_pm"))
   }
 
+  /** EXACT-k stratified sample: the min(k, |stratum|) documents with the
+    * smallest LCG hash per stratum, ranked by (hash, id) so ties are
+    * deterministic — the "give me exactly 10k eval docs per language"
+    * request that per-row coins ([[stratifiedSample]]) can only hit in
+    * expectation. Output: (stratum, doc_id, rn), rn = 1..k.
+    *
+    * Scale shape — the naive form is one `row_number()` window over the
+    * WHOLE corpus partitioned by stratum: a full shuffle where the
+    * largest stratum (English at ~half a web crawl) lands on one task.
+    * Instead the operator pre-thins with a THRESHOLD on the hash and only
+    * ranks survivors: h is uniform on [0, P), so keeping h ≤ ⌊P·(2k+m)/n⌋
+    * leaves ~2k+m rows per stratum — the window input shrinks from n rows
+    * to O(k) regardless of corpus size, and the pre-thin itself is a
+    * pure per-row filter against a broadcast (stratum, n, threshold)
+    * table. The result is still EXACT, not approximate: the survivor set
+    * is downward-closed in h (it contains every row with h ≤ t), so if a
+    * stratum retains ≥ min(k, n) survivors, its true min(k, n) smallest
+    * (h, id) rows are all among them. Strata where the uniformity bet
+    * loses (fewer survivors than min(k, n) — exponentially unlikely at
+    * the default margin, but possible) are detected by a survivor count
+    * and re-ranked over their FULL rows; the fallback branch is per-
+    * failing-stratum, so the worst case degrades to the naive plan only
+    * where the data forced it. Deterministic throughout: reruns, retries
+    * and repartitions return byte-identical samples. */
+  def stratifiedExactK(docs: DataFrame, idCol: Column, stratum: Column,
+                       k: Int, hashIdx: Int = 3,
+                       safetyMargin: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val h = pmod(lit(Dedup.HashA(hashIdx)) * idCol.cast("long")
+      + lit(Dedup.HashB(hashIdx)), lit(Dedup.HashP))
+    val base = docs.select(stratum.as("stratum"), idCol.cast("long").as("doc_id"))
+      .withColumn("h", h)
+    val counts = base.groupBy(col("stratum")).agg(count(lit(1)).as("n"))
+    // threshold per stratum: everything when n ≤ k (the whole stratum is
+    // the sample); else the (2k + margin)-quantile of the uniform hash.
+    // BIGINT div keeps it exact — P·(2k+m) stays far inside Long.
+    val budget = 2L * k + math.max(0, safetyMargin)
+    val thr = when(col("n") <= k, lit(Dedup.HashP))
+      .otherwise(least(lit(Dedup.HashP),
+        expr(s"(CAST(${Dedup.HashP} AS BIGINT) * $budget) div n")))
+    // every stratum join below is NULL-SAFE (<=>): a null stratum is a
+    // stratum like any other (mirrors the corpus-stats / mixture rollups)
+    val thrTab = counts.withColumn("thr", thr)
+      .select(col("stratum").as("t_stratum"), col("n"), col("thr"))
+    val surv = base.join(broadcast(thrTab), col("stratum") <=> col("t_stratum"))
+      .filter(col("h") <= col("thr"))
+      .select(col("stratum"), col("doc_id"), col("h"))
+    // completeness check: a stratum is proven complete iff it kept at
+    // least min(k, n) survivors (downward closure in h — see scaladoc)
+    val survCnt = surv.groupBy(col("stratum").as("c_stratum"))
+      .agg(count(lit(1)).as("s"))
+    val short = thrTab.join(broadcast(survCnt),
+        col("t_stratum") <=> col("c_stratum"), "left")
+      .filter(coalesce(col("s"), lit(0L)) < least(lit(k.toLong), col("n")))
+      .select(col("t_stratum").as("bad_stratum"))
+    val win = Window.partitionBy(col("stratum"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val fast = surv.join(broadcast(short),
+      col("stratum") <=> col("bad_stratum"), "left_anti")
+    val slow = base.join(broadcast(short),
+      col("stratum") <=> col("bad_stratum"), "left_semi")
+    fast.select(col("stratum"), col("doc_id"), col("h"))
+      .unionByName(slow.select(col("stratum"), col("doc_id"), col("h")))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col("stratum"), col("doc_id"), col("rn").cast("long").as("rn"))
+  }
+
   /** DoReMi-style WEIGHTED mixture: `targets` (grp, target_ppm) pins each
     * group's desired share of the final mix in parts-per-million, and the
     * keep-rate is the exact integer form of 1000 · target-share /

@@ -367,4 +367,54 @@ class CurationDepthSpec extends AnyFunSuite {
     assert(sp(1L) == 14L, "two 'a' occurrences at weight 7")
     assert(sp(2L) == 0L && sp(3L) == 0L)
   }
+
+  // --------------------------- exact-k sampling -----------------------------
+
+  /** The LCG coin stratifiedExactK ranks by, reproduced in Scala. */
+  private def h3(id: Long): Long = Math.floorMod(
+    Dedup.HashA(3) * id + Dedup.HashB(3), Dedup.HashP)
+
+  /** Naive reference: per stratum, the min(k, n) smallest (h, id) rows. */
+  private def naiveExactK(rows: Seq[(Long, Option[String])], k: Int)
+      : Set[(Option[String], Long, Long)] =
+    rows.groupBy(_._2).flatMap { case (s, g) =>
+      g.map(_._1).sortBy(id => (h3(id), id)).take(k)
+        .zipWithIndex.map { case (id, i) => (s, id, i + 1L) }
+    }.toSet
+
+  private def runExactK(rows: Seq[(Long, Option[String])], k: Int)
+      : Set[(Option[String], Long, Long)] = {
+    val df = rows.map { case (id, s) => (id, s.orNull) }
+      .toDF("doc_id", "stratum")
+      .repartition(5) // defeat ConvertToLocalRelation; exercise the joins
+    Sampling.stratifiedExactK(df, col("doc_id"), col("stratum"), k)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("stratifiedExactK equals the naive top-k: mixed strata, null stratum, n < k") {
+    val rows =
+      (1L to 400L).map(i => (i, Some("big"))) ++          // n >> k
+      (401L to 407L).map(i => (i, Some("small"))) ++       // n < k
+      (501L to 560L).map(i => (i, Option.empty[String]))   // null stratum
+    val got = runExactK(rows, k = 10)
+    assert(got == naiveExactK(rows, 10))
+    assert(got.count(_._1.contains("small")) == 7, "n < k keeps the whole stratum")
+    assert(got.count(_._1.isEmpty) == 10, "null stratum samples like any other")
+  }
+
+  test("stratifiedExactK fallback: a stratum whose smallest hashes all miss the threshold") {
+    // adversarial ids — every row of the stratum hashes into the TOP
+    // quarter of [0, P), so the ~(2k+64)/n-quantile threshold keeps zero
+    // survivors and the per-stratum full-rank fallback must fire; the
+    // result must still be exact
+    val adversarial = Iterator.from(1)
+      .map(_.toLong).filter(id => h3(id) > Dedup.HashP * 3 / 4)
+      .take(300).toSeq
+    val rows = adversarial.map(id => (id, Some("adv"))) ++
+      (100001L to 100200L).map(i => (i, Some("normal")))
+    val got = runExactK(rows, k = 5)
+    assert(got == naiveExactK(rows, 5))
+    assert(got.count(_._1.contains("adv")) == 5)
+  }
 }

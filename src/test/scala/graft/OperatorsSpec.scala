@@ -290,6 +290,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(unhinted == out)
   }
 
+  test("decontaminateBloom equals decontaminate (prefilter is lossless)") {
+    val evalSet = Seq(
+      (100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"),
+      (101L, "tiny dup")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x1 x2 e2 e3 e4 e5 e6 e7 e8 e9 y1 y2"),
+      (2L, "clean words only nothing shared here at all okay sure"),
+      (3L, "tiny dup"),
+      (4L, "tiny dup plus six more filler words here"),
+      (5L, "e3 e4 e5")).toDF("doc_id", "text")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = toMapOf(Dedup.decontaminate(corpus, evalSet, shingleN = 8))
+    val bloom = toMapOf(Dedup.decontaminateBloom(corpus, evalSet, shingleN = 8))
+    assert(bloom == exact)
+    // a deliberately saturated filter (64 bits for every eval gram →
+    // near-100% fpp) must still be EXACT: false positives only cost the
+    // downstream join work the prefilter would have saved
+    val saturated = toMapOf(Dedup.decontaminateBloom(corpus, evalSet,
+      shingleN = 8, expectedGrams = 4L, numBits = 64L))
+    assert(saturated == exact)
+  }
+
+  test("decontaminateBloom: eval set with no full-length grams (null filter path)") {
+    // every eval doc is sub-8-word → zero 8-grams → BloomFilterAggregate
+    // yields null; the full branch is provably empty and only the
+    // containment branches can fire
+    val evalSet = Seq((100L, "tiny dup")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "tiny dup plus six more filler words here"),
+      (2L, "clean words only nothing shared here at all okay sure"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateBloom(corpus, evalSet, shingleN = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((1L, 1L))))
+  }
+
   test("repetition: duplicate n-gram fractions match hand-computed values") {
     val d = Seq((1L, "a b a b c"), (2L, "x"), (3L, "w w w w")).toDF("doc_id", "text")
     val m = TextAnalysis.repetition(d).collect().map(r => r.getLong(0) -> r).toMap
