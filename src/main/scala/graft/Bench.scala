@@ -244,27 +244,31 @@ object Bench {
     // ROUNDED number rendering: the driver archives only the LAST 2000
     // chars of stdout, so the whole line must fit that window to stay
     // machine-parseable (round 4's full-precision doubles overflowed it).
-    // 3 decimals on seconds (ms), 1 on docs/s, 4 on the efficiency ratio —
-    // far inside the measurement noise either way.
+    // 2 decimals on seconds (10ms), 0 on docs/s, 4 on the efficiency
+    // ratio — far inside the measurement noise either way. The protocol
+    // tag is a version key expanded in BENCH.md ("v5" = bo2; stream
+    // last; kg peak-of-3; 3 unconditional leg pairs; fresh JVMs per leg;
+    // staging outside timing) — the long form stopped fitting at 61
+    // catalog entries.
     def num(x: Double, d: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(x))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + kgSec
     val scaling = (legN, leg4N) match {
       case (Some(a), Some(b)) =>
         s""","scaling":{"cores_n":${a.cpus},"cores_4n":${b.cpus},""" +
-          s""""docs_per_sec_n":${num(a.docsPerSec, 1)},"docs_per_sec_4n":${num(b.docsPerSec, 1)},""" +
+          s""""docs_per_sec_n":${num(a.docsPerSec, 0)},"docs_per_sec_4n":${num(b.docsPerSec, 0)},""" +
           s""""efficiency":${num(eff.get, 4)},"efficiency_median":${num(medianEff, 4)},""" +
-          s""""attempts_n":${attemptsN.map(num(_, 1)).mkString("[", ",", "]")},""" +
-          s""""attempts_4n":${attempts4N.map(num(_, 1)).mkString("[", ",", "]")}}"""
+          s""""attempts_n":${attemptsN.map(num(_, 0)).mkString("[", ",", "]")},""" +
+          s""""attempts_4n":${attempts4N.map(num(_, 0)).mkString("[", ",", "]")}}"""
       case _ => ""
     }
-    val line = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,""" +
-      s""""staging_sec":${num(stagingSec, 3)},""" +
-      s""""kg_docs":$nDocs,"kg_triples":$nTriples,"kg_sec":${num(kgSec, 3)},""" +
-      s""""kg_docs_per_sec":${num(kgDps, 1)},"kg_triples_per_sec":${num(nTriples / kgSec, 1)},""" +
-      s""""protocol":"bo2;stream-last;kg-po3;3-uncond-leg-pairs;fresh-jvms;staging-apart"""" +
+    val line = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,""" +
+      s""""staging_sec":${num(stagingSec, 2)},""" +
+      s""""kg_docs":$nDocs,"kg_triples":$nTriples,"kg_sec":${num(kgSec, 2)},""" +
+      s""""kg_docs_per_sec":${num(kgDps, 0)},"kg_triples_per_sec":${num(nTriples / kgSec, 0)},""" +
+      s""""protocol":"v5"""" +
       scaling + s""","cpus":"$cpus","sf":"$sfDir"}"""
     // >= not >: the trailing newline occupies one char of the 2000-char
     // tail window, so a line of exactly 2000 already loses its first '{'

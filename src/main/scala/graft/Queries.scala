@@ -366,6 +366,21 @@ object Queries {
       .groupBy(col("subj"), col("pred"), col("obj"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
 
+  /** Per-entity structural rollup of the KG edge table: undirected degree
+    * + total supporting-document count ([[graft.graph.GraphOps.nodeDegrees]]). */
+  def kgNodeDegrees(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.nodeDegrees(kgEdgeRollup(s, dir))
+
+  /** Integer fixed-point PageRank over the co-occurrence KG (5 rounds,
+    * damping 0.85): entity centrality in parts-per-trillion. The oracle
+    * unrolls the SAME integer recurrence as 5 DuckDB CTE steps, so a hash
+    * match proves every division and sum — see
+    * [[graft.graph.GraphOps.pageRank]]. */
+  def kgPageRank(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.pageRank(
+      kgTriples(s, dir).select(col("subj").as("src"), col("obj").as("dst")),
+      iterations = 5)
+
   /** Embedding near-dup groups on a floor(x*2) grid — first 8 dims as
     * grouping keys (bit-exact vs the SQL oracle). */
   def dedupEmbeddingGrid(s: SparkSession, dir: String): DataFrame = {

@@ -97,6 +97,8 @@ object SparkEntry {
     "kg_cooccur_pairs" -> (Queries.kgCooccurPairs _),
     "kg_triples" -> (Queries.kgTriples _),
     "kg_edge_rollup" -> (Queries.kgEdgeRollup _),
+    "kg_node_degrees" -> (Queries.kgNodeDegrees _),
+    "kg_pagerank" -> (Queries.kgPageRank _),
     "kg_pipeline_triples" -> (Queries.kgPipelineTriples _),
     "kg_nodes" -> (Queries.kgNodes _),
     // multimodal plumbing
@@ -927,6 +929,40 @@ object SparkEntry {
     "kg_edge_rollup" ->
       s"""SELECT subj, pred, obj, count(*) AS n_docs, min(doc_id) AS first_doc
          |FROM ($kgTriplesSql) GROUP BY subj, pred, obj""".stripMargin,
+    // per-node degree + doc support over the symmetrized edge rollup;
+    // count(DISTINCT nb) mirrors countDistinct (robust to multi-pred)
+    "kg_node_degrees" ->
+      s"""WITH er AS (SELECT subj, obj, count(*) AS n_docs
+         |  FROM ($kgTriplesSql) GROUP BY subj, pred, obj),
+         | sym AS (SELECT subj AS node, obj AS nb, n_docs FROM er
+         |   UNION ALL SELECT obj, subj, n_docs FROM er)
+         |SELECT node, count(DISTINCT nb) AS degree,
+         |  CAST(sum(n_docs) AS BIGINT) AS doc_support
+         |FROM sym GROUP BY node""".stripMargin,
+    // integer fixed-point PageRank, the SAME recurrence GraphOps.pageRank
+    // runs, unrolled as 5 CTE steps (the Lloyd-iteration precedent):
+    // ranks in parts-per-1e12, damping 850000 ppm, r0 = scale div N,
+    // base = r0*150000 div 1e6, r'(v) = base + 850000*sum(r div od) div
+    // 1e6. All-integer ops — `//` == Spark `div` on positives; the sum is
+    // HUGEINT in DuckDB, cast back to BIGINT before the multiply.
+    "kg_pagerank" -> {
+      val steps = (1 to 5).map { i =>
+        s""" r$i AS (SELECT sym.dst AS node,
+           |   ((1000000000000 // n.cnt) * 150000) // 1000000
+           |     + (850000 * CAST(sum(p.r // deg.od) AS BIGINT)) // 1000000 AS r
+           |  FROM sym JOIN r${i - 1} p ON sym.src = p.node
+           |  JOIN deg ON sym.src = deg.src CROSS JOIN n
+           |  GROUP BY sym.dst, n.cnt)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM ($kgTriplesSql)),
+         | sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         | deg AS (SELECT src, count(*) AS od FROM sym GROUP BY src),
+         | n AS (SELECT count(*) AS cnt FROM deg),
+         | r0 AS (SELECT src AS node, 1000000000000 // cnt AS r
+         |        FROM deg CROSS JOIN n),
+         |$steps
+         |SELECT node, r AS rank_ppt FROM r5""".stripMargin
+    },
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
