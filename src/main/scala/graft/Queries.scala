@@ -199,6 +199,43 @@ object Queries {
         unix_timestamp(col("sw.end")).as("session_end"),
         col("n_events"))
 
+  /** Backward AS-OF join over the events table
+    * ([[operators.Temporal.asofJoin]]): every event annotated with the
+    * most recent PRIOR error by the same user (ties at the exact instant
+    * match; no prior error → nulls). The right side pre-aggregates to one
+    * row per (user, ts) so the tie rule is explicit on both engines.
+    * Epochs exported as BIGINT micros — timestamp values never cross the
+    * engine boundary as strings. */
+  def eventsAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val markers = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("err_value"))
+    operators.Temporal.asofJoin(ev, markers, key = "user_id", time = "ts",
+        valueCols = Seq("err_value"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t_us"),
+        unix_micros(col("ts_asof").cast("timestamp")).as("err_t_us"),
+        col("err_value_asof").as("err_value"))
+  }
+
+  /** Range (interval-containment) join ([[operators.Temporal.rangeJoin]]):
+    * purchases landing inside any same-user 10-minute post-error window,
+    * rolled up per purchase (window count + earliest triggering error).
+    * Bucket width = the window length, so each interval explodes into at
+    * most 2 buckets. */
+  def eventsRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val iv = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    operators.Temporal.rangeJoin(p, iv, "ts", "s", "e",
+        keys = Seq("user_id"), bucketSec = 600L)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_windows"), min(col("err_id")).as("first_err"))
+  }
+
   /** Structured Streaming: the same tumbling window computed through
     * readStream → watermark → windowed agg → memory sink, drained with
     * processAllAvailable (batch parquet drives the stream synchronously).

@@ -47,6 +47,8 @@ object SparkEntry {
     "q12_conditional_agg" -> (Queries.q12ConditionalAgg _),
     "q13_streaming" -> (Queries.q13Streaming _),
     "q14_session_window" -> (Queries.q14SessionWindow _),
+    "events_asof" -> (Queries.eventsAsof _),
+    "events_range_join" -> (Queries.eventsRangeJoin _),
     // deduplication suite
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
@@ -1052,6 +1054,32 @@ object SparkEntry {
         |  CAST(floor((max(ms) + 1800000)/1000.0) AS BIGINT) AS session_end,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // backward as-of join: per event, the latest same-user error at or
+    // before it. The naive max-then-join-back form IS the semantics the
+    // union-window operator must reproduce; epochs ride as BIGINT micros
+    "events_asof" ->
+      """WITH r AS (SELECT user_id, ts, max(value) AS err_value FROM events
+        |           WHERE event_type = 'error' GROUP BY user_id, ts),
+        | m AS (SELECT e.event_id, max(r.ts) AS rts FROM events e
+        |       JOIN r ON e.user_id = r.user_id AND r.ts <= e.ts
+        |       GROUP BY e.event_id)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t_us,
+        |  epoch_us(m.rts) AS err_t_us, r2.err_value
+        |FROM events e LEFT JOIN m ON e.event_id = m.event_id
+        |LEFT JOIN r r2 ON r2.user_id = e.user_id AND r2.ts = m.rts""".stripMargin,
+    // range join: purchases inside any same-user 10-minute post-error
+    // window (both boundaries inclusive); the theta-join form is the
+    // semantics the bucketed equi-join must reproduce
+    "events_range_join" ->
+      """WITH iv AS (SELECT event_id AS err_id, user_id, ts AS s,
+        |              ts + INTERVAL 10 MINUTE AS e
+        |            FROM events WHERE event_type = 'error'),
+        | p AS (SELECT event_id, user_id, ts FROM events
+        |       WHERE event_type = 'purchase')
+        |SELECT p.event_id, count(*) AS n_windows, min(iv.err_id) AS first_err
+        |FROM p JOIN iv ON p.user_id = iv.user_id
+        |  AND p.ts >= iv.s AND p.ts <= iv.e
+        |GROUP BY p.event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
