@@ -244,15 +244,22 @@ object Bench {
     // ROUNDED number rendering: the driver archives only the LAST 2000
     // chars of stdout, so the whole line must fit that window to stay
     // machine-parseable (round 4's full-precision doubles overflowed it).
-    // 2 decimals on seconds (10ms), 0 on docs/s, 4 on the efficiency
-    // ratio — far inside the measurement noise either way. The protocol
-    // tag is a version key expanded in BENCH.md ("v5" = bo2; stream
-    // last; kg peak-of-3; 3 unconditional leg pairs; fresh JVMs per leg;
-    // staging outside timing) — the long form stopped fitting at 61
-    // catalog entries.
+    // Per-query seconds use TWO SIGNIFICANT FIGURES (0.24 / 3.8 / 21) —
+    // the box's documented run-to-run variance is ±10-30% per query, so
+    // a third figure is noise; the trim bought the headroom the 65-entry
+    // catalog needs inside the window. Totals/kg keep 2 decimals, docs/s
+    // 0, the efficiency ratio 4. The protocol tag is a version key
+    // expanded in BENCH.md ("v5" = bo2; stream last; kg peak-of-3; 3
+    // unconditional leg pairs; fresh JVMs per leg; staging outside
+    // timing) — the long form stopped fitting at 61 catalog entries.
     def num(x: Double, d: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(x))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
+    def sec2sf(x: Double): String =
+      if (x < 0) num(x, 2) // sentinel (query errored) passes through
+      else if (x >= 10) num(x, 0)
+      else if (x >= 1) num(x, 1)
+      else num(x, 2)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec2sf(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + kgSec
     val scaling = (legN, leg4N) match {
@@ -267,9 +274,9 @@ object Bench {
     val line = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,""" +
       s""""staging_sec":${num(stagingSec, 2)},""" +
       s""""kg_docs":$nDocs,"kg_triples":$nTriples,"kg_sec":${num(kgSec, 2)},""" +
-      s""""kg_docs_per_sec":${num(kgDps, 0)},"kg_triples_per_sec":${num(nTriples / kgSec, 0)},""" +
+      s""""kg_docs_per_sec":${num(kgDps, 0)},""" + // triples/s = kg_triples/kg_sec (derivable; dropped for window headroom)
       s""""protocol":"v5"""" +
-      scaling + s""","cpus":"$cpus","sf":"$sfDir"}"""
+      scaling + s""","cpus":"$cpus","sf":"${new java.io.File(sfDir).getName}"}"""
     // >= not >: the trailing newline occupies one char of the 2000-char
     // tail window, so a line of exactly 2000 already loses its first '{'
     if (line.length >= 2000)
