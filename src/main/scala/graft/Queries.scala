@@ -418,6 +418,40 @@ object Queries {
       kgTriples(s, dir).select(col("subj").as("src"), col("obj").as("dst")),
       iterations = 5)
 
+  /** Connected components over the co-occurrence KG: every entity in the
+    * edge table labeled with its component's lexicographically-smallest
+    * member — the canonical-id rule the whole engine uses (keep-list
+    * clusters, equiv resolution). Runs the DISTRIBUTED min-label +
+    * pointer-jumping loop ([[graft.canon.ConnectedComponents.canonicalize]])
+    * unconditionally — unlike the keep-list entries, which take the
+    * adaptive driver/distributed split — so the driver hash proves the
+    * O(log diameter) propagation itself against the oracle's recursive
+    * min-label CTE. */
+  def kgComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = kgTriples(s, dir)
+      .select(col("subj").as("src"), col("obj").as("dst"))
+      .distinct().as[EquivEdge]
+    canon.ConnectedComponents.canonicalize(e)(s)
+      .select(col("node_id").as("node"), col("canonical_id").as("component"))
+  }
+
+  /** Per-entity triangle counts over the co-occurrence KG — the local
+    * clustering structure ([[graft.graph.GraphOps.triangleCounts]]:
+    * degree-ordered compact-forward enumeration; the oracle counts the
+    * naive a<b<c way, so the hash match proves the optimized plan). */
+  def kgTriangles(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.triangleCounts(
+      kgTriples(s, dir).select(col("subj").as("src"), col("obj").as("dst")))
+
+  /** Shared-neighbor Jaccard between entity pairs — duplicate-entity
+    * candidates at J ≥ 0.2, all-integer arithmetic
+    * ([[graft.graph.GraphOps.neighborJaccard]]). */
+  def kgNodeSim(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.neighborJaccard(
+      kgTriples(s, dir).select(col("subj").as("src"), col("obj").as("dst")),
+      minPermille = 200)
+
   /** Embedding near-dup groups on a floor(x*2) grid — first 8 dims as
     * grouping keys (bit-exact vs the SQL oracle). */
   def dedupEmbeddingGrid(s: SparkSession, dir: String): DataFrame = {

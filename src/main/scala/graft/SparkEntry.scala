@@ -101,6 +101,9 @@ object SparkEntry {
     "kg_edge_rollup" -> (Queries.kgEdgeRollup _),
     "kg_node_degrees" -> (Queries.kgNodeDegrees _),
     "kg_pagerank" -> (Queries.kgPageRank _),
+    "kg_components" -> (Queries.kgComponents _),
+    "kg_triangles" -> (Queries.kgTriangles _),
+    "kg_node_sim" -> (Queries.kgNodeSim _),
     "kg_pipeline_triples" -> (Queries.kgPipelineTriples _),
     "kg_nodes" -> (Queries.kgNodes _),
     // multimodal plumbing
@@ -965,6 +968,47 @@ object SparkEntry {
          |$steps
          |SELECT node, r AS rank_ppt FROM r5""".stripMargin
     },
+    // distributed min-label CC over the entity graph vs the recursive
+    // min-label CTE (the keep-list closure pattern, entity-string labels:
+    // byte-order min is identical across engines for ASCII names)
+    "kg_components" ->
+      s"""WITH RECURSIVE e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM ($kgTriplesSql)),
+         | sym AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         | lp AS (SELECT DISTINCT a AS node, a AS label FROM sym
+         |        UNION
+         |        SELECT s.b AS node, lp.label FROM lp JOIN sym s ON s.a = lp.node)
+         |SELECT node, min(label) AS component FROM lp GROUP BY node""".stripMargin,
+    // triangle counts: the oracle enumerates the NAIVE a<b<c way; the
+    // engine enumerates degree-ordered (compact-forward) — the triangle
+    // set is orientation-invariant, so a hash match proves the optimized
+    // plan exact
+    "kg_triangles" ->
+      s"""WITH e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM ($kgTriplesSql)),
+         | sym AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         | syn AS (SELECT a, b FROM sym WHERE a <> b),
+         | ord1 AS (SELECT a, b FROM syn WHERE a < b),
+         | tri AS (SELECT x.a AS u, x.b AS v, y.b AS w
+         |         FROM ord1 x JOIN ord1 y ON y.a = x.b
+         |         JOIN ord1 z ON z.a = x.a AND z.b = y.b),
+         | corners AS (SELECT u AS node FROM tri UNION ALL
+         |             SELECT v FROM tri UNION ALL SELECT w FROM tri),
+         | nodes AS (SELECT DISTINCT a AS node FROM syn)
+         |SELECT n.node, count(c.node) AS n_tri
+         |FROM nodes n LEFT JOIN corners c ON n.node = c.node
+         |GROUP BY n.node""".stripMargin,
+    // shared-neighbor Jaccard at >= 0.2, all-integer (cross-multiplied
+    // threshold, // == Spark div on positives)
+    "kg_node_sim" ->
+      s"""WITH e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM ($kgTriplesSql)),
+         | sym AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         | deg AS (SELECT a AS n, count(*) AS d FROM sym GROUP BY a),
+         | w AS (SELECT x.a AS node_a, y.a AS node_b, count(*) AS inter
+         |       FROM sym x JOIN sym y ON x.b = y.b AND x.a < y.a
+         |       GROUP BY 1, 2)
+         |SELECT node_a, node_b, inter, da.d + db.d - inter AS uni,
+         |  (inter * 1000) // (da.d + db.d - inter) AS jac_permille
+         |FROM w JOIN deg da ON node_a = da.n JOIN deg db ON node_b = db.n
+         |WHERE inter * 1000 >= 200 * (da.d + db.d - inter)""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,

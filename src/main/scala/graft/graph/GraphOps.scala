@@ -47,6 +47,97 @@ object GraphOps {
         sum(col("n_docs")).as("doc_support"))
   }
 
+  /** Per-node triangle counts over an undirected edge list — the local
+    * clustering signal a KG consumer reads to separate tight complexes
+    * from hub-and-spoke co-occurrence artifacts.
+    *
+    * Enumeration is DEGREE-ORDERED compact-forward (Latapy 2008, the
+    * standard distributed variant): nodes are ranked by (degree, id) and
+    * every undirected edge is oriented from the lower- to the
+    * higher-ranked endpoint, so each triangle is generated exactly once —
+    * at its lowest-ranked corner — and, crucially, wedge fan-out at a hub
+    * is bounded by the number of HIGHER-ranked neighbors, O(√E) per node,
+    * instead of the raw degree. On a p53-class hub (degree 10⁵ in a
+    * billion-edge KG) the naive id-ordered join builds 10¹⁰ wedges; the
+    * degree-ordered one caps at ~|E|^{3/2} total work, the proven bound.
+    * The triangle SET is orientation-invariant, so the DuckDB oracle
+    * enumerates with the naive a<b<c form and a hash match proves the
+    * optimized plan exact. Shape: two self-equi-joins on the oriented
+    * edge table + one map-side-combinable count — no collect, no window.
+    *
+    * @return DataFrame(node, n_tri) covering every node of the
+    *         symmetrized edge list (0 for triangle-free nodes). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val sym = symmetrize(edges).filter(col("src") =!= col("dst"))
+    val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    // orient low→high by (degree, id); ties break on the id so the order
+    // is total and the oriented edge set is exactly half the symmetric one
+    val or1 = sym
+      .join(deg.select(col("n").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("n").as("dst"), col("d").as("dd")), "dst")
+      .filter(col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("dd"))
+    // wedges at the lowest-ranked corner u: (u→v, u→w) with v before w in
+    // the SAME (degree, id) order; triangle iff the oriented edge v→w
+    // exists. The closing join probes the oriented table, not the full
+    // symmetric one — half the build side.
+    val x = or1.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
+    val y = or1.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw"))
+    val wedges = x.join(y, Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val closing = or1.select(col("src").as("v"), col("dst").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w")).select("u", "v", "w")
+    val corners = tris.select(col("u").as("node"))
+      .unionByName(tris.select(col("v").as("node")))
+      .unionByName(tris.select(col("w").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.select(col("n").as("node"))
+      .join(corners, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Shared-neighbor Jaccard similarity between node pairs — the
+    * entity-resolution candidate generator: two KG nodes whose
+    * neighborhoods largely coincide are duplicate-entity suspects (the
+    * graph analog of the document keep-list's near-dup edges; feed the
+    * surviving pairs into [[graft.canon.ConnectedComponents]] to close
+    * merge groups, exactly as `Dedup.keepList` closes document edges).
+    *
+    * All-INTEGER arithmetic: |N(a)∩N(b)| comes off one wedge self-join,
+    * |N(a)∪N(b)| = d(a)+d(b)−inter, and the threshold is the cross-
+    * multiplied `inter·1000 ≥ minPermille·union` — no float division
+    * anywhere, so the DuckDB oracle matches bit-for-bit (the quantized-
+    * cosine precedent). Only pairs sharing ≥1 neighbor are ever
+    * materialized (disjoint neighborhoods can't pass any threshold > 0),
+    * which is what makes this runnable at KG scale: the wedge join is
+    * bounded by Σ_nb d(nb)², concentrated on hubs — at a true p53-class
+    * hub, cap or sample the hub's adjacency first (the AQE skew-join
+    * split handles the shuffle side; the quadratic blowup itself is the
+    * published bottleneck every similarity-join paper prefilters).
+    *
+    * @return DataFrame(node_a, node_b, inter, uni, jac_permille),
+    *         node_a < node_b, jac_permille = inter·1000 div union. */
+  def neighborJaccard(edges: DataFrame, minPermille: Int = 0): DataFrame = {
+    require(minPermille >= 0 && minPermille <= 1000,
+      s"minPermille must be in [0, 1000], got $minPermille")
+    val sym = symmetrize(edges).filter(col("src") =!= col("dst"))
+    val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val wedges = sym.select(col("src").as("node_a"), col("dst").as("nb"))
+      .join(sym.select(col("src").as("node_b"), col("dst").as("nb")), Seq("nb"))
+      .filter(col("node_a") < col("node_b"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("inter"))
+    wedges
+      .join(deg.select(col("n").as("node_a"), col("d").as("da")), "node_a")
+      .join(deg.select(col("n").as("node_b"), col("d").as("db")), "node_b")
+      .withColumn("uni", col("da") + col("db") - col("inter"))
+      .filter(col("inter") * 1000 >= lit(minPermille.toLong) * col("uni"))
+      .select(col("node_a"), col("node_b"), col("inter"), col("uni"),
+        expr("(inter * 1000) div uni").as("jac_permille"))
+  }
+
   /** Fixed-iteration integer PageRank over an undirected edge list.
     *
     * Ranks are longs scaled by `scale` (default parts-per-trillion);

@@ -65,6 +65,75 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Map("a" -> 500000000000L, "b" -> 500000000000L))
   }
 
+  /** Naive set-based triangle reference: count, per node, the unordered
+    * neighbor pairs that are themselves adjacent — halved for the double
+    * count. Dumb on purpose; the operator's degree-ordered enumeration
+    * must agree exactly. */
+  private def refTriangles(edges: Seq[(String, String)]): Map[String, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    adj.map { case (n, nbs) =>
+      val pairs = nbs.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      n -> pairs.toLong
+    }
+  }
+
+  private def runTriangles(edges: Seq[(String, String)]): Map[String, Long] = {
+    val df = edges.toDF("src", "dst").repartition(4)
+    GraphOps.triangleCounts(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangleCounts: K4 plus a pendant — 3 per clique node, 0 for the pendant") {
+    val k4 = for {
+      s <- Seq("a", "b", "c", "d"); t <- Seq("a", "b", "c", "d") if s < t
+    } yield (s, t)
+    val got = runTriangles(k4 :+ ("d", "e"))
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L, "e" -> 0L))
+  }
+
+  test("triangleCounts: triangle-free path graph is all zeros") {
+    val got = runTriangles(Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    assert(got == Map("a" -> 0L, "b" -> 0L, "c" -> 0L, "d" -> 0L))
+  }
+
+  test("triangleCounts: degree-ordered enumeration equals the naive reference " +
+    "on a seeded random graph with duplicate and reversed input edges") {
+    val rnd = new scala.util.Random(20260817L)
+    val nodes = (0 until 18).map(i => f"n$i%02d")
+    val base = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if rnd.nextDouble() < 0.25
+    } yield (nodes(i), nodes(j))
+    // adversarial input shape: every edge also reversed, some duplicated —
+    // symmetrize must collapse them before orientation
+    val edges = base ++ base.map(_.swap) ++ base.take(5)
+    assert(runTriangles(edges) == refTriangles(edges))
+  }
+
+  test("neighborJaccard: hand-computed star-plus-chord graph, with and without threshold") {
+    // a-(b,c,d) star plus chord b-c:
+    //   N(a)={b,c,d} N(b)={a,c} N(c)={a,b} N(d)={a}
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"))
+    val df = edges.toDF("src", "dst").repartition(3)
+    def asMap(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val all = asMap(GraphOps.neighborJaccard(df))
+    assert(all == Map(
+      ("a", "b") -> ((1L, 4L, 250L)), // share {c}; union {a,b,c,d}
+      ("a", "c") -> ((1L, 4L, 250L)),
+      ("b", "c") -> ((1L, 3L, 333L)), // share {a}; union {a,b,c}
+      ("b", "d") -> ((1L, 2L, 500L)),
+      ("c", "d") -> ((1L, 2L, 500L))))
+    // threshold keeps only J >= 0.4; (a,d) shares no neighbor and must
+    // never be materialized at any threshold
+    val cut = asMap(GraphOps.neighborJaccard(df, minPermille = 400))
+    assert(cut.keySet == Set(("b", "d"), ("c", "d")))
+  }
+
   test("nodeDegrees: distinct-neighbor degree and doc support from the rollup") {
     val rollup = Seq(
       ("a", "p1", "b", 3L), ("a", "p2", "b", 2L), // multi-pred: same pair
