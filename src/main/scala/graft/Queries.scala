@@ -452,6 +452,49 @@ object Queries {
       kgTriples(s, dir).select(col("subj").as("src"), col("obj").as("dst")),
       minPermille = 200)
 
+  /** Multi-source BFS hop distances over the co-occurrence KG, seeded at
+    * the lexicographically-smallest entity (a deterministic stand-in for
+    * a curated seed list), 4 hops. The engine runs the frontier loop, the
+    * oracle the unrolled whole-set recurrence — the hash match proves the
+    * frontier optimization lossless ([[graft.graph.GraphOps.khopDistances]]). */
+  def kgKhop(s: SparkSession, dir: String): DataFrame = {
+    val e = kgTriples(s, dir)
+      .select(col("subj").as("src"), col("obj").as("dst"))
+    val seeds = graph.GraphOps.symmetrize(e).agg(min(col("src")).as("node"))
+    graph.GraphOps.khopDistances(e, seeds, maxHops = 4)
+  }
+
+  /** Community labels over the co-occurrence KG: 3 rounds of synchronous
+    * label propagation, most-frequent-neighbor label with min-label ties
+    * ([[graft.graph.GraphOps.labelPropagate]] — window-free argmax via
+    * min(struct(-count, label))). */
+  def kgCommunities(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.labelPropagate(
+      kgTriples(s, dir).select(col("subj").as("src"), col("obj").as("dst")),
+      iterations = 3)
+
+  /** ENTITY RESOLUTION over the KG — the composition the node-similarity
+    * operator exists to feed: neighbor-Jaccard pairs at J ≥ 0.5 become
+    * merge edges, the transitive closure assigns every entity its merge
+    * group's lexicographically-smallest member, and entities with no
+    * qualifying edge keep themselves (the keep-list pattern applied to
+    * GRAPH nodes instead of documents — SURVEY J6's equiv resolution
+    * generalized to similarity-derived equivalences). */
+  def kgEntityMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = kgTriples(s, dir)
+      .select(col("subj").as("src"), col("obj").as("dst"))
+    val simEdges = graph.GraphOps.neighborJaccard(e, minPermille = 500)
+      .select(col("node_a").as("src"), col("node_b").as("dst"))
+      .as[EquivEdge]
+    val canonMap = canon.ConnectedComponents.canonicalize(simEdges)(s)
+    val nodes = graph.GraphOps.symmetrize(e)
+      .select(col("src").as("node")).distinct()
+    nodes.join(canonMap, nodes("node") === canonMap("node_id"), "left")
+      .select(col("node"),
+        coalesce(col("canonical_id"), col("node")).as("merge_id"))
+  }
+
   /** Embedding near-dup groups on a floor(x*2) grid — first 8 dims as
     * grouping keys (bit-exact vs the SQL oracle). */
   def dedupEmbeddingGrid(s: SparkSession, dir: String): DataFrame = {
@@ -923,8 +966,14 @@ object Queries {
     * structs — the flags are evaluated per row BEFORE the explode — fans out
     * to the C(|dict|,2) pair branches. One FileScan (PlanSpec-asserted)
     * instead of ten filtered re-scans union'd together. */
-  def kgTriples(s: SparkSession, dir: String): DataFrame = {
-    val d = table(s, dir, "documents")
+  def kgTriples(s: SparkSession, dir: String): DataFrame =
+    kgTriplesOf(table(s, dir, "documents"))
+
+  /** The same single-scan extraction as [[kgTriples]], as a TRANSFORM on
+    * any (doc_id, text) frame — stateless per row, so it applies verbatim
+    * to a STREAMING source ([[kgStreamEdges]]) and to corpus slices
+    * ([[kgEdgeRollupDelta]]). */
+  def kgTriplesOf(d: DataFrame): DataFrame = {
     val withFlags = kgDictWords.foldLeft(d.select(col("doc_id"), col("text"))) {
       (df, wrd) => df.withColumn(s"has_$wrd", wordCount(col("text"), wrd) > 0)
     }.withColumn("has_trigger",
@@ -941,6 +990,54 @@ object Queries {
       .filter(col("p.both") && col("has_trigger"))
       .select(col("doc_id"), col("p.subj").as("subj"),
         lit("co_complex").as("pred"), col("p.obj").as("obj"))
+  }
+
+  /** INCREMENTAL KG maintenance: yesterday's edge rollup (doc_id % 4 ≠ 3)
+    * merged with the rollup of today's delta slice (% 4 == 3) — counts
+    * add, provenance takes the minimum — without re-aggregating
+    * yesterday's documents beyond their (in production: persisted) rollup.
+    * The oracle is THE SAME full-recompute SQL as kg_edge_rollup, so the
+    * hash match proves merged-incremental == from-scratch by an
+    * independent engine (the keepListDelta theorem applied to KG
+    * construction). The merge itself is one full-outer join on the edge
+    * key — at a billion edges both sides arrive pre-aggregated and the
+    * join co-partitions on (subj, pred, obj), the same key a bucketed
+    * rollup store would be laid out on. */
+  def kgEdgeRollupDelta(s: SparkSession, dir: String): DataFrame = {
+    val t = kgTriples(s, dir)
+    def roll(part: DataFrame) = part
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    val oldRollup = roll(t.filter(col("doc_id") % 4 =!= 3))
+    val delta = roll(t.filter(col("doc_id") % 4 === 3))
+    oldRollup.as("o").join(delta.as("n"), Seq("subj", "pred", "obj"), "full_outer")
+      .select(col("subj"), col("pred"), col("obj"),
+        (coalesce(col("o.n_docs"), lit(0L))
+          + coalesce(col("n.n_docs"), lit(0L))).as("n_docs"),
+        // Spark's least skips nulls; only-one-side edges keep their side
+        least(col("o.first_doc"), col("n.first_doc")).as("first_doc"))
+  }
+
+  /** STREAMING KG construction: the documents table replayed as a file
+    * stream, the [[kgTriplesOf]] extraction applied per micro-batch
+    * (stateless row-local transform), and the edge rollup maintained as a
+    * streaming aggregation (complete mode — count and min are both
+    * incrementally maintainable states). The oracle is the BATCH rollup
+    * SQL: the hash match proves stream == batch, the q13 parity contract
+    * extended from event analytics to graph construction. At scale the
+    * same plan runs against a real queue with a watermark; the memory
+    * sink is the sandbox stand-in. */
+  def kgStreamEdges(s: SparkSession, dir: String): DataFrame = {
+    val schema = table(s, dir, "documents").schema
+    val stream = s.readStream.schema(schema).parquet(s"$dir/documents.parq*")
+    val edges = kgTriplesOf(stream)
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    try s.catalog.dropTempView("graft_stream_kg") catch { case _: Throwable => }
+    val q = edges.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_kg").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_kg")
   }
 
   /** The REAL extraction pipeline over the driver's documents table

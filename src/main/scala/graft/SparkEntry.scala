@@ -104,6 +104,11 @@ object SparkEntry {
     "kg_components" -> (Queries.kgComponents _),
     "kg_triangles" -> (Queries.kgTriangles _),
     "kg_node_sim" -> (Queries.kgNodeSim _),
+    "kg_khop" -> (Queries.kgKhop _),
+    "kg_communities" -> (Queries.kgCommunities _),
+    "kg_entity_merge" -> (Queries.kgEntityMerge _),
+    "kg_edge_rollup_delta" -> (Queries.kgEdgeRollupDelta _),
+    "kg_stream_edges" -> (Queries.kgStreamEdges _),
     "kg_pipeline_triples" -> (Queries.kgPipelineTriples _),
     "kg_nodes" -> (Queries.kgNodes _),
     // multimodal plumbing
@@ -934,6 +939,15 @@ object SparkEntry {
     "kg_edge_rollup" ->
       s"""SELECT subj, pred, obj, count(*) AS n_docs, min(doc_id) AS first_doc
          |FROM ($kgTriplesSql) GROUP BY subj, pred, obj""".stripMargin,
+    // incremental rollup maintenance and streaming construction both
+    // hash-match the FULL-RECOMPUTE batch rollup — merged-delta == full
+    // and stream == batch, each proven by the independent engine
+    "kg_edge_rollup_delta" ->
+      s"""SELECT subj, pred, obj, count(*) AS n_docs, min(doc_id) AS first_doc
+         |FROM ($kgTriplesSql) GROUP BY subj, pred, obj""".stripMargin,
+    "kg_stream_edges" ->
+      s"""SELECT subj, pred, obj, count(*) AS n_docs, min(doc_id) AS first_doc
+         |FROM ($kgTriplesSql) GROUP BY subj, pred, obj""".stripMargin,
     // per-node degree + doc support over the symmetrized edge rollup;
     // count(DISTINCT nb) mirrors countDistinct (robust to multi-pred)
     "kg_node_degrees" ->
@@ -1009,6 +1023,64 @@ object SparkEntry {
          |  (inter * 1000) // (da.d + db.d - inter) AS jac_permille
          |FROM w JOIN deg da ON node_a = da.n JOIN deg db ON node_b = db.n
          |WHERE inter * 1000 >= 200 * (da.d + db.d - inter)""".stripMargin,
+    // multi-source BFS distances, seed = min entity, 4 hops — the oracle
+    // unrolls the NAIVE whole-set recurrence d_i = min(d_{i-1} ∪ nb+1);
+    // the engine's frontier loop must agree exactly (BFS layers are the
+    // anti-join's admitted rows)
+    "kg_khop" -> {
+      val steps = (1 to 4).map { i =>
+        s""" d$i AS (SELECT node, min(dist) AS dist FROM (
+           |   SELECT node, dist FROM d${i - 1}
+           |   UNION ALL
+           |   SELECT s.b AS node, p.dist + 1 AS dist
+           |   FROM d${i - 1} p JOIN sym s ON s.a = p.node) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM ($kgTriplesSql)),
+         | sym AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         | d0 AS (SELECT min(a) AS node, 0 AS dist FROM sym),
+         |$steps
+         |SELECT node, dist FROM d4""".stripMargin
+    },
+    // 3 rounds of synchronous label propagation: per-round windowed argmax
+    // (count DESC, label ASC) vs the engine's window-free
+    // min(struct(-count, label)) — identical total order
+    "kg_communities" -> {
+      val steps = (1 to 3).map { i =>
+        s""" c$i AS (SELECT s.b AS node, l.label, count(*) AS c
+           |   FROM l${i - 1} l JOIN sym s ON s.a = l.node GROUP BY 1, 2),
+           | l$i AS (SELECT node, label FROM c$i
+           |   QUALIFY row_number() OVER (
+           |     PARTITION BY node ORDER BY c DESC, label) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM ($kgTriplesSql)),
+         | sym0 AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         | sym AS (SELECT a, b FROM sym0 WHERE a <> b),
+         | l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+         |$steps
+         |SELECT node, label FROM l3""".stripMargin
+    },
+    // entity resolution: neighbor-Jaccard >= 0.5 edges -> recursive
+    // min-label closure -> every KG node with its merge id (itself when
+    // no edge qualifies)
+    "kg_entity_merge" ->
+      s"""WITH RECURSIVE e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM ($kgTriplesSql)),
+         | sym AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         | deg AS (SELECT a AS n, count(*) AS d FROM sym GROUP BY a),
+         | w AS (SELECT x.a AS node_a, y.a AS node_b, count(*) AS inter
+         |       FROM sym x JOIN sym y ON x.b = y.b AND x.a < y.a
+         |       GROUP BY 1, 2),
+         | me0 AS (SELECT node_a, node_b
+         |   FROM w JOIN deg da ON node_a = da.n JOIN deg db ON node_b = db.n
+         |   WHERE inter * 1000 >= 500 * (da.d + db.d - inter)),
+         | msym AS (SELECT node_a AS a, node_b AS b FROM me0
+         |          UNION SELECT node_b, node_a FROM me0),
+         | lp AS (SELECT DISTINCT a AS node, a AS label FROM msym
+         |        UNION
+         |        SELECT s.b AS node, lp.label FROM lp JOIN msym s ON s.a = lp.node),
+         | canon AS (SELECT node, min(label) AS merge_id FROM lp GROUP BY node),
+         | nodes AS (SELECT DISTINCT a AS node FROM sym)
+         |SELECT n.node, coalesce(c.merge_id, n.node) AS merge_id
+         |FROM nodes n LEFT JOIN canon c ON n.node = c.node""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,

@@ -138,6 +138,87 @@ object GraphOps {
         expr("(inter * 1000) div uni").as("jac_permille"))
   }
 
+  /** Multi-source BFS hop distances over an undirected edge list: every
+    * node reachable from `seeds` within `maxHops` hops, labeled with its
+    * MINIMUM hop count. The engine runs the textbook frontier loop — each
+    * round expands only the nodes discovered LAST round and anti-joins
+    * away everything already settled — while the DuckDB oracle unrolls
+    * the naive recurrence dᵢ = min(dᵢ₋₁ ∪ {neighbor+1}) over the WHOLE
+    * settled set each round; the two agree exactly because BFS layers are
+    * exactly the rows the anti-join admits, so the hash match proves the
+    * frontier optimization (the thing that makes hop-k queries affordable
+    * on a billion-edge graph: round r touches O(|frontier_r|·d̄) rows, not
+    * O(|settled|·d̄)) lossless.
+    *
+    * Scale shape: the symmetrized edge table is hash-partitioned on src
+    * once and persisted (the pageRank pattern); each round shuffles only
+    * the frontier (and broadcasts it when small). `localCheckpoint` per
+    * round keeps k rounds at k·O(1) plans. An emptied frontier short-
+    * circuits the remaining rounds — equal to the unrolled oracle, whose
+    * extra rounds are no-ops once nothing new is reachable.
+    *
+    * @param seeds single-column DataFrame `node`; rows absent from the
+    *              edge list are still emitted at dist 0 (a seed is at
+    *              distance 0 from itself regardless of degree).
+    * @return DataFrame(node, dist), dist ∈ [0, maxHops]. */
+  def khopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val sym = symmetrize(edges)
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var settled = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = settled
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = sym.join(frontier, sym("src") === frontier("node"))
+        .select(sym("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      settled = settled.unionByName(frontier)
+    }
+    sym.unpersist()
+    settled
+  }
+
+  /** Fixed-iteration SYNCHRONOUS label propagation (Raghavan, Albert,
+    * Kumara 2007, the deterministic synchronous variant): every node
+    * starts labeled with itself; each round it adopts the label most
+    * frequent among its neighbors, ties broken by the smallest label.
+    * After k rounds the labels are community assignments — unlike
+    * connected components (which merges everything reachable), LPA stops
+    * at density boundaries, so a bridge between two cliques leaves them
+    * in different communities. Fixed iteration count + total tie order
+    * make the result bit-deterministic; the DuckDB oracle runs the same
+    * recurrence with a windowed argmax while the engine uses
+    * `min(struct(-count, label))` — a map-side-combinable aggregation, NO
+    * Window operator (plan-asserted in GraphOpsSpec): at a billion edges
+    * the per-round cost is one count shuffle + one min shuffle, both
+    * partial-aggregated.
+    *
+    * @return DataFrame(node, label) over every non-isolated node. */
+  def labelPropagate(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val sym = symmetrize(edges).filter(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      labels = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(sym("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Fixed-iteration integer PageRank over an undirected edge list.
     *
     * Ranks are longs scaled by `scale` (default parts-per-trillion);

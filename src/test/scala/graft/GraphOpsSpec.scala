@@ -134,6 +134,110 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(cut.keySet == Set(("b", "d"), ("c", "d")))
   }
 
+  private def runKhop(edges: Seq[(String, String)], seeds: Seq[String],
+                      maxHops: Int): Map[String, Int] = {
+    val e = edges.toDF("src", "dst").repartition(3)
+    val s = seeds.toDF("node")
+    GraphOps.khopDistances(e, s, maxHops).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+  }
+
+  test("khopDistances: chain graph — exact hop counts, cutoff at maxHops") {
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"))
+    assert(runKhop(chain, Seq("a"), 3) ==
+      Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+    // maxHops = 0 emits the seeds only
+    assert(runKhop(chain, Seq("c"), 0) == Map("c" -> 0))
+  }
+
+  test("khopDistances: multi-source takes the MIN distance; disconnected " +
+    "nodes and off-graph seeds behave") {
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+    // c is 2 from a but 1 from d: the d-side wins
+    val got = runKhop(g, Seq("a", "d"), 4)
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 0))
+    // a seed absent from the edge list is still emitted at 0 and expands
+    // nowhere; the x-y component stays unreached
+    assert(runKhop(g, Seq("zzz"), 4) == Map("zzz" -> 0))
+  }
+
+  test("khopDistances: frontier loop equals the naive whole-set recurrence " +
+    "on a seeded random graph") {
+    val rnd = new scala.util.Random(20260817L)
+    val nodes = (0 until 16).map(i => f"n$i%02d")
+    val edges = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if rnd.nextDouble() < 0.15
+    } yield (nodes(i), nodes(j))
+    // naive reference: d_i(v) = min(d_{i-1}(v), min over nbrs + 1)
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var ref = Map(nodes.head -> 0)
+    for (h <- 1 to 4) {
+      val grown = ref.toSeq.flatMap { case (n, d) =>
+        (n, d) +: adj.getOrElse(n, Nil).map(_ -> (d + 1))
+      }
+      ref = grown.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    }
+    assert(runKhop(edges, Seq(nodes.head), 4) == ref)
+  }
+
+  /** Plain-Scala synchronous LPA reference: adopt the most frequent
+    * neighbor label, min label on ties — the recurrence the operator and
+    * the DuckDB oracle both run. */
+  private def refLabelProp(edges: Seq[(String, String)], iters: Int)
+      : Map[String, String] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var l = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to iters) {
+      l = adj.map { case (n, nbs) =>
+        val counts = nbs.map(l).groupBy(identity)
+          .map { case (lab, xs) => (lab, xs.size) }
+        n -> counts.minBy { case (lab, c) => (-c, lab) }._1
+      }
+    }
+    l
+  }
+
+  private def runLabelProp(edges: Seq[(String, String)], iters: Int)
+      : Map[String, String] = {
+    val df = edges.toDF("src", "dst").repartition(3)
+    GraphOps.labelPropagate(df, iters).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("labelPropagate: two triangles joined by one bridge settle into two " +
+    "communities; connected components would merge them") {
+    val tri1 = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"))
+    val tri2 = Seq(("b1", "b2"), ("b2", "b3"), ("b1", "b3"))
+    val got = runLabelProp(tri1 ++ tri2 :+ ("a3", "b1"), iters = 3)
+    assert(got == refLabelProp(tri1 ++ tri2 :+ ("a3", "b1"), 3))
+    assert(Set("a1", "a2", "a3").map(got) != Set("b2", "b3").map(got),
+      "the bridge must not merge the two triangles into one label set")
+  }
+
+  test("labelPropagate matches the synchronous reference on a seeded random " +
+    "graph and plans WITHOUT a Window operator") {
+    val rnd = new scala.util.Random(42L)
+    val nodes = (0 until 14).map(i => f"m$i%02d")
+    val edges = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if rnd.nextDouble() < 0.3
+    } yield (nodes(i), nodes(j))
+    assert(runLabelProp(edges, 3) == refLabelProp(edges, 3))
+    val plan = GraphOps.labelPropagate(edges.toDF("src", "dst"), 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"LPA argmax must stay window-free (min(struct)): $plan")
+  }
+
+  test("labelPropagate: iterations=0 returns self-labels; self-loops ignored") {
+    val got = runLabelProp(Seq(("a", "b"), ("a", "a")), 0)
+    assert(got == Map("a" -> "a", "b" -> "b"))
+  }
+
   test("nodeDegrees: distinct-neighbor degree and doc support from the rollup") {
     val rollup = Seq(
       ("a", "p1", "b", 3L), ("a", "p2", "b", 2L), // multi-pred: same pair
