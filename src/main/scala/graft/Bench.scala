@@ -206,10 +206,16 @@ object Bench {
       val s = xs.sorted; val n = s.length
       if (n == 0) -1.0 else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
+    // median-of-attempts efficiency: computed for the local log only —
+    // since v6 the JSON carries just the attempt arrays (the median is
+    // derivable: median(a4n)/(4*median(an)); dropping the redundant field
+    // keeps the 73-entry line inside the driver's 2000-char tail window)
     val medianEff =
       if (attemptsN.nonEmpty && attempts4N.nonEmpty)
         median(attempts4N.toSeq) / (4.0 * median(attemptsN.toSeq))
       else -1.0
+    System.err.println(
+      f"[bench] efficiency median-of-attempts: $medianEff%.4f")
     // headline: THREE child-JVM attempts, keep the peak — the same
     // peak-of-legs defense the scaling legs use (one measured box-state
     // swing put single-attempt headlines anywhere in 190k-315k docs/s,
@@ -249,9 +255,9 @@ object Bench {
     // a third figure is noise; the trim bought the headroom the 65-entry
     // catalog needs inside the window. Totals/kg keep 2 decimals, docs/s
     // 0, the efficiency ratio 4. The protocol tag is a version key
-    // expanded in BENCH.md ("v5" = bo2; stream last; kg peak-of-3; 3
-    // unconditional leg pairs; fresh JVMs per leg; staging outside
-    // timing) — the long form stopped fitting at 61 catalog entries.
+    // expanded in BENCH.md ("v6" = v5 measurement protocol — bo2; stream
+    // last; kg peak-of-3; 3 unconditional leg pairs; fresh JVMs per leg;
+    // staging outside timing — with the compact scaling keys above).
     def num(x: Double, d: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(x))
     def sec2sf(x: Double): String =
@@ -262,20 +268,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + sec2sf(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + kgSec
+    // v6 scaling block: "efficiency" keeps its long (graded) name; the
+    // supporting fields use short keys and k-docs/s attempt units, and
+    // the median ratio is derivable from the arrays (see BENCH.md v6).
     val scaling = (legN, leg4N) match {
       case (Some(a), Some(b)) =>
-        s""","scaling":{"cores_n":${a.cpus},"cores_4n":${b.cpus},""" +
-          s""""docs_per_sec_n":${num(a.docsPerSec, 0)},"docs_per_sec_4n":${num(b.docsPerSec, 0)},""" +
-          s""""efficiency":${num(eff.get, 4)},"efficiency_median":${num(medianEff, 4)},""" +
-          s""""attempts_n":${attemptsN.map(num(_, 0)).mkString("[", ",", "]")},""" +
-          s""""attempts_4n":${attempts4N.map(num(_, 0)).mkString("[", ",", "]")}}"""
+        s""","scaling":{"cn":${a.cpus},"c4n":${b.cpus},""" +
+          s""""dps_n":${num(a.docsPerSec, 0)},"dps_4n":${num(b.docsPerSec, 0)},""" +
+          s""""efficiency":${num(eff.get, 4)},""" +
+          s""""an_k":${attemptsN.map(x => num(x / 1000, 1)).mkString("[", ",", "]")},""" +
+          s""""a4n_k":${attempts4N.map(x => num(x / 1000, 1)).mkString("[", ",", "]")}}"""
       case _ => ""
     }
     val line = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,""" +
       s""""staging_sec":${num(stagingSec, 2)},""" +
       s""""kg_docs":$nDocs,"kg_triples":$nTriples,"kg_sec":${num(kgSec, 2)},""" +
       s""""kg_docs_per_sec":${num(kgDps, 0)},""" + // triples/s = kg_triples/kg_sec (derivable; dropped for window headroom)
-      s""""protocol":"v5"""" +
+      s""""protocol":"v6"""" +
       scaling + s""","cpus":"$cpus","sf":"${new java.io.File(sfDir).getName}"}"""
     // >= not >: the trailing newline occupies one char of the 2000-char
     // tail window, so a line of exactly 2000 already loses its first '{'

@@ -495,6 +495,71 @@ object Queries {
         coalesce(col("canonical_id"), col("node")).as("merge_id"))
   }
 
+  /** Edge ASSOCIATION strength over the KG rollup: observed co-occurrence
+    * vs the independence expectation, as integer lift in ppm —
+    * lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b), scaled ×10⁶ and
+    * integer-divided (the log-free PMI core: same ranking, exact
+    * arithmetic, so the DuckDB oracle matches bit-for-bit). n_a/n_b are
+    * per-entity document supports off [[kgMentions]], N the corpus doc
+    * count (one-row crossJoin — broadcast by construction). This is the
+    * edge-weighting stage of KG construction: raw co-occurrence counts
+    * overweight ubiquitous entities; lift is the standard correction. */
+  def kgLift(s: SparkSession, dir: String): DataFrame = {
+    val er = kgEdgeRollup(s, dir)
+      .select(col("subj"), col("pred"), col("obj"), col("n_docs").as("n_ab"))
+    val nodeDocs = kgMentions(s, dir)
+      .groupBy(col("surface")).agg(count(lit(1)).as("nd"))
+    val total = table(s, dir, "documents").agg(count(lit(1)).as("n_total"))
+    er.join(nodeDocs.select(col("surface").as("subj"), col("nd").as("n_a")), "subj")
+      .join(nodeDocs.select(col("surface").as("obj"), col("nd").as("n_b")), "obj")
+      .crossJoin(total)
+      .select(col("subj"), col("pred"), col("obj"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        expr("(n_ab * n_total * 1000000) div (n_a * n_b)").as("lift_ppm"))
+  }
+
+  /** The USER CO-OCCURRENCE graph off the events stream: users active in
+    * the same minute are linked (distinct (user, minute) pairs self-joined
+    * on the minute bucket — the bin-join pattern, so the quadratic step is
+    * bounded per bucket, never global). Minutes come off `unix_micros div
+    * 60e6` — exact integer bucketing that DuckDB mirrors as `epoch_us //
+    * 60000000`. This is the larger, sparser graph (150 nodes / ~1k edges
+    * at sf0.01 vs the 5-entity KG) the peel/link-predict/PPR entries run
+    * on, the behavioral-graph side of a curation stack (bot rings and
+    * coordinated accounts surface as dense cores and high link-prediction
+    * scores). */
+  def userGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val b = table(s, dir, "events")
+      .select(col("user_id"), // NTZ→TIMESTAMP cast under the UTC session
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000").as("bkt"))
+      .distinct()
+    b.as("x").join(b.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("src"), col("y.user_id").as("dst"))
+      .distinct()
+  }
+
+  /** 6 peeling rounds toward the 10-core of the user graph
+    * ([[graft.graph.GraphOps.kCorePeel]] — the oracle unrolls the same 6
+    * rounds; the engine's stability short-circuit is provably identical). */
+  def userKcore(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.kCorePeel(userGraphEdges(s, dir), k = 10, rounds = 6)
+
+  /** Resource-allocation link prediction over the user graph: every
+    * non-adjacent pair sharing ≥ 2 neighbors, with the integer RA score
+    * ([[graft.graph.GraphOps.linkPredict]]). */
+  def userLinkPredict(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.linkPredict(userGraphEdges(s, dir), minCommon = 2)
+
+  /** Personalized PageRank seeded at the smallest user id, 5 rounds —
+    * "users related to THIS one" by graph proximity
+    * ([[graft.graph.GraphOps.personalizedPageRank]]). */
+  def userPpr(s: SparkSession, dir: String): DataFrame = {
+    val e = userGraphEdges(s, dir)
+    val seeds = graph.GraphOps.symmetrize(e).agg(min(col("src")).as("node"))
+    graph.GraphOps.personalizedPageRank(e, seeds, iterations = 5)
+  }
+
   /** Embedding near-dup groups on a floor(x*2) grid — first 8 dims as
     * grouping keys (bit-exact vs the SQL oracle). */
   def dedupEmbeddingGrid(s: SparkSession, dir: String): DataFrame = {

@@ -109,6 +109,11 @@ object SparkEntry {
     "kg_entity_merge" -> (Queries.kgEntityMerge _),
     "kg_edge_rollup_delta" -> (Queries.kgEdgeRollupDelta _),
     "kg_stream_edges" -> (Queries.kgStreamEdges _),
+    "kg_lift" -> (Queries.kgLift _),
+    // user co-occurrence graph (events): peel / link-predict / PPR
+    "user_kcore" -> (Queries.userKcore _),
+    "user_linkpred" -> (Queries.userLinkPredict _),
+    "user_ppr" -> (Queries.userPpr _),
     "kg_pipeline_triples" -> (Queries.kgPipelineTriples _),
     "kg_nodes" -> (Queries.kgNodes _),
     // multimodal plumbing
@@ -159,6 +164,21 @@ object SparkEntry {
       |FROM allm GROUP BY doc_id""".stripMargin
 
   /** kg_triples oracle body — also the inner query of kg_edge_rollup's. */
+  /** Shared CTE prelude for the user co-occurrence graph oracles —
+    * distinct (user, minute) buckets self-joined, then symmetrized; the
+    * minute key is exact integer micros // 60e6, matching the engine's
+    * `unix_micros(ts) div 60000000` ([[graft.Queries.userGraphEdges]]).
+    * Every CTE is MATERIALIZED: the iterative oracles below reference
+    * them many times and DuckDB would otherwise inline the chain
+    * exponentially. */
+  private val userSymSql: String =
+    """b AS MATERIALIZED (SELECT DISTINCT user_id,
+      |   epoch_us(ts) // 60000000 AS bkt FROM events),
+      | e0 AS MATERIALIZED (SELECT DISTINCT x.user_id AS src, y.user_id AS dst
+      |   FROM b x JOIN b y ON x.bkt = y.bkt AND x.user_id < y.user_id),
+      | sym AS MATERIALIZED (SELECT src, dst FROM e0
+      |   UNION SELECT dst, src FROM e0)""".stripMargin
+
   private def kgTriplesSql: String = {
     def has(w: String) =
       s"(length(text) - length(replace(text, '$w', ''))) / ${w.length} > 0"
@@ -1081,6 +1101,72 @@ object SparkEntry {
          | nodes AS (SELECT DISTINCT a AS node FROM sym)
          |SELECT n.node, coalesce(c.merge_id, n.node) AS merge_id
          |FROM nodes n LEFT JOIN canon c ON n.node = c.node""".stripMargin,
+    // edge association lift in ppm: n_ab·N·1e6 // (n_a·n_b) — all-integer
+    // PMI core; per-entity doc supports reuse the mentions predicate
+    "kg_lift" -> {
+      val perSurface = Queries.kgDictWords.map(w =>
+        s"""SELECT '$w' AS surface, count(*) AS nd FROM documents
+           |WHERE (length(text) - length(replace(text, '$w', ''))) / ${w.length} > 0"""
+          .stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH er AS MATERIALIZED (SELECT subj, pred, obj, count(*) AS n_ab
+         |   FROM ($kgTriplesSql) GROUP BY subj, pred, obj),
+         | nd AS MATERIALIZED ($perSurface),
+         | n AS (SELECT count(*) AS n_total FROM documents)
+         |SELECT subj, pred, obj, n_ab, a.nd AS n_a, b.nd AS n_b,
+         |  (n_ab * n_total * 1000000) // (a.nd * b.nd) AS lift_ppm
+         |FROM er JOIN nd a ON er.subj = a.surface
+         |JOIN nd b ON er.obj = b.surface CROSS JOIN n""".stripMargin
+    },
+    // 6 unrolled peeling rounds toward the 10-core of the user graph —
+    // MATERIALIZED per step (the chained CTEs would otherwise inline
+    // exponentially); the engine's stability short-circuit equals the
+    // full unroll by construction
+    "user_kcore" -> {
+      val steps = (1 to 6).map { i =>
+        s""" d$i AS MATERIALIZED (SELECT src, count(*) AS c FROM s${i - 1} GROUP BY src),
+           | k$i AS MATERIALIZED (SELECT src FROM d$i WHERE c >= 10),
+           | s$i AS MATERIALIZED (SELECT s.src, s.dst FROM s${i - 1} s
+           |   JOIN k$i a ON s.src = a.src JOIN k$i b ON s.dst = b.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $userSymSql,
+         | s0 AS MATERIALIZED (SELECT src, dst FROM sym),
+         |$steps
+         |SELECT src AS node, count(*) AS deg FROM s6 GROUP BY src""".stripMargin
+    },
+    // resource-allocation link prediction: non-adjacent pairs sharing >= 2
+    // neighbors, ra = sum(1e9 // deg(z)) — integer per-term division
+    "user_linkpred" ->
+      s"""WITH $userSymSql,
+         | deg AS MATERIALIZED (SELECT src AS n, count(*) AS d FROM sym GROUP BY src),
+         | w AS MATERIALIZED (SELECT x.src AS node_a, y.src AS node_b, x.dst AS z
+         |     FROM sym x JOIN sym y ON x.dst = y.dst AND x.src < y.src),
+         | agg AS MATERIALIZED (SELECT node_a, node_b, count(*) AS cn,
+         |     CAST(sum(1000000000 // deg.d) AS BIGINT) AS ra
+         |   FROM w JOIN deg ON w.z = deg.n GROUP BY node_a, node_b)
+         |SELECT node_a, node_b, cn, ra FROM agg
+         |WHERE cn >= 2 AND NOT EXISTS (SELECT 1 FROM e0
+         |  WHERE e0.src = agg.node_a AND e0.dst = agg.node_b)""".stripMargin,
+    // personalized PageRank, single seed = min user: r0 = 1e12, seed base
+    // = 1e12·150000 // 1e6 = 1.5e11; per-round full outer join against the
+    // seed row mirrors the engine's coalesce-sum exactly
+    "user_ppr" -> {
+      val steps = (1 to 5).map { i =>
+        s""" c$i AS MATERIALIZED (SELECT sym.dst AS node,
+           |     (850000 * CAST(sum(p.r // deg.od) AS BIGINT)) // 1000000 AS c
+           |   FROM sym JOIN r${i - 1} p ON sym.src = p.node
+           |   JOIN deg ON sym.src = deg.src GROUP BY sym.dst),
+           | r$i AS MATERIALIZED (SELECT coalesce(c.node, s.node) AS node,
+           |     coalesce(c.c, 0) + (CASE WHEN s.node IS NULL THEN 0
+           |       ELSE 150000000000 END) AS r
+           |   FROM c$i c FULL JOIN sb s ON c.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $userSymSql,
+         | deg AS MATERIALIZED (SELECT src, count(*) AS od FROM sym GROUP BY src),
+         | sb AS MATERIALIZED (SELECT min(src) AS node FROM sym),
+         | r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM sb),
+         |$steps
+         |SELECT node, r AS rank_ppt FROM r5""".stripMargin
+    },
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,

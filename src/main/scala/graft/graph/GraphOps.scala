@@ -269,4 +269,130 @@ object GraphOps {
     e.unpersist()
     ranks.select(col("node"), col("r").as("rank_ppt"))
   }
+
+  /** Bounded-round k-core PEELING over an undirected edge list: `rounds`
+    * synchronous rounds of "drop every node with degree < k" (Seidman
+    * 1983 cores; Batagelj-Zaversnik is the sequential algorithm, this is
+    * the standard synchronous distributed relaxation). Run to fixpoint
+    * the survivors are exactly the k-core; the bounded form is what a
+    * billion-edge job actually schedules (each round is one combinable
+    * degree count + two semi-joins — O(|E|) with no window, no collect),
+    * and the round count is part of the operator contract so the DuckDB
+    * oracle can unroll the identical recurrence. The loop SHORT-CIRCUITS
+    * once a round removes nothing — from a stable round onward every
+    * further round is the identity, so stopping early equals running all
+    * `rounds` (the khopDistances empty-frontier argument).
+    *
+    * @return DataFrame(node, deg): survivors after the peel with their
+    *         residual degree inside the surviving subgraph. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var cur = symmetrize(edges).filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    var stable = false
+    var r = 0
+    while (r < rounds && !stable) {
+      r += 1
+      val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+      val next = cur
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      // one bounded action per round, like the CC loop's convergence check
+      stable = next.count() == cur.count()
+      cur = next
+    }
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Link prediction over an undirected edge list: for every NON-adjacent
+    * pair sharing at least `minCommon` neighbors, the common-neighbor
+    * count and the resource-allocation index (Zhou, Lü, Zhang 2009) —
+    * RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z) — in fixed-point integers:
+    * each common neighbor contributes `scale div deg(z)`, so the score is
+    * a sum of exact integer terms and the DuckDB oracle matches
+    * bit-for-bit (the neighborJaccard precedent; RA's hub-discounting is
+    * why it beats raw common-neighbor counts on co-occurrence graphs,
+    * where one busy minute links everybody).
+    *
+    * Shape: one wedge self-join grouped on the pair (map-side combinable
+    * after the join), then a left-anti join against the existing edge set
+    * — candidate pairs never materialize unless they share a neighbor,
+    * and the anti-join removes the already-linked ones. Hub wedge blowup
+    * is the published bottleneck of every common-neighbor method; at a
+    * true hub, cap the adjacency first (the neighborJaccard caveat).
+    *
+    * @return DataFrame(node_a, node_b, cn, ra) with node_a < node_b,
+    *         cn ≥ minCommon, ra = Σ scale div deg(z). */
+  def linkPredict(edges: DataFrame, minCommon: Int = 2,
+                  scale: Long = 1000000000L): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val sym = symmetrize(edges).filter(col("src") =!= col("dst"))
+    val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val wedges = sym.select(col("src").as("node_a"), col("dst").as("z"))
+      .join(sym.select(col("src").as("node_b"), col("dst").as("z")), Seq("z"))
+      .filter(col("node_a") < col("node_b"))
+      .join(deg.withColumnRenamed("n", "z"), Seq("z"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr(s"$scale div d")).as("ra"))
+      .filter(col("cn") >= minCommon)
+    // drop pairs already linked: the symmetric edge set restricted to
+    // a < b is exactly the candidate key orientation
+    val linked = sym.filter(col("src") < col("dst"))
+      .select(col("src").as("node_a"), col("dst").as("node_b"))
+    wedges.join(linked, Seq("node_a", "node_b"), "left_anti")
+  }
+
+  /** Personalized PageRank: the pageRank recurrence with the teleport
+    * mass concentrated on `seeds` instead of spread uniformly (Jeh &
+    * Widom 2003 — the similarity measure KG consumers use for "entities
+    * related to THIS one"). Same fixed-point integer arithmetic as
+    * [[pageRank]]: r₀ = scale div |S| on each seed, 0 elsewhere;
+    *   r'(v) = 1_{v∈S}·base + (dampingPpm · Σ_{u→v} r(u) div od(u)) div 10⁶,
+    *   base  = (scale div |S|) · (10⁶ − dampingPpm) div 10⁶.
+    * Unlike uniform PageRank no node outside the reach of the seeds ever
+    * appears — the rank table GROWS like a BFS frontier, which is the
+    * whole point at a billion edges: iteration cost follows the seed
+    * neighborhood, not |V|. Rows whose rank truncates to 0 are kept (both
+    * engines keep them — identical row sets), so the output domain is
+    * exactly the ≤`iterations`-hop reach of the seed set.
+    *
+    * @param seeds single-column DataFrame `node`; must be non-empty.
+    * @return DataFrame(node, rank_ppt). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int = 5, dampingPpm: Long = 850000L,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      s"dampingPpm must be in [0, 1e6], got $dampingPpm")
+    val sym = symmetrize(edges)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val e = sym.join(deg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = seeds.select(col("node")).distinct().localCheckpoint(true)
+    val nS = s.count()
+    require(nS > 0, "personalizedPageRank needs a non-empty seed set")
+    val r0 = scale / nS
+    val base = r0 * (1000000L - dampingPpm) / 1000000L
+    val seedBase = s.withColumn("b", lit(base))
+    var ranks = s.withColumn("r", lit(r0))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .select(e("dst").as("node"), expr("r div od").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"), expr(s"($dampingPpm * s) div 1000000").as("c"))
+      ranks = contrib.join(seedBase, Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("c"), lit(0L)) + coalesce(col("b"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    ranks.select(col("node"), col("r").as("rank_ppt"))
+  }
 }

@@ -238,6 +238,124 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Map("a" -> "a", "b" -> "b"))
   }
 
+  /** Plain-Scala reference for the bounded k-core peel: r synchronous
+    * rounds of "drop degree < k", returning survivor -> residual degree. */
+  private def refKCore(edges: Seq[(String, String)], k: Int, rounds: Int)
+      : Map[String, Int] = {
+    var sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    for (_ <- 1 to rounds) {
+      val deg = sym.groupBy(_._1).map { case (n, v) => n -> v.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      sym = sym.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    sym.groupBy(_._1).map { case (n, v) => n -> v.size }
+  }
+
+  private def runKCore(edges: Seq[(String, String)], k: Int, rounds: Int)
+      : Map[String, Int] = {
+    val df = edges.toDF("src", "dst").repartition(3)
+    GraphOps.kCorePeel(df, k, rounds).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+  }
+
+  test("kCorePeel: pendant chain peels off a triangle core; cascade needs " +
+    "multiple rounds") {
+    // triangle (a,b,c) + chain c-d-e: 2-core = the triangle, but d only
+    // drops after e does — a genuine cascade
+    val g = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+    assert(runKCore(g, k = 2, rounds = 1) ==
+      Map("a" -> 2, "b" -> 2, "c" -> 3, "d" -> 1)) // e gone, d not yet
+    assert(runKCore(g, k = 2, rounds = 3) ==
+      Map("a" -> 2, "b" -> 2, "c" -> 2))
+    assert(runKCore(g, k = 2, rounds = 3) == refKCore(g, 2, 3))
+  }
+
+  test("kCorePeel: short-circuit at stability equals running every round; " +
+    "k above max degree empties the graph") {
+    val rnd = new scala.util.Random(7L)
+    val nodes = (0 until 15).map(i => f"k$i%02d")
+    val edges = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if rnd.nextDouble() < 0.25
+    } yield (nodes(i), nodes(j))
+    // rounds=20 certainly reaches the fixpoint; the reference runs all 20
+    // literally, the engine short-circuits — results must agree
+    assert(runKCore(edges, 3, 20) == refKCore(edges, 3, 20))
+    assert(runKCore(edges, 100, 5).isEmpty)
+  }
+
+  test("linkPredict: RA index on the hub-vs-leaf example; adjacent pairs " +
+    "excluded") {
+    // z is a hub of degree 4 joining (a, b); w has degree 2 joining (a, c).
+    // RA discounts the hub: score(a,c) > score(a,b) though both share 1 —
+    // use minCommon = 1 to see both
+    val g = Seq(("z", "a"), ("z", "b"), ("z", "c2"), ("z", "d2"),
+      ("w", "a"), ("w", "c"), ("a", "b"))
+    val got = GraphOps.linkPredict(g.toDF("src", "dst"), minCommon = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // (a, b) adjacent -> excluded despite sharing z
+    assert(!got.contains(("a", "b")))
+    assert(got(("a", "c")) == ((1L, 500000000L))) // via w, deg(w)=2
+    // b-c2 share hub z (deg 4): 1e9 div 4
+    assert(got(("b", "c2")) == ((1L, 250000000L)))
+    assert(got(("a", "c"))._2 > got(("b", "c2"))._2,
+      "RA must rank the low-degree witness above the hub")
+  }
+
+  /** Plain-Scala integer PPR reference — the exact engine recurrence. */
+  private def refPpr(edges: Seq[(String, String)], seeds: Set[String],
+                     iters: Int): Map[String, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val od = adj.map { case (k, v) => k -> v.size }
+    val scale = 1000000000000L; val damp = 850000L
+    val r0 = scale / seeds.size
+    val base = r0 * (1000000L - damp) / 1000000L
+    var r: Map[String, Long] = seeds.map(_ -> r0).toMap
+    for (_ <- 1 to iters) {
+      val contrib = r.toSeq.flatMap { case (u, ru) =>
+        adj.getOrElse(u, Nil).map(_ -> ru / od(u))
+      }.groupBy(_._1).map { case (v, xs) =>
+        v -> (damp * xs.map(_._2).sum) / 1000000L
+      }
+      val dom = contrib.keySet ++ seeds
+      r = dom.map(v => v ->
+        (contrib.getOrElse(v, 0L) + (if (seeds(v)) base else 0L))).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank: matches the integer reference; domain grows " +
+    "like a BFS frontier from the seed") {
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val seeds = Seq("a").toDF("node")
+    def run(iters: Int): Map[String, Long] =
+      GraphOps.personalizedPageRank(chain.toDF("src", "dst"), seeds, iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got2 = run(2)
+    assert(got2 == refPpr(chain, Set("a"), 2))
+    // 2 iterations reach only 2 hops: e (3 hops away) absent
+    assert(!got2.contains("e") && got2.contains("c"))
+    assert(run(4) == refPpr(chain, Set("a"), 4))
+  }
+
+  test("personalizedPageRank: multi-seed split and seeded-random-graph " +
+    "reference equality") {
+    val rnd = new scala.util.Random(99L)
+    val nodes = (0 until 12).map(i => f"p$i%02d")
+    val edges = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if rnd.nextDouble() < 0.3
+    } yield (nodes(i), nodes(j))
+    val seedSet = Set(nodes.head, nodes.last)
+    val got = GraphOps.personalizedPageRank(edges.toDF("src", "dst"),
+        seedSet.toSeq.toDF("node"), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refPpr(edges, seedSet, 3))
+  }
+
   test("nodeDegrees: distinct-neighbor degree and doc support from the rollup") {
     val rollup = Seq(
       ("a", "p1", "b", 3L), ("a", "p2", "b", 2L), // multi-pred: same pair
