@@ -539,6 +539,42 @@ object Queries {
       .distinct()
   }
 
+  /** The user graph with EDGE WEIGHTS: co-occurrence strength n_min
+    * (distinct shared minutes) inverted into an integer distance
+    * w = 10⁶ div n_min — frequent co-occurrence ⇒ short edge — emitted in
+    * BOTH directions (the symmetric weighted edge list
+    * [[graft.graph.GraphOps.ssspBounded]] consumes). */
+  def userWeightedEdges(s: SparkSession, dir: String): DataFrame = {
+    val b = table(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000").as("bkt"))
+      .distinct()
+    val wp = b.as("x").join(b.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("src"), col("y.user_id").as("dst"))
+      .agg(count(lit(1)).as("n_min"))
+      .select(col("src"), col("dst"), expr("1000000 div n_min").as("w"))
+    wp.unionByName(
+      wp.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  /** Weighted shortest distances from the smallest user, 4 Bellman-Ford
+    * rounds over the inverse-co-occurrence weights — "closeness" in the
+    * behavioral graph ([[graft.graph.GraphOps.ssspBounded]]: the engine
+    * relaxes only the changed frontier; the oracle unrolls the naive
+    * whole-set recurrence — the khop theorem with weights). */
+  def userSssp(s: SparkSession, dir: String): DataFrame = {
+    val e = userWeightedEdges(s, dir)
+    val seeds = e.agg(min(col("src")).as("node"))
+    graph.GraphOps.ssspBounded(e, seeds, rounds = 4)
+  }
+
+  /** One-row structural summary of the user graph — counts, max degree,
+    * wedges, distinct triangles, global clustering coefficient in exact
+    * ppm ([[graft.graph.GraphOps.graphStats]]). */
+  def userGraphStats(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.graphStats(userGraphEdges(s, dir))
+
   /** 6 peeling rounds toward the 10-core of the user graph
     * ([[graft.graph.GraphOps.kCorePeel]] — the oracle unrolls the same 6
     * rounds; the engine's stability short-circuit is provably identical). */

@@ -114,6 +114,8 @@ object SparkEntry {
     "user_kcore" -> (Queries.userKcore _),
     "user_linkpred" -> (Queries.userLinkPredict _),
     "user_ppr" -> (Queries.userPpr _),
+    "user_sssp" -> (Queries.userSssp _),
+    "user_graph_stats" -> (Queries.userGraphStats _),
     "kg_pipeline_triples" -> (Queries.kgPipelineTriples _),
     "kg_nodes" -> (Queries.kgNodes _),
     // multimodal plumbing
@@ -1167,6 +1169,45 @@ object SparkEntry {
          |$steps
          |SELECT node, r AS rank_ppt FROM r5""".stripMargin
     },
+    // 4 Bellman-Ford rounds from the min user over inverse-co-occurrence
+    // weights — the oracle is the NAIVE whole-set recurrence
+    // d_i(v) = min(d_{i-1}(v), min_u d_{i-1}(u) + w); the engine's
+    // changed-frontier pruning must agree exactly
+    "user_sssp" -> {
+      val steps = (1 to 4).map { i =>
+        s""" d$i AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+           |   SELECT node, d FROM d${i - 1}
+           |   UNION ALL
+           |   SELECT e.dst AS node, p.d + e.w AS d
+           |   FROM d${i - 1} p JOIN syme e ON e.src = p.node) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS MATERIALIZED (SELECT DISTINCT user_id,
+         |   epoch_us(ts) // 60000000 AS bkt FROM events),
+         | wp AS MATERIALIZED (SELECT x.user_id AS src, y.user_id AS dst,
+         |     1000000 // count(*) AS w
+         |   FROM b x JOIN b y ON x.bkt = y.bkt AND x.user_id < y.user_id
+         |   GROUP BY x.user_id, y.user_id),
+         | syme AS MATERIALIZED (SELECT src, dst, w FROM wp
+         |   UNION ALL SELECT dst, src, w FROM wp),
+         | d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS d FROM syme),
+         |$steps
+         |SELECT node, d AS dist FROM d4""".stripMargin
+    },
+    // one-row graph summary; triangles counted the naive a<b<c way (the
+    // engine uses the degree-ordered enumeration — same set)
+    "user_graph_stats" ->
+      s"""WITH $userSymSql,
+         | deg AS MATERIALIZED (SELECT src, count(*) AS d FROM sym GROUP BY src),
+         | tri AS MATERIALIZED (SELECT count(*) AS t FROM e0 x
+         |   JOIN e0 y ON y.src = x.src AND y.dst > x.dst
+         |   JOIN e0 z ON z.src = x.dst AND z.dst = y.dst)
+         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |  (SELECT count(*) FROM e0) AS n_edges,
+         |  (SELECT max(d) FROM deg) AS max_degree,
+         |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         |  (SELECT t FROM tri) AS n_triangles,
+         |  (SELECT t FROM tri) * 3 * 1000000
+         |    // (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS gcc_ppm""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,

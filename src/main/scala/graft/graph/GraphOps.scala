@@ -270,6 +270,79 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank_ppt"))
   }
 
+  /** Bounded-round weighted shortest paths (synchronous Bellman-Ford,
+    * the distributed relaxation): after `rounds` rounds every node holds
+    * the minimum-weight distance from `sources` over paths of ≤ `rounds`
+    * edges. Input columns (src, dst, w) with NON-NEGATIVE long weights;
+    * edges are taken as given (directed) — symmetrize first for the
+    * undirected reading.
+    *
+    * The engine relaxes only the CHANGED frontier each round (nodes whose
+    * distance improved last round) — the khopDistances argument with
+    * weights: a node unchanged since round j already contributed
+    * dist(u)+w(u,v) to every neighbor in round j+1, distances never
+    * increase, so re-relaxing it is a no-op. The DuckDB oracle unrolls
+    * the NAIVE whole-set recurrence
+    *   dᵢ(v) = min(dᵢ₋₁(v), min_u dᵢ₋₁(u) + w(u,v))
+    * and the hash match proves the frontier pruning lossless — at a
+    * billion edges that pruning is the difference between O(|changed|·d̄)
+    * and O(|V|·d̄) per round. Short-circuits when a round improves
+    * nothing (every later round is then the identity).
+    *
+    * @return DataFrame(node, dist) over sources ∪ nodes reached within
+    *         `rounds` hops. */
+  def ssspBounded(wEdges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = wEdges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var r = 0
+    while (r < rounds && !frontier.isEmpty) {
+      r += 1
+      val cand = e.join(frontier, e("src") === frontier("node"))
+        .select(e("dst").as("node"), (col("dist") + col("w")).as("c"))
+        .groupBy(col("node")).agg(min(col("c")).as("c"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(col("dist"), col("c")).as("dist"), // least skips nulls
+          (col("dist").isNull || (col("c").isNotNull &&
+            col("c") < col("dist"))).as("improved"))
+        .localCheckpoint(true)
+      frontier = merged.filter(col("improved"))
+        .select(col("node"), col("dist"))
+      dist = merged.select(col("node"), col("dist"))
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** One-row structural summary of an undirected graph — the sanity
+    * panel a KG build publishes next to its node/edge tables: node and
+    * edge counts, max degree, wedge count Σ d(d−1)/2, distinct triangle
+    * count, and the global clustering coefficient 3·triangles/wedges as
+    * exact ppm (integer cross-multiply — no float division, the engine's
+    * standing rule). Triangles come from the degree-ordered
+    * [[triangleCounts]] (each triangle counted at 3 corners, so the
+    * distinct total is the corner sum div 3). All inputs are combinable
+    * aggregations; the result is one row regardless of |E|. */
+  def graphStats(edges: DataFrame): DataFrame = {
+    val sym = symmetrize(edges).filter(col("src") =!= col("dst"))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_degree"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val edgeCount = sym.filter(col("src") < col("dst"))
+      .agg(count(lit(1)).as("n_edges"))
+    val triTotal = triangleCounts(edges)
+      .agg(expr("sum(n_tri) div 3").as("n_triangles"))
+    degStats.crossJoin(edgeCount).crossJoin(triTotal)
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("n_wedges"), col("n_triangles"),
+        expr("(n_triangles * 3 * 1000000) div n_wedges").as("gcc_ppm"))
+  }
+
   /** Bounded-round k-core PEELING over an undirected edge list: `rounds`
     * synchronous rounds of "drop every node with degree < k" (Seidman
     * 1983 cores; Batagelj-Zaversnik is the sequential algorithm, this is

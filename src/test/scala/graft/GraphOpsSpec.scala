@@ -356,6 +356,66 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == refPpr(edges, seedSet, 3))
   }
 
+  /** Plain-Scala naive Bellman-Ford reference: the whole-set recurrence
+    * the DuckDB oracle unrolls. */
+  private def refSssp(wEdges: Seq[(String, String, Long)], sources: Set[String],
+                      rounds: Int): Map[String, Long] = {
+    var d: Map[String, Long] = sources.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = d.toSeq.flatMap { case (u, du) =>
+        wEdges.filter(_._1 == u).map { case (_, v, w) => v -> (du + w) }
+      }
+      d = (d.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, xs) => n -> xs.map(_._2).min }
+    }
+    d
+  }
+
+  private def runSssp(wEdges: Seq[(String, String, Long)], sources: Seq[String],
+                      rounds: Int): Map[String, Long] = {
+    val e = wEdges.toDF("src", "dst", "w").repartition(3)
+    GraphOps.ssspBounded(e, sources.toDF("node"), rounds).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("ssspBounded: a longer-hop lighter path beats the direct heavy edge " +
+    "once rounds allow it") {
+    // a -10-> c direct, but a -1-> b -1-> c: 1 round sees 10, 2 rounds 2
+    val g = Seq(("a", "c", 10L), ("a", "b", 1L), ("b", "c", 1L))
+    assert(runSssp(g, Seq("a"), 1) == Map("a" -> 0L, "b" -> 1L, "c" -> 10L))
+    assert(runSssp(g, Seq("a"), 2) == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // rounds=0: sources only
+    assert(runSssp(g, Seq("a"), 0) == Map("a" -> 0L))
+  }
+
+  test("ssspBounded: changed-frontier pruning equals the naive whole-set " +
+    "recurrence on a seeded random weighted digraph; short-circuit holds") {
+    val rnd = new scala.util.Random(314L)
+    val nodes = (0 until 14).map(i => f"s$i%02d")
+    val wEdges = for {
+      i <- nodes.indices; j <- nodes.indices
+      if i != j && rnd.nextDouble() < 0.18
+    } yield (nodes(i), nodes(j), (rnd.nextInt(9) + 1).toLong)
+    val seeds = Set(nodes.head)
+    assert(runSssp(wEdges, seeds.toSeq, 4) == refSssp(wEdges, seeds, 4))
+    // far more rounds than the diameter: engine short-circuits at the
+    // fixpoint, the literal reference keeps running — results must agree
+    assert(runSssp(wEdges, seeds.toSeq, 25) == refSssp(wEdges, seeds, 25))
+  }
+
+  test("graphStats: K4 plus a pendant — exact counts and clustering ppm") {
+    val k4 = for {
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield (s"v$i", s"v$j")
+    val g = k4 :+ ("v3", "p")
+    val row = GraphOps.graphStats(g.toDF("src", "dst")).collect().head
+    // 5 nodes, 7 edges; degrees 3,3,3,4,1 -> wedges 3+3+3+6+0 = 15;
+    // K4 holds 4 triangles; gcc = 12/15 = 800000 ppm
+    assert(row.getLong(0) == 5L && row.getLong(1) == 7L)
+    assert(row.getLong(2) == 4L && row.getLong(3) == 15L)
+    assert(row.getLong(4) == 4L && row.getLong(5) == 800000L)
+  }
+
   test("nodeDegrees: distinct-neighbor degree and doc support from the rollup") {
     val rollup = Seq(
       ("a", "p1", "b", 3L), ("a", "p2", "b", 2L), // multi-pred: same pair
