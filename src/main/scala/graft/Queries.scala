@@ -1203,4 +1203,207 @@ object Queries {
       .select(col("doc_id").cast("long").as("doc_id"), col("n_bytes"),
         col("width"), col("height"), col("n_frames"))
   }
+
+  // ------------------------------------ KG schema induction (typed preds)
+
+  /** Typed-predicate lexicon for the schema-induction entries: the relation
+    * LABEL is the co-present verb (reference semantics: the trigger word
+    * becomes the relation type — large_scale_explanation_helper.py's
+    * trigger lexicon generalized from a boolean gate to the predicate
+    * itself). Like [[kgDictWords]], no lexicon word is a substring of any
+    * other testdata-vocabulary word, so replace-counting equals word
+    * counting. */
+  val kgPredWords: Seq[String] = Seq("filter", "group", "merge", "scan", "sort")
+
+  /** Deterministic entity-type assignment for domain/range induction —
+    * the stand-in for the dictionary's tag column (reference: DictEntry
+    * tags like Protein/Complex). */
+  val kgEntityTypes: Map[String, String] = Map(
+    "customer" -> "biz", "part" -> "biz",
+    "vector" -> "data", "column" -> "data", "stream" -> "data")
+
+  private def entityTypeCol(c: Column): Column =
+    kgEntityTypes.tail.foldLeft(
+      when(c === kgEntityTypes.head._1, kgEntityTypes.head._2)) {
+      case (acc, (w, t)) => acc.when(c === w, t)
+    }
+
+  /** TYPED triple extraction: (subj, pred, obj) for each dictionary pair
+    * co-present in a doc, one row PER co-present predicate verb. Same
+    * single-scan shape as [[kgTriplesOf]] — per-word flags in one
+    * projection, then a literal array of C(5,2)·|preds| = 50 struct
+    * branches exploded — so the fan-out costs one FileScan regardless of
+    * lexicon size (PlanSpec-asserted). */
+  def kgTypedTriplesOf(d: DataFrame): DataFrame = {
+    val words = (kgDictWords ++ kgPredWords).distinct
+    val withFlags = words.foldLeft(d.select(col("doc_id"), col("text"))) {
+      (df, wrd) => df.withColumn(s"has_$wrd", wordCount(col("text"), wrd) > 0)
+    }
+    val branches = for {
+      i <- kgDictWords.indices; j <- (i + 1) until kgDictWords.length
+      p <- kgPredWords
+    } yield struct(
+      lit(kgDictWords(i)).as("subj"), lit(p).as("pred"),
+      lit(kgDictWords(j)).as("obj"),
+      (col(s"has_${kgDictWords(i)}") && col(s"has_${kgDictWords(j)}") &&
+        col(s"has_$p")).as("ok"))
+    withFlags
+      .select(col("doc_id"), explode(array(branches: _*)).as("t"))
+      .filter(col("t.ok"))
+      .select(col("doc_id"), col("t.subj").as("subj"),
+        col("t.pred").as("pred"), col("t.obj").as("obj"))
+  }
+
+  def kgTypedTriples(s: SparkSession, dir: String): DataFrame =
+    kgTypedTriplesOf(table(s, dir, "documents"))
+
+  /** PREDICATE SCHEMA INDUCTION over the typed KG — the ontology the
+    * extraction implies, computed instead of assumed: per predicate the
+    * distinct-edge/subject/object counts, integer functionality ratios
+    * (n_subj·1000 div n_edges — 1000 means every subject has exactly one
+    * object under the predicate), and the MODAL domain/range entity type
+    * (window-free argmax: min(struct(-count, type)), the kg_communities
+    * idiom). At corpus scale every aggregate here runs over the distinct
+    * EDGE set — millions of rows — never the raw per-document extraction
+    * stream; the only pass over the big table is the one shared typed
+    * scan. */
+  def kgPredicateStats(s: SparkSession, dir: String): DataFrame =
+    kgPredicateStatsOf(kgTypedTriples(s, dir))
+
+  /** [[kgPredicateStats]] as a transform on any (doc_id, subj, pred, obj)
+    * frame — the spec drives it with hand corpora. */
+  def kgPredicateStatsOf(t: DataFrame): DataFrame = {
+    val e = t.select(col("subj"), col("pred"), col("obj")).distinct()
+      .withColumn("stype", entityTypeCol(col("subj")))
+      .withColumn("otype", entityTypeCol(col("obj")))
+    val base = t.groupBy(col("pred")).agg(
+      count(lit(1)).as("n_triples"),
+      countDistinct(col("doc_id")).as("n_docs"))
+    val edges = e.groupBy(col("pred")).agg(
+      count(lit(1)).as("n_edges"),
+      countDistinct(col("subj")).as("n_subj"),
+      countDistinct(col("obj")).as("n_obj"))
+    def modal(tcol: String, out: String) =
+      e.groupBy(col("pred"), col(tcol)).agg(count(lit(1)).as("c"))
+        .groupBy(col("pred"))
+        .agg(min(struct((-col("c")).as("nc"), col(tcol).as("t"))).as("m"))
+        .select(col("pred"), col("m.t").as(out))
+    base.join(edges, "pred")
+      .join(modal("stype", "domain_type"), "pred")
+      .join(modal("otype", "range_type"), "pred")
+      .select(col("pred"), col("n_triples"), col("n_docs"), col("n_edges"),
+        col("n_subj"), col("n_obj"),
+        expr("(n_subj * 1000) div n_edges").as("functionality_permille"),
+        expr("(n_obj * 1000) div n_edges").as("inv_functionality_permille"),
+        col("domain_type"), col("range_type"))
+  }
+
+  /** META-PATH census over the typed KG: for every predicate pair
+    * (p1, p2), the count of length-2 paths s -p1-> m -p2-> o and the
+    * distinct mid entities carrying them — the schema-level connectivity
+    * KG-embedding and rule-mining systems start from (PRA/AnyBURL path
+    * features). The self-join runs on the DISTINCT edge set keyed by the
+    * mid entity — the rolled-up graph, orders of magnitude below the
+    * extraction stream — and AQE splits a skewed mid (a hub entity) at
+    * runtime. */
+  def kgMetapaths(s: SparkSession, dir: String): DataFrame =
+    kgMetapathsOf(kgTypedTriples(s, dir))
+
+  def kgMetapathsOf(t: DataFrame): DataFrame = {
+    val e = t.select(col("subj"), col("pred"), col("obj")).distinct()
+    val a = e.select(col("pred").as("pred_a"), col("obj").as("mid"),
+      col("subj").as("s"))
+    val b = e.select(col("pred").as("pred_b"), col("subj").as("mid"),
+      col("obj").as("o"))
+    a.join(b, "mid").groupBy(col("pred_a"), col("pred_b"))
+      .agg(count(lit(1)).as("n_paths"), countDistinct(col("mid")).as("n_mid"))
+  }
+
+  /** Support threshold for the SHIPPED KG, in permille of the strongest
+    * same-predicate edge: an edge ships iff n_docs·1000 ≥ keep‰·max(n_docs
+    * over its predicate). KG construction always confidence-filters before
+    * shipping (the reference keeps only positively-predicted pairs —
+    * F6/F7); under the resulting THRESHOLDED closed-world assumption, a
+    * corruption landing on a below-threshold (noise-level) edge is a
+    * genuine negative. 970 splits every predicate's edges at both test
+    * scales. */
+  val kgShipPermille: Int = 970
+
+  /** The SHIPPED edge set: typed rollup filtered to edges within
+    * [[kgShipPermille]] of their predicate's strongest edge. Per-pred max
+    * is a map-side-combinable agg over the rollup (|preds| rows,
+    * broadcast back) — no window, scale-clean at a billion edges. */
+  def kgShippedEdgesOf(t: DataFrame, keepPermille: Int = kgShipPermille): DataFrame = {
+    val roll = t.groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    val pmax = roll.groupBy(col("pred")).agg(max(col("n_docs")).as("pmax"))
+    roll.join(broadcast(pmax), "pred")
+      .filter(col("n_docs") * lit(1000L) >= lit(keepPermille.toLong) * col("pmax"))
+      .select(col("subj"), col("pred"), col("obj"), col("n_docs"),
+        col("first_doc"))
+  }
+
+  /** NEGATIVE SAMPLING for KG-embedding training over the SHIPPED
+    * (support-thresholded, [[kgShippedEdgesOf]]) graph: each shipped edge
+    * yields one corrupted-object candidate picked by a deterministic LCG
+    * over the edge's provenance ints (portable integer arithmetic — the
+    * stratified-sampling coin applied to corruption), then candidates that
+    * collide with a SHIPPED edge are anti-joined away — checked under the
+    * CANONICAL pair orientation (dictionary rank order), because the edge
+    * table stores unordered co-occurrences canonically and a "negative"
+    * that is the flip of a positive is still a positive. Corruptions onto
+    * below-threshold edges survive: under the thresholded closed-world
+    * assumption those pairs are noise, not facts. Per-row arithmetic + one
+    * anti-join co-partitioned on the edge key: at a billion edges this is
+    * a single shuffle, and the candidate set never exceeds the shipped
+    * edge set (1 candidate per edge). */
+  def kgNegatives(s: SparkSession, dir: String): DataFrame =
+    kgNegativesOf(kgTypedTriples(s, dir))
+
+  def kgNegativesOf(t: DataFrame, keepPermille: Int = kgShipPermille): DataFrame = {
+    val shipped = kgShippedEdgesOf(t, keepPermille)
+    val idx = ((col("first_doc") * lit(1103515245L) + col("n_docs") * lit(12345L)
+      + lit(7L)) % lit(2147483647L)) % lit(kgDictWords.length.toLong)
+    val negObj = kgDictWords.zipWithIndex.tail.foldLeft(
+      when(idx === 0, kgDictWords.head)) {
+      case (acc, (w, i)) => acc.when(idx === i, w)
+    }
+    def rank(c: Column): Column =
+      kgDictWords.zipWithIndex.tail.foldLeft(
+        when(c === kgDictWords.head, 0)) {
+        case (acc, (w, i)) => acc.when(c === w, i)
+      }
+    val cand = shipped.withColumn("neg_obj", negObj)
+      .filter(col("neg_obj") =!= col("subj") && col("neg_obj") =!= col("obj"))
+      .withColumn("can_s",
+        when(rank(col("subj")) < rank(col("neg_obj")), col("subj"))
+          .otherwise(col("neg_obj")))
+      .withColumn("can_o",
+        when(rank(col("subj")) < rank(col("neg_obj")), col("neg_obj"))
+          .otherwise(col("subj")))
+    val truth = shipped.select(col("subj").as("can_s"), col("pred"),
+      col("obj").as("can_o"))
+    cand.join(truth, Seq("can_s", "pred", "can_o"), "left_anti")
+      .select(col("subj"), col("pred"), col("obj"), col("neg_obj"))
+  }
+
+  /** N-TRIPLES EXPORT of the KG edge rollup — the RDF sink a constructed
+    * graph ships as (S5's TSV sink in the interchange format downstream
+    * triple stores load): one IRI statement line per edge plus a
+    * provenance statement carrying the supporting-document count as a
+    * typed integer literal. Pure per-row string formatting over the
+    * rollup — zero shuffle beyond the rollup itself; the lexicon is
+    * IRI-safe by construction (lowercase ASCII), documented in lieu of
+    * percent-encoding. */
+  def kgNtriples(s: SparkSession, dir: String): DataFrame =
+    kgEdgeRollup(s, dir).select(
+      col("subj"), col("pred"), col("obj"), col("n_docs"),
+      concat(lit("<urn:graft:e:"), col("subj"),
+        lit("> <urn:graft:p:"), col("pred"),
+        lit("> <urn:graft:e:"), col("obj"), lit("> .")).as("stmt"),
+      concat(lit("<urn:graft:x:"), col("subj"), lit(":"), col("pred"),
+        lit(":"), col("obj"),
+        lit("> <urn:graft:p:n_docs> \""), col("n_docs").cast("string"),
+        lit("\"^^<http://www.w3.org/2001/XMLSchema#integer> ."))
+        .as("prov"))
 }

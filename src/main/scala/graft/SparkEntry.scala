@@ -118,6 +118,12 @@ object SparkEntry {
     "user_graph_stats" -> (Queries.userGraphStats _),
     "kg_pipeline_triples" -> (Queries.kgPipelineTriples _),
     "kg_nodes" -> (Queries.kgNodes _),
+    // KG schema induction over typed predicates + export/negatives
+    "kg_typed_triples" -> (Queries.kgTypedTriples _),
+    "kg_pred_stats" -> (Queries.kgPredicateStats _),
+    "kg_metapaths" -> (Queries.kgMetapaths _),
+    "kg_negatives" -> (Queries.kgNegatives _),
+    "kg_ntriples" -> (Queries.kgNtriples _),
     // multimodal plumbing
     "multimodal_features" -> (Queries.multimodalFeatures _),
   )
@@ -193,6 +199,38 @@ object SparkEntry {
          |FROM documents WHERE ${has(ws(i))} AND ${has(ws(j))} AND $trig""".stripMargin
     branches.mkString("\nUNION ALL\n")
   }
+
+  /** CTE chain ending in `t(doc_id, subj, pred, obj)` — the TYPED triple
+    * extraction ([[graft.Queries.kgTypedTriplesOf]]): one flag CTE over the
+    * documents table (the SQL mirror of the engine's single-scan flag
+    * projection), then the C(5,2)·|preds| branch union reading only the
+    * flags. Shared by the schema-induction oracles. */
+  private def kgTypedCtes: String = {
+    def has(w: String) =
+      s"(length(text) - length(replace(text, '$w', ''))) / ${w.length} > 0"
+    val ws = Queries.kgDictWords
+    val flags = (ws ++ Queries.kgPredWords).distinct
+      .map(w => s"${has(w)} AS has_$w").mkString(",\n    ")
+    val branches = for {
+      i <- ws.indices; j <- (i + 1) until ws.length
+      p <- Queries.kgPredWords
+    } yield s"SELECT doc_id, '${ws(i)}' AS subj, '$p' AS pred, " +
+      s"'${ws(j)}' AS obj FROM tf WHERE has_${ws(i)} AND has_${ws(j)} AND has_$p"
+    s"""tf AS MATERIALIZED (SELECT doc_id,
+       |    $flags FROM documents),
+       | t AS MATERIALIZED (${branches.mkString("\nUNION ALL\n")})""".stripMargin
+  }
+
+  /** `CASE <col> WHEN 'customer' THEN 'biz' ... END` — the SQL mirror of
+    * the engine's entity-type when-chain, generated from the same map. */
+  private def entityTypeSql(c: String): String =
+    s"CASE $c " + Queries.kgDictWords.map(w =>
+      s"WHEN '$w' THEN '${Queries.kgEntityTypes(w)}'").mkString(" ") + " END"
+
+  /** `CASE <col> WHEN 'customer' THEN 0 ... END` — dictionary rank. */
+  private def dictRankSql(c: String): String =
+    s"CASE $c " + Queries.kgDictWords.zipWithIndex.map { case (w, i) =>
+      s"WHEN '$w' THEN $i" }.mkString(" ") + " END"
 
   /** CTE chain ending in `iv(doc_id, start_tok, end_tok, n_grams)` — the
     * repeated-passage interval construction shared by text_dup_passages
@@ -1119,6 +1157,83 @@ object SparkEntry {
          |FROM er JOIN nd a ON er.subj = a.surface
          |JOIN nd b ON er.obj = b.surface CROSS JOIN n""".stripMargin
     },
+    // typed extraction: relation label = co-present predicate verb
+    "kg_typed_triples" ->
+      s"WITH $kgTypedCtes\nSELECT doc_id, subj, pred, obj FROM t",
+    // predicate schema induction: distinct-edge counts, integer
+    // functionality ratios, modal domain/range types (count DESC, type ASC
+    // — the engine's min(struct(-count, type)) total order)
+    "kg_pred_stats" ->
+      s"""WITH $kgTypedCtes,
+         | e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t),
+         | et AS (SELECT pred, ${entityTypeSql("subj")} AS stype,
+         |        ${entityTypeSql("obj")} AS otype FROM e),
+         | base AS (SELECT pred, count(*) AS n_triples,
+         |          count(DISTINCT doc_id) AS n_docs FROM t GROUP BY pred),
+         | ed AS (SELECT pred, count(*) AS n_edges,
+         |        count(DISTINCT subj) AS n_subj,
+         |        count(DISTINCT obj) AS n_obj FROM e GROUP BY pred),
+         | dc AS (SELECT pred, stype, count(*) AS c FROM et GROUP BY 1, 2),
+         | dom AS (SELECT pred, stype AS domain_type FROM dc
+         |   QUALIFY row_number() OVER (
+         |     PARTITION BY pred ORDER BY c DESC, stype) = 1),
+         | rc AS (SELECT pred, otype, count(*) AS c FROM et GROUP BY 1, 2),
+         | rng AS (SELECT pred, otype AS range_type FROM rc
+         |   QUALIFY row_number() OVER (
+         |     PARTITION BY pred ORDER BY c DESC, otype) = 1)
+         |SELECT pred, n_triples, n_docs, n_edges, n_subj, n_obj,
+         |  (n_subj * 1000) // n_edges AS functionality_permille,
+         |  (n_obj * 1000) // n_edges AS inv_functionality_permille,
+         |  domain_type, range_type
+         |FROM base JOIN ed USING (pred) JOIN dom USING (pred)
+         |JOIN rng USING (pred)""".stripMargin,
+    // length-2 meta-path census over the distinct typed edge set
+    "kg_metapaths" ->
+      s"""WITH $kgTypedCtes,
+         | e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t)
+         |SELECT a.pred AS pred_a, b.pred AS pred_b, count(*) AS n_paths,
+         |  count(DISTINCT a.obj) AS n_mid
+         |FROM e a JOIN e b ON a.obj = b.subj GROUP BY 1, 2""".stripMargin,
+    // LCG corrupted-object negatives over the SHIPPED (support-
+    // thresholded) edge set, anti-joined against that same set under the
+    // canonical (dictionary-rank) pair orientation — the thresholded
+    // closed-world assumption (below-threshold edges are noise, so a
+    // corruption landing on one is a genuine negative)
+    "kg_negatives" -> {
+      val idx = "((first_doc * 1103515245 + n_docs * 12345 + 7) " +
+        s"% 2147483647) % ${Queries.kgDictWords.length}"
+      val negCase = "CASE " + Queries.kgDictWords.zipWithIndex.map {
+        case (w, i) => s"WHEN idx = $i THEN '$w'" }.mkString(" ") + " END"
+      s"""WITH $kgTypedCtes,
+         | roll AS MATERIALIZED (SELECT subj, pred, obj, count(*) AS n_docs,
+         |   min(doc_id) AS first_doc FROM t GROUP BY 1, 2, 3),
+         | pm AS (SELECT pred, max(n_docs) AS pmax FROM roll GROUP BY 1),
+         | ship AS MATERIALIZED (SELECT r.* FROM roll r JOIN pm USING (pred)
+         |   WHERE r.n_docs * 1000 >= ${Queries.kgShipPermille} * pm.pmax),
+         | ix AS (SELECT subj, pred, obj, $idx AS idx FROM ship),
+         | cand AS (SELECT subj, pred, obj, $negCase AS neg_obj FROM ix),
+         | canon AS (SELECT subj, pred, obj, neg_obj,
+         |   CASE WHEN ${dictRankSql("subj")} < ${dictRankSql("neg_obj")}
+         |        THEN subj ELSE neg_obj END AS can_s,
+         |   CASE WHEN ${dictRankSql("subj")} < ${dictRankSql("neg_obj")}
+         |        THEN neg_obj ELSE subj END AS can_o
+         |   FROM cand WHERE neg_obj <> subj AND neg_obj <> obj)
+         |SELECT subj, pred, obj, neg_obj FROM canon c
+         |WHERE NOT EXISTS (SELECT 1 FROM ship r
+         |  WHERE r.subj = c.can_s AND r.pred = c.pred AND r.obj = c.can_o)"""
+        .stripMargin
+    },
+    // N-Triples lines: IRI statement + typed-integer provenance literal
+    "kg_ntriples" ->
+      s"""WITH er AS (SELECT subj, pred, obj, count(*) AS n_docs
+         |   FROM ($kgTriplesSql) GROUP BY 1, 2, 3)
+         |SELECT subj, pred, obj, n_docs,
+         |  '<urn:graft:e:' || subj || '> <urn:graft:p:' || pred ||
+         |    '> <urn:graft:e:' || obj || '> .' AS stmt,
+         |  '<urn:graft:x:' || subj || ':' || pred || ':' || obj ||
+         |    '> <urn:graft:p:n_docs> "' || CAST(n_docs AS VARCHAR) ||
+         |    '"^^<http://www.w3.org/2001/XMLSchema#integer> .' AS prov
+         |FROM er""".stripMargin,
     // 6 unrolled peeling rounds toward the 10-core of the user graph —
     // MATERIALIZED per step (the chained CTEs would otherwise inline
     // exponentially); the engine's stability short-circuit equals the

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The typed-predicate schema-induction family: typed extraction,
+  * predicate stats (functionality + modal domain/range), meta-paths,
+  * LCG negative sampling, N-Triples export. Hand-built corpora with
+  * by-hand expected outputs, plus property checks on the driver testdata. */
+class KgSchemaSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("typed extraction: one triple per (pair present, pred present)") {
+    val d = docs(
+      1L -> "customer vector merge",
+      2L -> "customer part stream filter sort",
+      3L -> "customer merge",          // pred, but no entity pair
+      4L -> "vector column",           // pair, but no pred
+      5L -> "big slow query")          // neither
+    val got = Queries.kgTypedTriplesOf(d)
+      .as[(Long, String, String, String)].collect().toSet
+    val expected = Set(
+      (1L, "customer", "merge", "vector"),
+      (2L, "customer", "filter", "part"),
+      (2L, "customer", "sort", "part"),
+      (2L, "customer", "filter", "stream"),
+      (2L, "customer", "sort", "stream"),
+      (2L, "part", "filter", "stream"),
+      (2L, "part", "sort", "stream"))
+    assert(got == expected)
+  }
+
+  test("predicate stats: functionality ratios and modal domain/range") {
+    val d = docs(
+      1L -> "customer vector merge",
+      2L -> "customer column merge",
+      3L -> "customer vector sort",
+      4L -> "vector stream sort")
+    // reuse the catalog query's body over a temp table by calling the
+    // internal pieces: stats are defined over kgTypedTriplesOf
+    val stats = Queries.kgPredicateStatsOf(Queries.kgTypedTriplesOf(d))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val merge = stats("merge")
+    // merge edges: (customer,vector), (customer,column): 1 subj, 2 obj
+    assert(merge.getLong(1) == 2 && merge.getLong(2) == 2) // n_triples, n_docs
+    assert(merge.getLong(3) == 2 && merge.getLong(4) == 1 && merge.getLong(5) == 2)
+    assert(merge.getLong(6) == 500 && merge.getLong(7) == 1000)
+    assert(merge.getString(8) == "biz" && merge.getString(9) == "data")
+    // sort edges: (customer,vector) biz->data, (vector,stream) data->data:
+    // domain tie biz=1/data=1 resolves to the lexicographic min 'biz'
+    val sort = stats("sort")
+    assert(sort.getString(8) == "biz" && sort.getString(9) == "data")
+  }
+
+  test("metapaths: length-2 predicate paths over the distinct edge set") {
+    val d = docs(
+      1L -> "customer vector merge",  // (customer, merge, vector)
+      2L -> "vector stream sort")     // (vector, sort, stream)
+    val got = Queries.kgMetapathsOf(Queries.kgTypedTriplesOf(d))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("merge", "sort", 1L, 1L)))
+  }
+
+  test("catalog metapaths agrees with a naive recount on testdata") {
+    val e = Queries.kgTypedTriples(spark, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val naive = (for {
+      (s1, p1, o1) <- e; (s2, p2, o2) <- e; if o1 == s2
+    } yield (p1, p2, o1)).groupBy(t => (t._1, t._2))
+      .map { case ((p1, p2), xs) =>
+        (p1, p2, xs.length.toLong, xs.map(_._3).distinct.length.toLong) }
+      .toSet
+    val got = Queries.kgMetapaths(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("negatives: never a shipped edge (canonical orientation), no self-corruption") {
+    val neg = Queries.kgNegatives(spark, dir).cache()
+    try {
+      assert(neg.count() > 0)
+      assert(neg.filter(col("neg_obj") === col("subj") ||
+        col("neg_obj") === col("obj")).count() == 0)
+      // canonicalize the corrupted pair by dictionary rank and probe the
+      // SHIPPED edge set (the anti-join truth): must be empty by
+      // construction
+      val rank = Queries.kgDictWords.zipWithIndex.toMap
+      val shipped = Queries.kgShippedEdgesOf(Queries.kgTypedTriples(spark, dir))
+        .collect().map(r => (r.getString(1), r.getString(0), r.getString(2)))
+      val truth = shipped.map { case (p, s, o) => (s, p, o) }.toSet
+      val collisions = neg.collect().filter { r =>
+        val (s, p, n) = (r.getString(0), r.getString(1), r.getString(3))
+        val (cs, co) = if (rank(s) < rank(n)) (s, n) else (n, s)
+        truth.contains((cs, p, co))
+      }
+      assert(collisions.isEmpty, s"negatives collide with truth: ${collisions.take(3).mkString(",")}")
+      // every negative derives from a shipped edge
+      val shippedKeys = truth
+      neg.collect().foreach { r =>
+        assert(shippedKeys.contains((r.getString(0), r.getString(1), r.getString(2))))
+      }
+      // deterministic: a second evaluation is bit-identical
+      val again = Queries.kgNegatives(spark, dir).collect().toSet
+      assert(neg.collect().toSet == again)
+    } finally neg.unpersist()
+  }
+
+  test("shipped edges: support threshold is per-predicate and permille-exact") {
+    // pred 'merge': (customer,vector) in 100 docs, (customer,column) in 1
+    // — at 970‰ of pmax=100 only the strong edge ships; the weak pair is
+    // then a legal corruption target for negatives
+    val rows = (1L to 100L).map(i => i -> "customer vector merge") :+
+      (200L -> "customer column merge")
+    val d = docs(rows: _*)
+    val t = Queries.kgTypedTriplesOf(d)
+    val shipped = Queries.kgShippedEdgesOf(t)
+      .as[(String, String, String, Long, Long)].collect().toSet
+    assert(shipped.map(e => (e._1, e._2, e._3)) ==
+      Set(("customer", "merge", "vector")))
+    val neg = Queries.kgNegativesOf(t)
+      .as[(String, String, String, String)].collect()
+    // the LCG picks deterministically; whatever it picks must not be the
+    // shipped pair or a self/observed corruption — and 'column' IS legal
+    neg.foreach { case (s, p, o, n) =>
+      assert((s, p, o) == ("customer", "merge", "vector") && n != s && n != o)
+    }
+    // boundary: at exactly the threshold the edge still ships
+    // (n_docs*1000 >= keep‰ * pmax with equality)
+    val d2 = docs((1L to 100L).map(i => i -> "customer vector merge") ++
+      (201L to 297L).map(i => i -> "customer column merge"): _*)
+    val s2 = Queries.kgShippedEdgesOf(Queries.kgTypedTriplesOf(d2))
+      .as[(String, String, String, Long, Long)].collect()
+      .map(e => (e._1, e._2, e._3)).toSet
+    assert(s2 == Set(("customer", "merge", "vector"),
+      ("customer", "merge", "column")))
+  }
+
+  test("negatives: the LCG index arithmetic matches a by-hand row") {
+    val d = docs(7L -> "customer vector merge") // single edge, n_docs=1, first_doc=7
+    val roll = Queries.kgTypedTriplesOf(d)
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    val r = roll.head()
+    val idx = (((7L * 1103515245L + 1L * 12345L + 7L) % 2147483647L)
+      % Queries.kgDictWords.length).toInt
+    val expected = Queries.kgDictWords(idx)
+    // engine result for the same single-edge corpus
+    val idxCol = ((col("first_doc") * lit(1103515245L) + col("n_docs") * lit(12345L)
+      + lit(7L)) % lit(2147483647L)) % lit(Queries.kgDictWords.length.toLong)
+    val got = roll.select(idxCol.cast("int").as("i")).head().getInt(0)
+    assert(got == idx, s"LCG index mismatch: engine $got, by-hand $idx")
+    assert(r.getLong(3) == 1L && r.getLong(4) == 7L)
+    assert(Queries.kgDictWords.indices.contains(idx) && expected.nonEmpty)
+  }
+
+  test("ntriples: statement and provenance lines rebuild byte-for-byte") {
+    val rows = Queries.kgNtriples(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, p, o, n) = (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))
+      assert(r.getString(4) == s"<urn:graft:e:$s> <urn:graft:p:$p> <urn:graft:e:$o> .")
+      assert(r.getString(5) ==
+        s"""<urn:graft:x:$s:$p:$o> <urn:graft:p:n_docs> "$n"^^<http://www.w3.org/2001/XMLSchema#integer> .""")
+    }
+  }
+
+  test("pred lexicon words are not substrings of any vocabulary word") {
+    // the replace-counting identity kgTypedTriplesOf relies on (same
+    // contract as kgDictWords, asserted in OperatorsSpec for those)
+    val vocab = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().as[String].collect()
+    for (p <- Queries.kgPredWords; v <- vocab; if v != p)
+      assert(!v.contains(p), s"'$p' is a substring of vocabulary word '$v'")
+  }
+}

@@ -59,7 +59,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("kg_triples / kg_mentions scan the documents table exactly once") {
-    for (q <- Seq("kg_triples", "kg_mentions", "kg_cooccur_pairs")) {
+    for (q <- Seq("kg_triples", "kg_mentions", "kg_cooccur_pairs",
+                  "kg_typed_triples")) {
       val plan = physical(q)
       val scans = "FileScan parquet".r.findAllIn(plan).length
       assert(scans == 1,
