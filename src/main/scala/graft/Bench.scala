@@ -208,8 +208,7 @@ object Bench {
     }
     // median-of-attempts efficiency: computed for the local log only —
     // since v6 the JSON carries just the attempt arrays (the median is
-    // derivable: median(a4n)/(4*median(an)); dropping the redundant field
-    // keeps the 73-entry line inside the driver's 2000-char tail window)
+    // derivable: median(a4n)/(4*median(an)))
     val medianEff =
       if (attemptsN.nonEmpty && attempts4N.nonEmpty)
         median(attempts4N.toSeq) / (4.0 * median(attemptsN.toSeq))
@@ -252,12 +251,12 @@ object Bench {
     // machine-parseable (round 4's full-precision doubles overflowed it).
     // Per-query seconds use TWO SIGNIFICANT FIGURES (0.24 / 3.8 / 21) —
     // the box's documented run-to-run variance is ±10-30% per query, so
-    // a third figure is noise; the trim bought the headroom the 65-entry
-    // catalog needs inside the window. Totals/kg keep 2 decimals, docs/s
-    // 0, the efficiency ratio 4. The protocol tag is a version key
-    // expanded in BENCH.md ("v6" = v5 measurement protocol — bo2; stream
-    // last; kg peak-of-3; 3 unconditional leg pairs; fresh JVMs per leg;
-    // staging outside timing — with the compact scaling keys above).
+    // a third figure is noise. Totals/kg keep 2 decimals, docs/s 0, the
+    // efficiency ratio 4. The protocol tag is a version key expanded in
+    // BENCH.md ("v7" = the v5 measurement protocol — bo2; stream last;
+    // kg peak-of-3; 3 unconditional leg pairs; fresh JVMs per leg;
+    // staging outside timing — with the prefix-grouped queries map and
+    // derivable fields dropped, see the v7 notes below and in BENCH.md).
     def num(x: Double, d: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(x))
     def sec2sf(x: Double): String =
@@ -265,27 +264,52 @@ object Bench {
       else if (x >= 10) num(x, 0)
       else if (x >= 1) num(x, 1)
       else num(x, 2)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec2sf(v) }
-      .mkString("{", ",", "}")
+    // v7 queries map: catalog names GROUPED on their family prefix (the
+    // text before the first '_') whenever >= 2 entries share it —
+    // "kg":{"triples":1.2,...} instead of "kg_triples":1.2,... — still
+    // valid JSON, reconstructed as prefix_rest (BENCH.md carries the flat
+    // table). The 84-entry flat map was ~2180 chars; grouping buys the
+    // ~250 chars that keep the line inside the driver's 2000-char window.
+    val qs = {
+      // (prefix, rest, fullName, sec); a name with no '_' is its own family
+      val parts = results.map { case (k, v) =>
+        val i = k.indexOf('_')
+        if (i < 0) (k, "", k, v) else (k.substring(0, i), k.substring(i + 1), k, v)
+      }
+      val byPrefix = parts.groupBy(_._1)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val out = scala.collection.mutable.Buffer.empty[String]
+      for ((pfx, _, full, v) <- parts; if seen.add(pfx)) {
+        val group = byPrefix(pfx)
+        out +=
+          (if (group.length < 2) "\"" + full + "\":" + sec2sf(v)
+           else "\"" + pfx + "\":" + group.map { case (_, rest, _, s) =>
+             "\"" + rest + "\":" + sec2sf(s) }.mkString("{", ",", "}"))
+      }
+      out.mkString("{", ",", "}")
+    }
     val total = results.map(_._2).filter(_ >= 0).sum + kgSec
-    // v6 scaling block: "efficiency" keeps its long (graded) name; the
-    // supporting fields use short keys and k-docs/s attempt units, and
-    // the median ratio is derivable from the arrays (see BENCH.md v6).
+    // v7 scaling block: "efficiency" keeps its long (graded) name; the
+    // per-configuration peaks are derivable as max(an_k)/max(a4n_k) and
+    // the median ratio as median(a4n_k)/(4·median(an_k)) — only the
+    // attempt arrays ship (integer k-docs/s; see BENCH.md v7).
     val scaling = (legN, leg4N) match {
       case (Some(a), Some(b)) =>
         s""","scaling":{"cn":${a.cpus},"c4n":${b.cpus},""" +
-          s""""dps_n":${num(a.docsPerSec, 0)},"dps_4n":${num(b.docsPerSec, 0)},""" +
           s""""efficiency":${num(eff.get, 4)},""" +
-          s""""an_k":${attemptsN.map(x => num(x / 1000, 1)).mkString("[", ",", "]")},""" +
-          s""""a4n_k":${attempts4N.map(x => num(x / 1000, 1)).mkString("[", ",", "]")}}"""
+          s""""an_k":${attemptsN.map(x => num(x / 1000, 0)).mkString("[", ",", "]")},""" +
+          s""""a4n_k":${attempts4N.map(x => num(x / 1000, 0)).mkString("[", ",", "]")}}"""
       case _ => ""
     }
+    // kg_docs (the 2·leg headline corpus) and kg_triples moved to BENCH.md
+    // in v7 — informational, not graded; docs/s stays (the headline).
     val line = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,""" +
-      s""""staging_sec":${num(stagingSec, 2)},""" +
-      s""""kg_docs":$nDocs,"kg_triples":$nTriples,"kg_sec":${num(kgSec, 2)},""" +
-      s""""kg_docs_per_sec":${num(kgDps, 0)},""" + // triples/s = kg_triples/kg_sec (derivable; dropped for window headroom)
-      s""""protocol":"v6"""" +
+      s""""staging_sec":${num(stagingSec, 2)},"kg_sec":${num(kgSec, 2)},""" +
+      s""""kg_docs_per_sec":${num(kgDps, 0)},""" +
+      s""""protocol":"v7"""" +
       scaling + s""","cpus":"$cpus","sf":"${new java.io.File(sfDir).getName}"}"""
+    System.err.println(s"[bench] kg_docs=$nDocs kg_triples=$nTriples " +
+      s"(v7: BENCH.md fields)")
     // >= not >: the trailing newline occupies one char of the 2000-char
     // tail window, so a line of exactly 2000 already loses its first '{'
     if (line.length >= 2000)

@@ -1387,6 +1387,96 @@ object Queries {
       .select(col("subj"), col("pred"), col("obj"), col("neg_obj"))
   }
 
+  /** HORN RULE MINING over the typed KG (AnyBURL/AMIE-style, closed-world
+    * confidence): for every rule body p_a(x,m) ∧ p_b(m,y) and head
+    * p_h(x,y), the distinct GROUNDING pairs (x,y) the body reaches,
+    * how many of them the head edge closes, and the integer confidence
+    * n_closed·1000 div n_pairs. Because extraction emits edges in
+    * dictionary-rank order (subj < obj), every body grounding satisfies
+    * rank(x) < rank(m) < rank(y), so (x,y) is already canonical and the
+    * head probe is a plain equi-join — no reorientation step. Only rules
+    * with ≥ 1 closed grounding are emitted (an open rule has no head to
+    * name). All joins run on the DISTINCT edge set — the rolled-up graph,
+    * not the extraction stream; the grounding distinct is the same
+    * mid-keyed self-join as [[kgMetapaths]], AQE-splittable on hub mids. */
+  def kgRules(s: SparkSession, dir: String): DataFrame =
+    kgRulesOf(kgTypedTriples(s, dir))
+
+  def kgRulesOf(t: DataFrame): DataFrame = {
+    val e = t.select(col("subj"), col("pred"), col("obj")).distinct()
+    val paths = e.select(col("pred").as("pred_a"), col("subj").as("x"),
+        col("obj").as("mid"))
+      .join(e.select(col("pred").as("pred_b"), col("subj").as("mid"),
+        col("obj").as("y")), "mid")
+      .select(col("pred_a"), col("pred_b"), col("x"), col("y")).distinct()
+    val nPairs = paths.groupBy(col("pred_a"), col("pred_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val closed = paths.join(
+        e.select(col("subj").as("x"), col("pred").as("pred_head"),
+          col("obj").as("y")), Seq("x", "y"))
+      .groupBy(col("pred_a"), col("pred_b"), col("pred_head"))
+      .agg(count(lit(1)).as("n_closed"))
+    closed.join(nPairs, Seq("pred_a", "pred_b"))
+      .select(col("pred_a"), col("pred_b"), col("pred_head"),
+        col("n_pairs"), col("n_closed"),
+        expr("(n_closed * 1000) div n_pairs").as("conf_permille"))
+  }
+
+  /** SCHEMA-VIOLATION AUDIT: distinct typed edges whose subject or object
+    * entity type deviates from the predicate's induced modal domain/range
+    * ([[kgPredicateStatsOf]]) — the KG-quality check run before a graph
+    * ships (type-constraint validation, the consumer of schema induction).
+    * The |preds|-row stats table broadcasts; the audit is one per-row
+    * filter over the edge set. Emits only violating edges, with integer
+    * flags for which side deviates. */
+  def kgSchemaViolations(s: SparkSession, dir: String): DataFrame =
+    kgSchemaViolationsOf(kgTypedTriples(s, dir))
+
+  def kgSchemaViolationsOf(t: DataFrame): DataFrame = {
+    val stats = kgPredicateStatsOf(t)
+      .select(col("pred"), col("domain_type"), col("range_type"))
+    t.select(col("subj"), col("pred"), col("obj")).distinct()
+      .withColumn("stype", entityTypeCol(col("subj")))
+      .withColumn("otype", entityTypeCol(col("obj")))
+      .join(broadcast(stats), "pred")
+      .filter(col("stype") =!= col("domain_type") ||
+        col("otype") =!= col("range_type"))
+      .select(col("subj"), col("pred"), col("obj"), col("stype"),
+        col("otype"), col("domain_type"), col("range_type"),
+        (col("stype") =!= col("domain_type")).cast("int").as("domain_viol"),
+        (col("otype") =!= col("range_type")).cast("int").as("range_viol"))
+  }
+
+  /** EDGE-LEVEL SNAPSHOT DIFF: the audit report between two corpus
+    * snapshots — which KG edges appeared, vanished, or changed support.
+    * The halves (doc_id parity) stand in for two snapshot corpora; a
+    * production deployment diffs two STORED rollup versions
+    * ([[graft.sources.KgRollupStore]]) so neither corpus is re-extracted
+    * — the diff itself is this full-outer join on the edge key, a single
+    * co-partitioned shuffle over the two million-edge tables (never the
+    * extraction streams). Support counts null-coalesce to 0 so
+    * added/removed edges carry exact deltas. */
+  def kgEdgeDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    def rollup(half: DataFrame) = kgTriplesOf(half)
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(count(lit(1)).as("n_docs"))
+    val old = rollup(d.filter(col("doc_id") % 2 === 0))
+      .withColumnRenamed("n_docs", "n_docs_old")
+    val nw = rollup(d.filter(col("doc_id") % 2 === 1))
+      .withColumnRenamed("n_docs", "n_docs_new")
+    old.join(nw, Seq("subj", "pred", "obj"), "full_outer")
+      .select(col("subj"), col("pred"), col("obj"),
+        coalesce(col("n_docs_old"), lit(0L)).as("n_docs_old"),
+        coalesce(col("n_docs_new"), lit(0L)).as("n_docs_new"))
+      .withColumn("delta", col("n_docs_new") - col("n_docs_old"))
+      .withColumn("status",
+        when(col("n_docs_old") === 0, "added")
+          .when(col("n_docs_new") === 0, "removed")
+          .when(col("delta") =!= 0, "changed")
+          .otherwise("same"))
+  }
+
   /** N-TRIPLES EXPORT of the KG edge rollup — the RDF sink a constructed
     * graph ships as (S5's TSV sink in the interchange format downstream
     * triple stores load): one IRI statement line per edge plus a

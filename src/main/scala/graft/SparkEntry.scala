@@ -124,6 +124,9 @@ object SparkEntry {
     "kg_metapaths" -> (Queries.kgMetapaths _),
     "kg_negatives" -> (Queries.kgNegatives _),
     "kg_ntriples" -> (Queries.kgNtriples _),
+    "kg_rules" -> (Queries.kgRules _),
+    "kg_schema_viol" -> (Queries.kgSchemaViolations _),
+    "kg_edge_diff" -> (Queries.kgEdgeDiff _),
     // multimodal plumbing
     "multimodal_features" -> (Queries.multimodalFeatures _),
   )
@@ -1223,6 +1226,60 @@ object SparkEntry {
          |  WHERE r.subj = c.can_s AND r.pred = c.pred AND r.obj = c.can_o)"""
         .stripMargin
     },
+    // Horn rule mining: distinct body groundings, head closures, integer
+    // CWA confidence — (x,y) is already canonical because extraction
+    // orders edges by dictionary rank, so the head probe is an equi-join
+    "kg_rules" ->
+      s"""WITH $kgTypedCtes,
+         | e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t),
+         | paths AS MATERIALIZED (SELECT DISTINCT a.pred AS pred_a,
+         |   b.pred AS pred_b, a.subj AS x, b.obj AS y
+         |   FROM e a JOIN e b ON a.obj = b.subj),
+         | np AS (SELECT pred_a, pred_b, count(*) AS n_pairs FROM paths
+         |   GROUP BY 1, 2),
+         | cl AS (SELECT p.pred_a, p.pred_b, h.pred AS pred_head,
+         |   count(*) AS n_closed
+         |   FROM paths p JOIN e h ON h.subj = p.x AND h.obj = p.y
+         |   GROUP BY 1, 2, 3)
+         |SELECT pred_a, pred_b, pred_head, n_pairs, n_closed,
+         |  (n_closed * 1000) // n_pairs AS conf_permille
+         |FROM cl JOIN np USING (pred_a, pred_b)""".stripMargin,
+    // schema-violation audit: edges deviating from the induced modal
+    // domain/range (same dom/rng CTEs as kg_pred_stats)
+    "kg_schema_viol" ->
+      s"""WITH $kgTypedCtes,
+         | e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t),
+         | et AS MATERIALIZED (SELECT subj, pred, obj,
+         |   ${entityTypeSql("subj")} AS stype,
+         |   ${entityTypeSql("obj")} AS otype FROM e),
+         | dc AS (SELECT pred, stype, count(*) AS c FROM et GROUP BY 1, 2),
+         | dom AS (SELECT pred, stype AS domain_type FROM dc
+         |   QUALIFY row_number() OVER (
+         |     PARTITION BY pred ORDER BY c DESC, stype) = 1),
+         | rc AS (SELECT pred, otype, count(*) AS c FROM et GROUP BY 1, 2),
+         | rng AS (SELECT pred, otype AS range_type FROM rc
+         |   QUALIFY row_number() OVER (
+         |     PARTITION BY pred ORDER BY c DESC, otype) = 1)
+         |SELECT subj, pred, obj, stype, otype, domain_type, range_type,
+         |  CASE WHEN stype <> domain_type THEN 1 ELSE 0 END AS domain_viol,
+         |  CASE WHEN otype <> range_type THEN 1 ELSE 0 END AS range_viol
+         |FROM et JOIN dom USING (pred) JOIN rng USING (pred)
+         |WHERE stype <> domain_type OR otype <> range_type""".stripMargin,
+    // edge-level snapshot diff between the doc-parity halves: full-outer
+    // on the edge key, support coalesced to 0, added/removed/changed/same
+    "kg_edge_diff" ->
+      s"""WITH tr AS MATERIALIZED ($kgTriplesSql),
+         | o AS MATERIALIZED (SELECT subj, pred, obj, count(*) AS n FROM tr
+         |   WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+         | nn AS MATERIALIZED (SELECT subj, pred, obj, count(*) AS n FROM tr
+         |   WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3)
+         |SELECT subj, pred, obj,
+         |  coalesce(o.n, 0) AS n_docs_old, coalesce(nn.n, 0) AS n_docs_new,
+         |  coalesce(nn.n, 0) - coalesce(o.n, 0) AS delta,
+         |  CASE WHEN coalesce(o.n, 0) = 0 THEN 'added'
+         |       WHEN coalesce(nn.n, 0) = 0 THEN 'removed'
+         |       WHEN nn.n <> o.n THEN 'changed' ELSE 'same' END AS status
+         |FROM o FULL JOIN nn USING (subj, pred, obj)""".stripMargin,
     // N-Triples lines: IRI statement + typed-integer provenance literal
     "kg_ntriples" ->
       s"""WITH er AS (SELECT subj, pred, obj, count(*) AS n_docs

@@ -171,6 +171,86 @@ class KgSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("rules: closed-world confidence on a hand-built grounding") {
+    // body filter(x,m) ∧ filter(m,y) has ONE grounding (customer,vector)
+    // via mid=part; head group(customer,vector) closes it → conf 1000‰
+    val d = docs(
+      1L -> "customer part filter",
+      2L -> "part vector filter",
+      3L -> "customer vector group")
+    val got = Queries.kgRulesOf(Queries.kgTypedTriplesOf(d))
+      .as[(String, String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("filter", "filter", "group", 1L, 1L, 1000L)))
+    // drop the head edge: the body still grounds but nothing closes it —
+    // open rules are not emitted
+    val open = Queries.kgRulesOf(Queries.kgTypedTriplesOf(
+      docs(1L -> "customer part filter", 2L -> "part vector filter")))
+    assert(open.count() == 0)
+  }
+
+  test("rules: catalog entry agrees with a naive recount on testdata") {
+    val e = Queries.kgTypedTriples(spark, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val paths: Seq[(String, String, String, String)] = (for {
+      (x, p1, m1) <- e.toSeq; (m2, p2, y) <- e.toSeq; if m1 == m2
+    } yield (p1, p2, x, y)).distinct
+    val nPairs: Map[(String, String), Int] =
+      paths.groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.length }
+    val heads: Map[(String, String), Seq[String]] =
+      e.toSeq.map(t => (t._1, t._3) -> t._2).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2) }
+    val closures: Seq[(String, String, String)] =
+      paths.flatMap { case (p1, p2, x, y) =>
+        heads.getOrElse((x, y), Seq.empty[String]).map(ph => (p1, p2, ph))
+      }
+    val naive = closures.groupBy(c => c).map { case ((p1, p2, ph), v) =>
+      val np = nPairs((p1, p2)).toLong
+      (p1, p2, ph, np, v.length.toLong, v.length.toLong * 1000L / np)
+    }.toSet
+    val got = Queries.kgRules(spark, dir)
+      .as[(String, String, String, Long, Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("schema violations: only deviating edges, correct side flags") {
+    // merge edges: (customer,vector), (vector,stream) — domain tie
+    // biz=1/data=1 → 'biz' (lexicographic min), range 'data'; the
+    // data-subject edge violates the domain only
+    val d = docs(
+      1L -> "customer vector merge",
+      2L -> "vector stream merge")
+    val got = Queries.kgSchemaViolationsOf(Queries.kgTypedTriplesOf(d))
+      .as[(String, String, String, String, String, String, String, Int, Int)]
+      .collect().toSet
+    assert(got == Set(
+      ("vector", "merge", "stream", "data", "data", "biz", "data", 1, 0)))
+    // the stats join must broadcast (|preds| rows)
+    val plan = Queries.kgSchemaViolations(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+  }
+
+  test("edge diff: equals a naive recount over the parity halves") {
+    val tr = Queries.kgTriplesOf(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id"), col("subj"), col("pred"), col("obj")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def roll(par: Long) = tr.filter(_._1 % 2 == par)
+      .groupBy(t => (t._2, t._3, t._4)).map { case (k, v) => k -> v.length.toLong }
+    val (o, n) = (roll(0), roll(1))
+    val naive = (o.keySet ++ n.keySet).map { k =>
+      val (no, nn) = (o.getOrElse(k, 0L), n.getOrElse(k, 0L))
+      val status =
+        if (no == 0) "added" else if (nn == 0) "removed"
+        else if (no != nn) "changed" else "same"
+      (k._1, k._2, k._3, no, nn, nn - no, status)
+    }
+    val got = Queries.kgEdgeDiff(spark, dir)
+      .as[(String, String, String, Long, Long, Long, String)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("pred lexicon words are not substrings of any vocabulary word") {
     // the replace-counting identity kgTypedTriplesOf relies on (same
     // contract as kgDictWords, asserted in OperatorsSpec for those)
