@@ -1387,6 +1387,28 @@ object Queries {
       .select(col("subj"), col("pred"), col("obj"), col("neg_obj"))
   }
 
+  /** BOUNDED PROVENANCE: k deterministic exemplar supporting documents
+    * per KG edge — `first_doc` generalized to a k-row audit slice (the
+    * spot-check sample a KG reviewer pulls per edge). A per-edge
+    * `collect_list(doc_id)` would be unbounded on hub edges; instead this
+    * reuses the exact-k machinery ([[graft.operators.Sampling.stratifiedExactK]]
+    * with the edge as the stratum): per-edge hash thresholds prefilter to
+    * O(k) survivors, the completeness check reruns only provably-short
+    * edges, and the ranking window never sees a hot edge's full document
+    * stream. The pipe join key is injective — the lexicon is pipe-free
+    * lowercase ASCII. */
+  def kgProvenance(s: SparkSession, dir: String): DataFrame = {
+    val keyed = kgTriples(s, dir)
+      .withColumn("edge", concat_ws("|", col("subj"), col("pred"), col("obj")))
+    val sampled = operators.Sampling.stratifiedExactK(
+      keyed, col("doc_id"), col("edge"), k = 3)
+    sampled.select(
+      split(col("stratum"), "\\|").getItem(0).as("subj"),
+      split(col("stratum"), "\\|").getItem(1).as("pred"),
+      split(col("stratum"), "\\|").getItem(2).as("obj"),
+      col("doc_id"), col("rn"))
+  }
+
   /** HORN RULE MINING over the typed KG (AnyBURL/AMIE-style, closed-world
     * confidence): for every rule body p_a(x,m) ∧ p_b(m,y) and head
     * p_h(x,y), the distinct GROUNDING pairs (x,y) the body reaches,

@@ -124,6 +124,7 @@ object SparkEntry {
     "kg_metapaths" -> (Queries.kgMetapaths _),
     "kg_negatives" -> (Queries.kgNegatives _),
     "kg_ntriples" -> (Queries.kgNtriples _),
+    "kg_provenance" -> (Queries.kgProvenance _),
     "kg_rules" -> (Queries.kgRules _),
     "kg_schema_viol" -> (Queries.kgSchemaViolations _),
     "kg_edge_diff" -> (Queries.kgEdgeDiff _),
@@ -1225,6 +1226,18 @@ object SparkEntry {
          |WHERE NOT EXISTS (SELECT 1 FROM ship r
          |  WHERE r.subj = c.can_s AND r.pred = c.pred AND r.obj = c.can_o)"""
         .stripMargin
+    },
+    // bounded per-edge provenance: the k=3 exemplar docs per edge, plain
+    // ROW_NUMBER form — proves the O(k) pre-thinned plan exact
+    "kg_provenance" -> {
+      import graft.operators.Dedup.{HashA, HashB}
+      s"""WITH tr AS MATERIALIZED ($kgTriplesSql)
+         |SELECT subj, pred, obj, doc_id, rn FROM (
+         |  SELECT subj, pred, obj, doc_id,
+         |    row_number() OVER (PARTITION BY subj, pred, obj
+         |      ORDER BY (${HashA(3)}*doc_id + ${HashB(3)}) % $P, doc_id) AS rn
+         |  FROM tr)
+         |WHERE rn <= 3""".stripMargin
     },
     // Horn rule mining: distinct body groundings, head closures, integer
     // CWA confidence — (x,y) is already canonical because extraction

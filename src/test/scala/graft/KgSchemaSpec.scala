@@ -251,6 +251,22 @@ class KgSchemaSpec extends AnyFunSuite {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("provenance: exactly min(3, n_docs) exemplar docs per edge, hash-ranked") {
+    import graft.operators.Dedup.{HashA, HashB, HashP}
+    val tr = Queries.kgTriples(spark, dir)
+      .select(col("doc_id"), col("subj"), col("pred"), col("obj")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val naive = tr.groupBy(t => (t._2, t._3, t._4)).toSeq.flatMap { case (k, v) =>
+      v.map(_._1).distinct.toSeq
+        .sortBy(d => ((HashA(3) * d + HashB(3)) % HashP, d))
+        .take(3).zipWithIndex
+        .map { case (d, i) => (k._1, k._2, k._3, d, i.toLong + 1L) }
+    }.toSet
+    val got = Queries.kgProvenance(spark, dir)
+      .as[(String, String, String, Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("pred lexicon words are not substrings of any vocabulary word") {
     // the replace-counting identity kgTypedTriplesOf relies on (same
     // contract as kgDictWords, asserted in OperatorsSpec for those)
