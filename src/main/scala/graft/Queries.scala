@@ -399,8 +399,14 @@ object Queries {
     * over the triple key; at corpus scale this is where a billion
     * extraction rows become the million-edge graph that ships. */
   def kgEdgeRollup(s: SparkSession, dir: String): DataFrame =
-    kgTriples(s, dir)
-      .groupBy(col("subj"), col("pred"), col("obj"))
+    kgRollupOf(kgTriples(s, dir))
+
+  /** The ONE rollup shape every KG consumer shares — (subj, pred, obj) →
+    * (n_docs, first_doc) — factored so a future change to the rollup key
+    * or tiebreak lands everywhere at once (edge rollup, delta merge,
+    * shipped-edge threshold, snapshot diff). */
+  def kgRollupOf(t: DataFrame): DataFrame =
+    t.groupBy(col("subj"), col("pred"), col("obj"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
 
   /** Per-entity structural rollup of the KG edge table: undirected degree
@@ -1106,11 +1112,8 @@ object Queries {
     * rollup store would be laid out on. */
   def kgEdgeRollupDelta(s: SparkSession, dir: String): DataFrame = {
     val t = kgTriples(s, dir)
-    def roll(part: DataFrame) = part
-      .groupBy(col("subj"), col("pred"), col("obj"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
-    val oldRollup = roll(t.filter(col("doc_id") % 4 =!= 3))
-    val delta = roll(t.filter(col("doc_id") % 4 === 3))
+    val oldRollup = kgRollupOf(t.filter(col("doc_id") % 4 =!= 3))
+    val delta = kgRollupOf(t.filter(col("doc_id") % 4 === 3))
     oldRollup.as("o").join(delta.as("n"), Seq("subj", "pred", "obj"), "full_outer")
       .select(col("subj"), col("pred"), col("obj"),
         (coalesce(col("o.n_docs"), lit(0L))
@@ -1265,17 +1268,36 @@ object Queries {
     * (window-free argmax: min(struct(-count, type)), the kg_communities
     * idiom). At corpus scale every aggregate here runs over the distinct
     * EDGE set — millions of rows — never the raw per-document extraction
-    * stream; the only pass over the big table is the one shared typed
-    * scan. */
+    * stream. Passes over the extraction: exactly TWO — one doc-level
+    * scan for `base` (distinct docs per pred is not derivable from the
+    * edge rollup) and one to build the distinct edge set, which is
+    * localCheckpoint-ed (the curation-pipeline multi-consumer idiom)
+    * because THREE aggregations read it. */
   def kgPredicateStats(s: SparkSession, dir: String): DataFrame =
     kgPredicateStatsOf(kgTypedTriples(s, dir))
+
+  /** Modal (most frequent, min-type ties) entity type per predicate over
+    * a typed edge frame — the window-free argmax shared by schema
+    * induction and the violation audit, factored so the two cannot
+    * drift. */
+  private def modalTypeOf(e: DataFrame, tcol: String, out: String): DataFrame =
+    e.groupBy(col("pred"), col(tcol)).agg(count(lit(1)).as("c"))
+      .groupBy(col("pred"))
+      .agg(min(struct((-col("c")).as("nc"), col(tcol).as("t"))).as("m"))
+      .select(col("pred"), col("m.t").as(out))
+
+  /** The typed distinct edge set with entity types, checkpointed once for
+    * its multiple aggregation consumers. */
+  private def typedEdgeSetOf(t: DataFrame): DataFrame =
+    t.select(col("subj"), col("pred"), col("obj")).distinct()
+      .withColumn("stype", entityTypeCol(col("subj")))
+      .withColumn("otype", entityTypeCol(col("obj")))
+      .localCheckpoint()
 
   /** [[kgPredicateStats]] as a transform on any (doc_id, subj, pred, obj)
     * frame — the spec drives it with hand corpora. */
   def kgPredicateStatsOf(t: DataFrame): DataFrame = {
-    val e = t.select(col("subj"), col("pred"), col("obj")).distinct()
-      .withColumn("stype", entityTypeCol(col("subj")))
-      .withColumn("otype", entityTypeCol(col("obj")))
+    val e = typedEdgeSetOf(t)
     val base = t.groupBy(col("pred")).agg(
       count(lit(1)).as("n_triples"),
       countDistinct(col("doc_id")).as("n_docs"))
@@ -1283,14 +1305,9 @@ object Queries {
       count(lit(1)).as("n_edges"),
       countDistinct(col("subj")).as("n_subj"),
       countDistinct(col("obj")).as("n_obj"))
-    def modal(tcol: String, out: String) =
-      e.groupBy(col("pred"), col(tcol)).agg(count(lit(1)).as("c"))
-        .groupBy(col("pred"))
-        .agg(min(struct((-col("c")).as("nc"), col(tcol).as("t"))).as("m"))
-        .select(col("pred"), col("m.t").as(out))
     base.join(edges, "pred")
-      .join(modal("stype", "domain_type"), "pred")
-      .join(modal("otype", "range_type"), "pred")
+      .join(modalTypeOf(e, "stype", "domain_type"), "pred")
+      .join(modalTypeOf(e, "otype", "range_type"), "pred")
       .select(col("pred"), col("n_triples"), col("n_docs"), col("n_edges"),
         col("n_subj"), col("n_obj"),
         expr("(n_subj * 1000) div n_edges").as("functionality_permille"),
@@ -1334,8 +1351,9 @@ object Queries {
     * is a map-side-combinable agg over the rollup (|preds| rows,
     * broadcast back) — no window, scale-clean at a billion edges. */
   def kgShippedEdgesOf(t: DataFrame, keepPermille: Int = kgShipPermille): DataFrame = {
-    val roll = t.groupBy(col("subj"), col("pred"), col("obj"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    // the rollup feeds both the per-pred max and the threshold filter —
+    // checkpoint it once (at scale: a million-edge table, not the stream)
+    val roll = kgRollupOf(t).localCheckpoint()
     val pmax = roll.groupBy(col("pred")).agg(max(col("n_docs")).as("pmax"))
     roll.join(broadcast(pmax), "pred")
       .filter(col("n_docs") * lit(1000L) >= lit(keepPermille.toLong) * col("pmax"))
@@ -1361,7 +1379,10 @@ object Queries {
     kgNegativesOf(kgTypedTriples(s, dir))
 
   def kgNegativesOf(t: DataFrame, keepPermille: Int = kgShipPermille): DataFrame = {
-    val shipped = kgShippedEdgesOf(t, keepPermille)
+    // candidate side AND anti-join truth side both read the shipped set —
+    // checkpoint it once so the extraction → rollup → threshold pipeline
+    // runs once, not twice
+    val shipped = kgShippedEdgesOf(t, keepPermille).localCheckpoint()
     val idx = ((col("first_doc") * lit(1103515245L) + col("n_docs") * lit(12345L)
       + lit(7L)) % lit(2147483647L)) % lit(kgDictWords.length.toLong)
     val negObj = kgDictWords.zipWithIndex.tail.foldLeft(
@@ -1455,12 +1476,14 @@ object Queries {
     kgSchemaViolationsOf(kgTypedTriples(s, dir))
 
   def kgSchemaViolationsOf(t: DataFrame): DataFrame = {
-    val stats = kgPredicateStatsOf(t)
-      .select(col("pred"), col("domain_type"), col("range_type"))
-    t.select(col("subj"), col("pred"), col("obj")).distinct()
-      .withColumn("stype", entityTypeCol(col("subj")))
-      .withColumn("otype", entityTypeCol(col("obj")))
-      .join(broadcast(stats), "pred")
+    // ONE extraction scan: the checkpointed typed edge set feeds both the
+    // modal-type induction and the audit filter ([[modalTypeOf]] is the
+    // same argmax kgPredicateStatsOf uses, so the two cannot drift;
+    // the full stats rollup is not needed here — only domain/range)
+    val et = typedEdgeSetOf(t)
+    val stats = modalTypeOf(et, "stype", "domain_type")
+      .join(modalTypeOf(et, "otype", "range_type"), "pred")
+    et.join(broadcast(stats), "pred")
       .filter(col("stype") =!= col("domain_type") ||
         col("otype") =!= col("range_type"))
       .select(col("subj"), col("pred"), col("obj"), col("stype"),
@@ -1480,9 +1503,8 @@ object Queries {
     * added/removed edges carry exact deltas. */
   def kgEdgeDiff(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents")
-    def rollup(half: DataFrame) = kgTriplesOf(half)
-      .groupBy(col("subj"), col("pred"), col("obj"))
-      .agg(count(lit(1)).as("n_docs"))
+    def rollup(half: DataFrame) = kgRollupOf(kgTriplesOf(half))
+      .select(col("subj"), col("pred"), col("obj"), col("n_docs"))
     val old = rollup(d.filter(col("doc_id") % 2 === 0))
       .withColumnRenamed("n_docs", "n_docs_old")
     val nw = rollup(d.filter(col("doc_id") % 2 === 1))

@@ -1170,7 +1170,7 @@ object SparkEntry {
     "kg_pred_stats" ->
       s"""WITH $kgTypedCtes,
          | e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t),
-         | et AS (SELECT pred, ${entityTypeSql("subj")} AS stype,
+         | et AS MATERIALIZED (SELECT pred, ${entityTypeSql("subj")} AS stype,
          |        ${entityTypeSql("obj")} AS otype FROM e),
          | base AS (SELECT pred, count(*) AS n_triples,
          |          count(DISTINCT doc_id) AS n_docs FROM t GROUP BY pred),

@@ -124,13 +124,16 @@ class KgSchemaSpec extends AnyFunSuite {
       .as[(String, String, String, Long, Long)].collect().toSet
     assert(shipped.map(e => (e._1, e._2, e._3)) ==
       Set(("customer", "merge", "vector")))
-    val neg = Queries.kgNegativesOf(t)
-      .as[(String, String, String, String)].collect()
-    // the LCG picks deterministically; whatever it picks must not be the
-    // shipped pair or a self/observed corruption — and 'column' IS legal
-    neg.foreach { case (s, p, o, n) =>
-      assert((s, p, o) == ("customer", "merge", "vector") && n != s && n != o)
-    }
+    // the 100-doc edge's LCG index is ((1*1103515245 + 100*12345 + 7) %
+    // 2147483647) % 5 = 2 → 'vector' = the observed object, so the
+    // observed-corruption filter drops the only candidate: zero negatives
+    assert(Queries.kgNegativesOf(t).count() == 0)
+    // a single-doc corpus at doc_id 7 indexes to 1 → 'part', which is
+    // neither subj, obj, nor a shipped pair — exactly one negative row
+    val negT = Queries.kgTypedTriplesOf(docs(7L -> "customer vector merge"))
+    val neg = Queries.kgNegativesOf(negT)
+      .as[(String, String, String, String)].collect().toSeq
+    assert(neg == Seq(("customer", "merge", "vector", "part")))
     // boundary: at exactly the threshold the edge still ships
     // (n_docs*1000 >= keep‰ * pmax with equality)
     val d2 = docs((1L to 100L).map(i => i -> "customer vector merge") ++
