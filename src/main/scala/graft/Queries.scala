@@ -602,6 +602,27 @@ object Queries {
     graph.GraphOps.personalizedPageRank(e, seeds, iterations = 5)
   }
 
+  /** Walk-corpus parameters shared by the engine and the generated
+    * oracle: 2 walks of 4 steps per node, LCG salt 7, skip-gram window 2. */
+  val WalkLength = 4
+  val WalksPerNode = 2
+  val WalkSeed = 7L
+  val WalkWindow = 2
+
+  /** Deterministic DeepWalk corpus over the user co-occurrence graph —
+    * the embedding-training input a behavioral-graph consumer generates
+    * ([[graft.graph.GraphOps.randomWalks]]: portable-LCG argmin steps, so
+    * DuckDB re-derives every step of every walk). */
+  def userWalks(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.randomWalks(userGraphEdges(s, dir),
+      length = WalkLength, walksPerNode = WalksPerNode, seed = WalkSeed)
+
+  /** Skip-gram (center, context) co-occurrence counts off [[userWalks]] —
+    * the grouped word2vec training table
+    * ([[graft.graph.GraphOps.walkPairs]], symmetric window). */
+  def userWalkPairs(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.walkPairs(userWalks(s, dir), window = WalkWindow)
+
   /** Embedding near-dup groups on a floor(x*2) grid — first 8 dims as
     * grouping keys (bit-exact vs the SQL oracle). */
   def dedupEmbeddingGrid(s: SparkSession, dir: String): DataFrame = {
@@ -1442,6 +1463,24 @@ object Queries {
     * name). All joins run on the DISTINCT edge set — the rolled-up graph,
     * not the extraction stream; the grounding distinct is the same
     * mid-keyed self-join as [[kgMetapaths]], AQE-splittable on hub mids. */
+  /** SPARQL-style BASIC GRAPH PATTERN query over the constructed typed KG
+    * — the consumer-side query surface: find every (x, m, y) where x
+    * `filter`s some m, m `group`s y, and x also `scan`s y (a closed
+    * length-2 path — the declarative twin of the [[kgRulesOf]] grounding
+    * join, expressed as a pattern instead of mined). Compiled by
+    * [[graft.graph.BgpMatcher.matchBgp]] into three constant-predicate
+    * scans chained by equi-joins on the shared variables; evaluated over
+    * the DISTINCT edge set (SPARQL set semantics). */
+  def kgBgp(s: SparkSession, dir: String): DataFrame = {
+    import graph.BgpMatcher.{C, TriplePattern, V}
+    val e = kgTypedTriples(s, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+    graph.BgpMatcher.matchBgp(e, Seq(
+      TriplePattern(V("x"), C("filter"), V("m")),
+      TriplePattern(V("m"), C("group"), V("y")),
+      TriplePattern(V("x"), C("scan"), V("y"))))
+  }
+
   def kgRules(s: SparkSession, dir: String): DataFrame =
     kgRulesOf(kgTypedTriples(s, dir))
 

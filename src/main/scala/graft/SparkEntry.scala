@@ -116,6 +116,8 @@ object SparkEntry {
     "user_ppr" -> (Queries.userPpr _),
     "user_sssp" -> (Queries.userSssp _),
     "user_graph_stats" -> (Queries.userGraphStats _),
+    "user_walks" -> (Queries.userWalks _),
+    "user_walk_pairs" -> (Queries.userWalkPairs _),
     "kg_pipeline_triples" -> (Queries.kgPipelineTriples _),
     "kg_nodes" -> (Queries.kgNodes _),
     // KG schema induction over typed predicates + export/negatives
@@ -126,6 +128,7 @@ object SparkEntry {
     "kg_ntriples" -> (Queries.kgNtriples _),
     "kg_provenance" -> (Queries.kgProvenance _),
     "kg_rules" -> (Queries.kgRules _),
+    "kg_bgp" -> (Queries.kgBgp _),
     "kg_schema_viol" -> (Queries.kgSchemaViolations _),
     "kg_edge_diff" -> (Queries.kgEdgeDiff _),
     // multimodal plumbing
@@ -190,6 +193,38 @@ object SparkEntry {
       |   FROM b x JOIN b y ON x.bkt = y.bkt AND x.user_id < y.user_id),
       | sym AS MATERIALIZED (SELECT src, dst FROM e0
       |   UNION SELECT dst, src FROM e0)""".stripMargin
+
+  /** Walk-corpus CTE chain: unrolls the engine's per-step LCG argmin —
+    * `walks` holds every (start, walk, step, node) row of the corpus.
+    * CASTs keep DuckDB's int32 literals from overflowing mid-product. */
+  private val userWalksSql: String = {
+    val steps = (1 to Queries.WalkLength).map { i =>
+      s""" s$i AS MATERIALIZED (SELECT start, walk, $i AS step, node FROM (
+         |   SELECT f.start, f.walk, sym.dst AS node,
+         |     row_number() OVER (PARTITION BY f.start, f.walk ORDER BY
+         |       ((CAST(f.start AS BIGINT) % 2147483647) * 1103515245
+         |          % 2147483647
+         |        + f.walk * 12345 + $i * 97003
+         |        + (CAST(sym.dst AS BIGINT) % 2147483647) *
+         |          ${(2654435761L + java.lang.Math.floorMod(Queries.WalkSeed, 65536L) * 32452843L) % 2147483647L}
+         |          % 2147483647
+         |       ) % 2147483647, sym.dst) AS rn
+         |   FROM s${i - 1} f JOIN sym ON sym.src = f.node) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val walkVals = (0 until Queries.WalksPerNode)
+      .map(i => s"($i)").mkString(", ")
+    val union = (0 to Queries.WalkLength)
+      .map(i => s"SELECT start, walk, step, node FROM s$i")
+      .mkString("\n   UNION ALL ")
+    s"""$userSymSql,
+       | s0 AS MATERIALIZED (SELECT src AS start, walk, 0 AS step,
+       |     src AS node
+       |   FROM (SELECT DISTINCT src FROM sym)
+       |   CROSS JOIN (VALUES $walkVals) t(walk)),
+       |$steps,
+       | walks AS MATERIALIZED ($union)""".stripMargin
+  }
 
   private def kgTriplesSql: String = {
     def has(w: String) =
@@ -1257,6 +1292,17 @@ object SparkEntry {
          |SELECT pred_a, pred_b, pred_head, n_pairs, n_closed,
          |  (n_closed * 1000) // n_pairs AS conf_permille
          |FROM cl JOIN np USING (pred_a, pred_b)""".stripMargin,
+    // SPARQL-style BGP over the typed KG: the closed length-2 path
+    // pattern { ?x filter ?m . ?m group ?y . ?x scan ?y } as plain
+    // three-way self-join — proves the greedy join-order compiler exact
+    "kg_bgp" ->
+      s"""WITH $kgTypedCtes,
+         | e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t)
+         |SELECT a.subj AS x, a.obj AS m, b.obj AS y
+         |FROM e a JOIN e b ON b.subj = a.obj
+         |JOIN e c ON c.subj = a.subj AND c.obj = b.obj
+         |WHERE a.pred = 'filter' AND b.pred = 'group'
+         |  AND c.pred = 'scan'""".stripMargin,
     // schema-violation audit: edges deviating from the induced modal
     // domain/range (same dom/rng CTEs as kg_pred_stats)
     "kg_schema_viol" ->
@@ -1378,6 +1424,22 @@ object SparkEntry {
          |$steps
          |SELECT node, d AS dist FROM d4""".stripMargin
     },
+    // deterministic DeepWalk corpus: the oracle re-derives every step of
+    // every walk with the same LCG argmin (row_number twin of the
+    // engine's min(struct))
+    "user_walks" ->
+      s"""WITH $userWalksSql
+         |SELECT start, walk, step, node FROM walks""".stripMargin,
+    // skip-gram co-occurrence counts off the walk corpus, symmetric
+    // window
+    "user_walk_pairs" ->
+      s"""WITH $userWalksSql
+         |SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+         |FROM walks a JOIN walks b
+         |  ON a.start = b.start AND a.walk = b.walk
+         |  AND a.step <> b.step
+         |  AND abs(a.step - b.step) <= ${Queries.WalkWindow}
+         |GROUP BY 1, 2""".stripMargin,
     // one-row graph summary; triangles counted the naive a<b<c way (the
     // engine uses the degree-ordered enumeration — same set)
     "user_graph_stats" ->

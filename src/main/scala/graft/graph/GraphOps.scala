@@ -468,4 +468,94 @@ object GraphOps {
     e.unpersist()
     ranks.select(col("node"), col("r").as("rank_ppt"))
   }
+
+  /** DeepWalk-style RANDOM-WALK CORPUS generation (Perozzi, Al-Rfou,
+    * Skiena 2014): `walksPerNode` walks of `length` steps from every
+    * non-isolated node of the symmetrized graph — the sentence corpus a
+    * skip-gram embedding trainer consumes. "Random" is a portable integer
+    * LCG over (start, walk, step, candidate): at each step the walk moves
+    * to the neighbor minimizing the hash (ties: smallest id), so the
+    * corpus is bit-reproducible across engines and re-runs — the same
+    * determinism contract as the stratified-sampling coin, which is what
+    * lets an independent SQL engine verify every step of every walk.
+    *
+    * Scale shape: the frontier is |V|·walksPerNode rows — CONSTANT across
+    * steps — and each step is one equi-join against the edge table
+    * (repartitioned on src once, persisted) plus one map-side-combinable
+    * `min(struct(hash, dst))` argmin — never a Window, never a per-walk
+    * array. Walks are emitted incrementally as (start, walk, step, node)
+    * ROWS, so nothing ever shuffles an O(length) sequence payload; with
+    * per-step localCheckpoint the plan stays O(1) deep per step. At 10⁹
+    * nodes this is the standard BSP walk generator; the edge table is the
+    * only big operand and it never moves after the initial partition.
+    *
+    * @param edges  (src, dst) edge list, any orientation; symmetrized
+    *               internally.
+    * @param length steps per walk (walk emits length+1 rows incl. start).
+    * @param walksPerNode independent walks started at each node.
+    * @param seed   LCG salt; same seed ⇒ identical corpus.
+    * @return DataFrame(start, walk, step, node). */
+  def randomWalks(edges: DataFrame, length: Int, walksPerNode: Int,
+                  seed: Long = 7L): DataFrame = {
+    require(length >= 0, s"length must be >= 0, got $length")
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    val sym = symmetrize(edges)
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = sym.select(col("src").as("start")).distinct()
+      .withColumn("walk", explode(array((0 until walksPerNode).map(lit): _*)))
+      .withColumn("node", col("start"))
+      .localCheckpoint(true)
+    var acc = cur.withColumn("step", lit(0))
+      .select(col("start"), col("walk"), col("step"), col("node"))
+    // the salt must multiply the PER-CANDIDATE term (added as a constant
+    // it shifts every candidate equally and the argmin never changes),
+    // and that multiplier must be large enough that one candidate step
+    // crosses a mod boundary — otherwise the argmin degenerates to
+    // "smallest neighbor" for every seed. Products are double-modded so
+    // arbitrary int64 node ids cannot overflow: (id % P)·(m % P) ≤ (P-1)²
+    // < 2⁶³, identical arithmetic on the DuckDB side.
+    val P = 2147483647L
+    val dstMult = (2654435761L +
+      java.lang.Math.floorMod(seed, 65536L) * 32452843L) % P
+    for (t <- 1 to length) {
+      val h = ((col("start") % P) * lit(1103515245L) % P +
+        col("walk") * lit(12345L) + lit(t.toLong) * lit(97003L) +
+        (sym("dst") % P) * lit(dstMult) % P) % P
+      cur = cur.join(sym, cur("node") === sym("src"))
+        .groupBy(col("start"), col("walk"))
+        .agg(min(struct(h.as("h"), sym("dst").as("d"))).as("m"))
+        .select(col("start"), col("walk"), col("m.d").as("node"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(cur.withColumn("step", lit(t))
+        .select(col("start"), col("walk"), col("step"), col("node")))
+    }
+    sym.unpersist()
+    acc
+  }
+
+  /** SKIP-GRAM co-occurrence counts over a walk corpus — the (center,
+    * context) training pairs DeepWalk/node2vec feed to word2vec, grouped
+    * to counts (the GloVe-style corpus form: at 10⁹ nodes the raw pair
+    * stream is |walks|·length·window rows, while the grouped table is
+    * bounded by the distinct co-occurring pairs — and the groupBy is
+    * map-side combinable on the walk partitioning). Window is symmetric:
+    * each unordered within-window pair contributes one count to BOTH
+    * (a, b) and (b, a), matching word2vec's bidirectional context.
+    *
+    * @param walks  output of [[randomWalks]] (start, walk, step, node).
+    * @param window max |step distance| counted as context, >= 1.
+    * @return DataFrame(center, context, n_pairs). */
+  def walkPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val a = walks.select(col("start"), col("walk"),
+      col("step").as("step_a"), col("node").as("center"))
+    val b = walks.select(col("start"), col("walk"),
+      col("step").as("step_b"), col("node").as("context"))
+    a.join(b, Seq("start", "walk"))
+      .filter(col("step_a") =!= col("step_b") &&
+        abs(col("step_a") - col("step_b")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

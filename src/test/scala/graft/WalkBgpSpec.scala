@@ -1,0 +1,190 @@
+package graft
+
+import graft.graph.{BgpMatcher, GraphOps}
+import graft.graph.BgpMatcher.{C, TriplePattern, V}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Random-walk corpus + BGP pattern matching — the two consumer-side
+  * surfaces added in round 5 on top of the graph family. */
+class WalkBgpSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- walks
+
+  /** Plain-Scala reference of the SAME LCG argmin recurrence
+    * GraphOps.randomWalks runs — no Spark. */
+  private def refWalks(edges: Seq[(Long, Long)], length: Int, wpn: Int,
+                       seed: Long): Set[(Long, Int, Int, Long)] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val rows = for {
+      start <- adj.keys.toSeq
+      w <- 0 until wpn
+    } yield {
+      val P = 2147483647L
+      val mult = (2654435761L +
+        java.lang.Math.floorMod(seed, 65536L) * 32452843L) % P
+      var cur = start
+      (start, w, 0, start) +: (1 to length).map { t =>
+        cur = adj(cur).minBy(n => (
+          ((start % P) * 1103515245L % P + w * 12345L + t * 97003L +
+            (n % P) * mult % P) % P, n))
+        (start, w, t, cur)
+      }
+    }
+    rows.flatten.toSet
+  }
+
+  private def runWalks(edges: Seq[(Long, Long)], length: Int, wpn: Int,
+                       seed: Long): Set[(Long, Int, Int, Long)] =
+    GraphOps.randomWalks(edges.toDF("src", "dst").repartition(4),
+        length, wpn, seed)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+
+  test("randomWalks on a single edge is the forced alternating walk") {
+    // 1-2 only: every step has exactly one neighbor, so the LCG never
+    // gets a choice — the walk must alternate 1,2,1,2,...
+    val got = runWalks(Seq((1L, 2L)), length = 3, wpn = 1, seed = 7L)
+    val want = Set(
+      (1L, 0, 0, 1L), (1L, 0, 1, 2L), (1L, 0, 2, 1L), (1L, 0, 3, 2L),
+      (2L, 0, 0, 2L), (2L, 0, 1, 1L), (2L, 0, 2, 2L), (2L, 0, 3, 1L))
+    assert(got == want)
+  }
+
+  test("randomWalks matches the plain-Scala LCG reference exactly") {
+    // triangle + tail + hub: nodes with degree 1, 2 and 4, so the argmin
+    // faces real choices and the tie/hash order is exercised
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (1L, 6L), (1L, 7L))
+    assert(runWalks(edges, 4, 2, 7L) == refWalks(edges, 4, 2, 7L))
+    // a different salt must produce a different corpus on this graph
+    assert(runWalks(edges, 4, 2, 7L) != runWalks(edges, 4, 2, 99L))
+  }
+
+  test("randomWalks invariants: row count, step validity, edge validity") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val df = GraphOps.randomWalks(edges.toDF("src", "dst"), 3, 2, 7L)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.length == 4 * 2 * 4) // |V| * walksPerNode * (length+1)
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    rows.groupBy(r => (r._1, r._2)).values.foreach { walk =>
+      val path = walk.sortBy(_._3).map(_._4)
+      assert(path.head == walk.head._1, "step 0 is the start node")
+      path.sliding(2).foreach { case Array(a, b) =>
+        assert(sym.contains((a, b)), s"walk hop $a->$b is not an edge")
+      }
+    }
+  }
+
+  test("walkPairs counts symmetric within-window pairs exactly") {
+    // one hand-built walk: 10,20,30,20 — window 2 pairs enumerated by hand
+    val walks = Seq(
+      (1L, 0, 0, 10L), (1L, 0, 1, 20L), (1L, 0, 2, 30L), (1L, 0, 3, 20L))
+      .toDF("start", "walk", "step", "node")
+    val got = GraphOps.walkPairs(walks, window = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ordered within-window step pairs: (0,1)(0,2)(1,2)(1,3)(2,3) + flips
+    val want = Map(
+      (10L, 20L) -> 1L, (20L, 10L) -> 1L, // steps (0,1)
+      (10L, 30L) -> 1L, (30L, 10L) -> 1L, // steps (0,2)
+      (20L, 30L) -> 2L, (30L, 20L) -> 2L, // steps (1,2) and (2,3)
+      (20L, 20L) -> 2L)                   // steps (1,3) both directions
+    assert(got == want)
+  }
+
+  // --------------------------------------------------------------- BGP
+
+  private val kgEdges = Seq(
+    // x filter m, m group y, x scan y -- one closed instance (a, b, c)
+    ("a", "filter", "b"), ("b", "group", "c"), ("a", "scan", "c"),
+    // an open path (a, b, d): no closing scan edge
+    ("b", "group", "d"),
+    // noise predicates and a self-loop
+    ("a", "sort", "a"), ("d", "merge", "e"))
+
+  private def edgesDf = kgEdges.toDF("subj", "pred", "obj")
+
+  test("BGP closed-path pattern finds exactly the closed instance") {
+    val pats = Seq(
+      TriplePattern(V("x"), C("filter"), V("m")),
+      TriplePattern(V("m"), C("group"), V("y")),
+      TriplePattern(V("x"), C("scan"), V("y")))
+    // read bindings BY NAME: the output column order follows variable
+    // first-appearance order, which legitimately differs across pattern
+    // permutations (SPARQL imposes none; the driver compare sorts by name)
+    def byName(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("x"), r.getAs[String]("m"),
+        r.getAs[String]("y"))).toSet
+    val got = byName(BgpMatcher.matchBgp(edgesDf, pats))
+    assert(got == Set(("a", "b", "c")))
+    // pattern order must not change the result (the compiler reorders)
+    assert(byName(BgpMatcher.matchBgp(edgesDf, pats.reverse)) == got)
+  }
+
+  test("BGP constant subject anchors the chain") {
+    val got = BgpMatcher.matchBgp(edgesDf, Seq(
+        TriplePattern(C("b"), C("group"), V("y"))))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("c", "d"))
+  }
+
+  test("BGP repeated variable within a pattern means equality (self-loop)") {
+    val got = BgpMatcher.matchBgp(edgesDf, Seq(
+        TriplePattern(V("x"), V("p"), V("x"))))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "sort")))
+  }
+
+  test("BGP variable predicate joins across patterns") {
+    // same predicate twice in a length-2 path: only group/group chains
+    // b -group-> c? c has no out-group; b -group-> d, d no out-group —
+    // add one so the pattern has a witness
+    val df = (kgEdges :+ ("d", "group", "e")).toDF("subj", "pred", "obj")
+    val got = BgpMatcher.matchBgp(df, Seq(
+        TriplePattern(V("x"), V("p"), V("m")),
+        TriplePattern(V("m"), V("p"), V("y"))))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSet
+    assert(got.contains(("b", "group", "d", "e")))
+    // every result chains the SAME predicate twice
+    assert(got.forall { case (x, p, m, y) =>
+      kgEdges.contains((x, p, m)) || (x, p, m) == ("d", "group", "e") })
+  }
+
+  test("BGP fully-constant pattern acts as an existence gate") {
+    val pats = Seq(
+      TriplePattern(V("x"), C("merge"), V("y")),
+      TriplePattern(C("a"), C("scan"), C("c"))) // present -> gate passes
+    val got = BgpMatcher.matchBgp(edgesDf, pats).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("d", "e")))
+    val gated = BgpMatcher.matchBgp(edgesDf, Seq(
+      TriplePattern(V("x"), C("merge"), V("y")),
+      TriplePattern(C("a"), C("scan"), C("zzz")))) // absent -> empty
+    assert(gated.isEmpty)
+  }
+
+  test("BGP rejects a disconnected pattern set") {
+    val e = intercept[IllegalArgumentException] {
+      BgpMatcher.matchBgp(edgesDf, Seq(
+        TriplePattern(V("x"), C("filter"), V("m")),
+        TriplePattern(V("q"), C("merge"), V("z")))) // shares no var
+    }
+    assert(e.getMessage.contains("disconnected"))
+  }
+
+  test("BGP connected plan contains no cartesian product") {
+    val pats = Seq(
+      TriplePattern(V("x"), C("filter"), V("m")),
+      TriplePattern(V("m"), C("group"), V("y")),
+      TriplePattern(V("x"), C("scan"), V("y")))
+    val plan = BgpMatcher.matchBgp(edgesDf, pats)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"connected BGP must compile to equi-joins only:\n$plan")
+  }
+}
