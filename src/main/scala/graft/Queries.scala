@@ -1481,6 +1481,32 @@ object Queries {
       TriplePattern(V("x"), C("scan"), V("y"))))
   }
 
+  /** BGP with an OPTIONAL group: every `filter` edge (?x, ?m), left-
+    * joined with ?m's outgoing `merge` edge when one exists (SPARQL
+    * `OPTIONAL { ?m merge ?z }` — ?z NULL otherwise). The left-join
+    * compiler path of [[graft.graph.BgpMatcher.matchBgp]]. */
+  def kgBgpOptional(s: SparkSession, dir: String): DataFrame = {
+    import graph.BgpMatcher.{C, TriplePattern, V}
+    val e = kgTypedTriples(s, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+    graph.BgpMatcher.matchBgp(e,
+      Seq(TriplePattern(V("x"), C("filter"), V("m"))),
+      optionals = Seq(TriplePattern(V("m"), C("merge"), V("z"))))
+  }
+
+  /** SPARQL property-path `filter+` over the typed KG: all entity pairs
+    * connected by a directed chain of `filter` edges, with minimum hop
+    * count ([[graft.graph.GraphOps.transitiveClosure]] — semi-naive
+    * frontier iteration; the oracle is the naive depth-capped recursive
+    * CTE, so the hash match proves the pruning lossless). Extraction
+    * orients every edge dictionary-rank-ascending, so the `filter`
+    * subgraph is a DAG and depth 4 (= |dict| - 1) closes it exactly. */
+  def kgPathClosure(s: SparkSession, dir: String): DataFrame = {
+    val e = kgTypedTriples(s, dir).filter(col("pred") === "filter")
+      .select(col("subj").as("src"), col("obj").as("dst"))
+    graph.GraphOps.transitiveClosure(e, maxDepth = 4)
+  }
+
   def kgRules(s: SparkSession, dir: String): DataFrame =
     kgRulesOf(kgTypedTriples(s, dir))
 

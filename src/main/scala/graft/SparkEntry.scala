@@ -129,6 +129,8 @@ object SparkEntry {
     "kg_provenance" -> (Queries.kgProvenance _),
     "kg_rules" -> (Queries.kgRules _),
     "kg_bgp" -> (Queries.kgBgp _),
+    "kg_bgp_optional" -> (Queries.kgBgpOptional _),
+    "kg_path_closure" -> (Queries.kgPathClosure _),
     "kg_schema_viol" -> (Queries.kgSchemaViolations _),
     "kg_edge_diff" -> (Queries.kgEdgeDiff _),
     // multimodal plumbing
@@ -1303,6 +1305,28 @@ object SparkEntry {
          |JOIN e c ON c.subj = a.subj AND c.obj = b.obj
          |WHERE a.pred = 'filter' AND b.pred = 'group'
          |  AND c.pred = 'scan'""".stripMargin,
+    // BGP with an OPTIONAL group: LEFT JOIN twin of the engine's
+    // optional-pattern compiler path (unmatched -> NULL z)
+    "kg_bgp_optional" ->
+      s"""WITH $kgTypedCtes,
+         | e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t)
+         |SELECT a.subj AS x, a.obj AS m, b.obj AS z
+         |FROM e a LEFT JOIN e b
+         |  ON b.subj = a.obj AND b.pred = 'merge'
+         |WHERE a.pred = 'filter'""".stripMargin,
+    // property-path closure filter+: naive depth-capped recursive CTE
+    // aggregated to min hop count — proves the engine's semi-naive
+    // frontier pruning lossless
+    "kg_path_closure" ->
+      s"""WITH RECURSIVE $kgTypedCtes,
+         | e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst
+         |   FROM t WHERE pred = 'filter'),
+         | r AS (SELECT src, dst, 1 AS d FROM e
+         |   UNION
+         |   SELECT r.src, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.dst
+         |   WHERE r.d < 4)
+         |SELECT src, dst, min(d) AS dist FROM r GROUP BY 1, 2"""
+        .stripMargin,
     // schema-violation audit: edges deviating from the induced modal
     // domain/range (same dom/rng CTEs as kg_pred_stats)
     "kg_schema_viol" ->

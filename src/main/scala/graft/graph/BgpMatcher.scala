@@ -77,16 +77,26 @@ object BgpMatcher {
   }
 
   /** Evaluate the conjunction of `patterns` over `edges` (columns subj,
-    * pred, obj). Returns one row per binding of the distinct variables in
-    * first-appearance order. Bag semantics over the input multiset.
+    * pred, obj), then left-join each `optionals` pattern (SPARQL
+    * `OPTIONAL { ... }` with a single triple pattern per group): rows
+    * keep their required bindings and take NULL for an optional's fresh
+    * variables when no edge matches. Each optional must share at least
+    * one variable with the required patterns (its join key) and binds at
+    * least one fresh variable (otherwise it would silently act as a
+    * filter — SPARQL gives that the FILTER EXISTS spelling, so the
+    * ambiguity is rejected here). Returns one row per binding of the
+    * distinct variables in first-appearance order (required patterns
+    * first, then optionals). Bag semantics over the input multiset.
     *
-    * @throws IllegalArgumentException on an empty pattern list or a
+    * @throws IllegalArgumentException on an empty pattern list, a
     *         disconnected BGP (a pattern sharing no variable with the
-    *         already-joined set). */
-  def matchBgp(edges: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
+    *         already-joined set), or an invalid optional. */
+  def matchBgp(edges: DataFrame, patterns: Seq[TriplePattern],
+               optionals: Seq[TriplePattern] = Nil): DataFrame = {
     require(patterns.nonEmpty, "BGP needs at least one triple pattern")
-    val outCols = patterns.flatMap(_.vars).distinct
-    require(outCols.nonEmpty, "BGP binds no variables — use a plain filter")
+    val outCols = (patterns ++ optionals).flatMap(_.vars).distinct
+    require(patterns.exists(_.vars.nonEmpty),
+      "BGP binds no variables — use a plain filter")
 
     // anchor: most constants among the VARIABLE patterns (ties: input
     // order) — a fully-constant pattern binds nothing, so it can only be
@@ -106,6 +116,18 @@ object BgpMatcher {
         else plan.join(rel, next.vars.filter(bound.contains))
       bound ++= next.vars
       todo = todo.diff(Seq(next))
+    }
+    // OPTIONAL groups: left-join in input order, each keyed on variables
+    // already bound (by the required chain or an earlier optional)
+    for (opt <- optionals) {
+      val shared = opt.vars.filter(bound.contains)
+      val fresh = opt.vars.filterNot(bound.contains)
+      require(shared.nonEmpty,
+        s"OPTIONAL pattern $opt shares no variable with the required patterns")
+      require(fresh.nonEmpty,
+        s"OPTIONAL pattern $opt binds no new variable — use a required pattern")
+      plan = plan.join(compileOne(edges, opt), shared, "left_outer")
+      bound ++= fresh
     }
     plan.select(outCols.map(col): _*)
   }

@@ -534,6 +534,54 @@ object GraphOps {
     acc
   }
 
+  /** Bounded TRANSITIVE CLOSURE of a DIRECTED edge list with minimum hop
+    * distances — the SPARQL 1.1 property-path `p+` evaluator (and the
+    * RDFS subClassOf/subPropertyOf closure engine): every (src, dst) pair
+    * connected by a directed path of ≤ `maxDepth` hops, labeled with its
+    * shortest hop count.
+    *
+    * Evaluation is SEMI-NAIVE (the classic datalog optimization): each
+    * round extends only the LAST round's new pairs by one edge and
+    * anti-joins the settled set, so a pair reachable along many paths is
+    * expanded exactly once — the naive fixpoint re-derives every pair
+    * every round and explodes on dense graphs. Rounds are ≤ maxDepth and
+    * the loop short-circuits when a frontier comes back empty (a DAG
+    * closes in diameter rounds regardless of the cap). The edge table is
+    * hash-partitioned on src once and persisted; each round is one
+    * frontier equi-join + one anti-join, both on that partitioning;
+    * localCheckpoint per round keeps the plan O(1) deep. Cycles are safe:
+    * a pair rediscovered around a loop is dropped by the anti-join.
+    *
+    * The DuckDB oracle is the NAIVE recursive CTE (UNION-dedup on
+    * (src, dst, d), depth-capped) aggregated to min(d) — the hash match
+    * proves the semi-naive pruning lossless.
+    *
+    * @param edges directed (src, dst); duplicates collapse.
+    * @param maxDepth inclusive path-length cap, >= 1.
+    * @return DataFrame(src, dst, dist), dist ∈ [1, maxDepth]; self-pairs
+    *         appear only when a directed cycle returns to the origin. */
+  def transitiveClosure(edges: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var settled = e.withColumn("dist", lit(1)).localCheckpoint(true)
+    var frontier = settled
+    var d = 1
+    while (d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      frontier = frontier.select(col("src"), col("dst").as("mid"))
+        .join(e.select(col("src").as("mid"), col("dst")), "mid")
+        .select(col("src"), col("dst")).distinct()
+        .join(settled, Seq("src", "dst"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(true)
+      settled = settled.unionByName(frontier)
+    }
+    e.unpersist()
+    settled
+  }
+
   /** SKIP-GRAM co-occurrence counts over a walk corpus — the (center,
     * context) training pairs DeepWalk/node2vec feed to word2vec, grouped
     * to counts (the GloVe-style corpus form: at 10⁹ nodes the raw pair

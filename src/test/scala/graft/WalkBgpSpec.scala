@@ -168,6 +168,84 @@ class WalkBgpSpec extends AnyFunSuite {
     assert(gated.isEmpty)
   }
 
+  test("BGP OPTIONAL pattern left-joins: unmatched rows keep NULL") {
+    // a filter b (b gets a merge edge), and c filter f (f has none)
+    val df = (kgEdges :+ ("c", "filter", "f") :+ ("b", "merge", "e"))
+      .toDF("subj", "pred", "obj")
+    val got = BgpMatcher.matchBgp(df,
+        Seq(TriplePattern(V("x"), C("filter"), V("m"))),
+        optionals = Seq(TriplePattern(V("m"), C("merge"), V("z"))))
+      .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("m"),
+        Option(r.getAs[String]("z")))).toSet
+    assert(got == Set(("a", "b", Some("e")), ("c", "f", None)))
+  }
+
+  test("BGP OPTIONAL without a shared or fresh variable is rejected") {
+    val noShare = intercept[IllegalArgumentException] {
+      BgpMatcher.matchBgp(edgesDf,
+        Seq(TriplePattern(V("x"), C("filter"), V("m"))),
+        optionals = Seq(TriplePattern(V("q"), C("merge"), V("z"))))
+    }
+    assert(noShare.getMessage.contains("shares no variable"))
+    val noFresh = intercept[IllegalArgumentException] {
+      BgpMatcher.matchBgp(edgesDf,
+        Seq(TriplePattern(V("x"), C("filter"), V("m"))),
+        optionals = Seq(TriplePattern(V("x"), C("scan"), V("m"))))
+    }
+    assert(noFresh.getMessage.contains("binds no new variable"))
+  }
+
+  // ------------------------------------------------- transitive closure
+
+  /** Brute-force reference: all directed paths up to maxDepth, min hops. */
+  private def refClosure(edges: Seq[(String, String)], cap: Int)
+      : Set[(String, String, Int)] = {
+    val e = edges.distinct
+    var reach = e.map { case (a, b) => (a, b) -> 1 }.toMap
+    var frontier = reach
+    for (d <- 2 to cap) {
+      val next = for {
+        ((a, b), _) <- frontier.toSeq
+        (b2, c) <- e if b2 == b && !reach.contains((a, c))
+      } yield (a, c) -> d
+      frontier = next.toMap
+      reach ++= frontier
+    }
+    reach.map { case ((a, b), d) => (a, b, d) }.toSet
+  }
+
+  private def runClosure(edges: Seq[(String, String)], cap: Int)
+      : Set[(String, String, Int)] =
+    GraphOps.transitiveClosure(edges.toDF("src", "dst"), cap)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+
+  test("transitiveClosure on a chain gives all suffix pairs with min dist") {
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    assert(runClosure(chain, 4) == Set(
+      ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+      ("a", "c", 2), ("b", "d", 2), ("a", "d", 3)))
+    // depth cap bites: cap 2 drops the 3-hop pair
+    assert(runClosure(chain, 2) ==
+      refClosure(chain, 2))
+  }
+
+  test("transitiveClosure is cycle-safe and keeps the SHORTEST distance") {
+    // cycle a->b->c->a plus a shortcut a->c: dist(a,c) must be 1, and
+    // the cycle yields self-pairs at their cycle length
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+    val got = runClosure(g, 5)
+    assert(got == refClosure(g, 5))
+    assert(got.contains(("a", "c", 1)), "shortcut must win over the chain")
+    assert(got.contains(("a", "a", 2)), "a->c->a closes the 2-cycle")
+  }
+
+  test("transitiveClosure short-circuits on a DAG (cap beyond diameter)") {
+    // diameter 2; a huge cap must return the same closed set, not loop
+    val dag = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+    assert(runClosure(dag, 50) == refClosure(dag, 50))
+  }
+
   test("BGP rejects a disconnected pattern set") {
     val e = intercept[IllegalArgumentException] {
       BgpMatcher.matchBgp(edgesDf, Seq(
