@@ -623,6 +623,24 @@ object Queries {
   def userWalkPairs(s: SparkSession, dir: String): DataFrame =
     graph.GraphOps.walkPairs(userWalks(s, dir), window = WalkWindow)
 
+  /** node2vec bias weights for the biased-walk catalog entry: returning
+    * to the previous node is discouraged 10× (DFS-flavored exploration,
+    * high p in node2vec terms), moving beyond the previous node's
+    * neighborhood is discouraged 1.5× (mild q > 1). */
+  val WalkRetPermille = 100L
+  val WalkInPermille = 1000L
+  val WalkOutPermille = 1500L
+
+  /** node2vec-style biased walk corpus over the user graph
+    * ([[graft.graph.GraphOps.biasedWalks]] — 2nd-order Markov steps via
+    * the deterministic hash-div-weight argmin; the oracle re-derives
+    * every hop including the previous-node adjacency probe). */
+  def userWalksBiased(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.biasedWalks(userGraphEdges(s, dir),
+      length = WalkLength, walksPerNode = WalksPerNode,
+      retPermille = WalkRetPermille, inPermille = WalkInPermille,
+      outPermille = WalkOutPermille, seed = WalkSeed)
+
   /** Embedding near-dup groups on a floor(x*2) grid — first 8 dims as
     * grouping keys (bit-exact vs the SQL oracle). */
   def dedupEmbeddingGrid(s: SparkSession, dir: String): DataFrame = {
@@ -1505,6 +1523,41 @@ object Queries {
     val e = kgTypedTriples(s, dir).filter(col("pred") === "filter")
       .select(col("subj").as("src"), col("obj").as("dst"))
     graph.GraphOps.transitiveClosure(e, maxDepth = 4)
+  }
+
+  /** Literal subclass hierarchy over the entity types — the ontology
+    * side-input RDFS materialization consumes ([[kgInferredTypes]]):
+    * biz/data ⊑ asset ⊑ resource. */
+  val kgSubclassEdges: Seq[(String, String)] = Seq(
+    "biz" -> "asset", "data" -> "asset", "asset" -> "resource")
+
+  /** RDFS-style TYPE MATERIALIZATION over the constructed KG: every
+    * entity with its direct dictionary type (hops = 0) plus every
+    * supertype implied by the subclass hierarchy (rdfs:subClassOf
+    * transitivity + rdf:type inheritance — RDF Schema §9.2.1 rules
+    * rdfs9/rdfs11), hops = subclass distance. The hierarchy closure runs
+    * [[graft.graph.GraphOps.transitiveClosure]] over the LITERAL subclass
+    * edges (ontologies are small — the closure broadcasts), so the big
+    * side is one entity scan + one broadcast join: the standard shape for
+    * reasoning over a billion-entity KG with a thousand-class ontology. */
+  def kgInferredTypes(s: SparkSession, dir: String): DataFrame =
+    kgInferredTypesOf(kgTypedTriples(s, dir))
+
+  def kgInferredTypesOf(t: DataFrame): DataFrame = {
+    val s = t.sparkSession
+    import s.implicits._
+    val ents = t.select(col("subj").as("entity"))
+      .unionByName(t.select(col("obj").as("entity"))).distinct()
+    val direct = ents
+      .withColumn("rdf_type", entityTypeCol(col("entity")))
+      .withColumn("hops", lit(0))
+    val closure = graph.GraphOps.transitiveClosure(
+      kgSubclassEdges.toDF("src", "dst"), maxDepth = 4)
+    val inferred = direct.join(broadcast(closure),
+        direct("rdf_type") === closure("src"))
+      .select(col("entity"), closure("dst").as("rdf_type"),
+        closure("dist").as("hops"))
+    direct.unionByName(inferred)
   }
 
   def kgRules(s: SparkSession, dir: String): DataFrame =

@@ -118,6 +118,7 @@ object SparkEntry {
     "user_graph_stats" -> (Queries.userGraphStats _),
     "user_walks" -> (Queries.userWalks _),
     "user_walk_pairs" -> (Queries.userWalkPairs _),
+    "user_walks_biased" -> (Queries.userWalksBiased _),
     "kg_pipeline_triples" -> (Queries.kgPipelineTriples _),
     "kg_nodes" -> (Queries.kgNodes _),
     // KG schema induction over typed predicates + export/negatives
@@ -131,6 +132,7 @@ object SparkEntry {
     "kg_bgp" -> (Queries.kgBgp _),
     "kg_bgp_optional" -> (Queries.kgBgpOptional _),
     "kg_path_closure" -> (Queries.kgPathClosure _),
+    "kg_inferred_types" -> (Queries.kgInferredTypes _),
     "kg_schema_viol" -> (Queries.kgSchemaViolations _),
     "kg_edge_diff" -> (Queries.kgEdgeDiff _),
     // multimodal plumbing
@@ -226,6 +228,47 @@ object SparkEntry {
        |   CROSS JOIN (VALUES $walkVals) t(walk)),
        |$steps,
        | walks AS MATERIALIZED ($union)""".stripMargin
+  }
+
+  /** Biased (node2vec) walk-corpus CTE chain: each step re-derives the
+    * engine's hash-div-weight argmin, including the previous-node
+    * adjacency probe (LEFT JOIN against sym) that classifies every
+    * candidate as return / in-neighborhood / forward. */
+  private val userWalksBiasedSql: String = {
+    val mult =
+      (2654435761L + java.lang.Math.floorMod(Queries.WalkSeed, 65536L) *
+        32452843L) % 2147483647L
+    val steps = (1 to Queries.WalkLength).map { i =>
+      s""" c$i AS (SELECT f.start, f.walk, sym.dst, f.node AS nxt_prev,
+         |     ((CAST(f.start AS BIGINT) % 2147483647) * 1103515245
+         |        % 2147483647
+         |      + f.walk * 12345 + $i * 97003
+         |      + (CAST(sym.dst AS BIGINT) % 2147483647) * $mult
+         |        % 2147483647) % 2147483647 AS hh,
+         |     CASE WHEN f.prev IS NULL THEN 1000
+         |          WHEN sym.dst = f.prev THEN ${Queries.WalkRetPermille}
+         |          WHEN a.dst IS NOT NULL THEN ${Queries.WalkInPermille}
+         |          ELSE ${Queries.WalkOutPermille} END AS w
+         |   FROM b$i f JOIN sym ON sym.src = f.node
+         |   LEFT JOIN sym a ON a.src = f.prev AND a.dst = sym.dst),
+         | b${i + 1} AS MATERIALIZED (SELECT start, walk, $i AS step,
+         |     dst AS node, nxt_prev AS prev
+         |   FROM (SELECT *, row_number() OVER (PARTITION BY start, walk
+         |       ORDER BY hh // w, dst) AS rn FROM c$i) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val walkVals = (0 until Queries.WalksPerNode)
+      .map(i => s"($i)").mkString(", ")
+    val union = (1 to Queries.WalkLength + 1)
+      .map(i => s"SELECT start, walk, step, node FROM b$i")
+      .mkString("\n   UNION ALL ")
+    s"""$userSymSql,
+       | b1 AS MATERIALIZED (SELECT src AS start, walk, 0 AS step,
+       |     src AS node, CAST(NULL AS BIGINT) AS prev
+       |   FROM (SELECT DISTINCT src FROM sym)
+       |   CROSS JOIN (VALUES $walkVals) t(walk)),
+       |$steps,
+       | bwalks AS MATERIALIZED ($union)""".stripMargin
   }
 
   private def kgTriplesSql: String = {
@@ -1314,6 +1357,28 @@ object SparkEntry {
          |FROM e a LEFT JOIN e b
          |  ON b.subj = a.obj AND b.pred = 'merge'
          |WHERE a.pred = 'filter'""".stripMargin,
+    // RDFS type materialization: direct dictionary types (hops 0) +
+    // supertypes through the subclass closure (recursive CTE over the
+    // same literal hierarchy)
+    "kg_inferred_types" -> {
+      val subVals = Queries.kgSubclassEdges
+        .map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+      s"""WITH RECURSIVE $kgTypedCtes,
+         | ents AS MATERIALIZED (SELECT DISTINCT entity FROM (
+         |   SELECT subj AS entity FROM t UNION ALL SELECT obj FROM t)),
+         | direct AS MATERIALIZED (SELECT entity,
+         |   ${entityTypeSql("entity")} AS rdf_type, 0 AS hops FROM ents),
+         | sub(src, dst) AS (VALUES $subVals),
+         | cl AS (SELECT src, dst, 1 AS d FROM sub
+         |   UNION
+         |   SELECT cl.src, sub.dst, cl.d + 1 FROM cl
+         |   JOIN sub ON sub.src = cl.dst WHERE cl.d < 4),
+         | clm AS (SELECT src, dst, min(d) AS dist FROM cl GROUP BY 1, 2)
+         |SELECT entity, rdf_type, hops FROM direct
+         |UNION ALL
+         |SELECT d.entity, c.dst AS rdf_type, c.dist AS hops
+         |FROM direct d JOIN clm c ON c.src = d.rdf_type""".stripMargin
+    },
     // property-path closure filter+: naive depth-capped recursive CTE
     // aggregated to min hop count — proves the engine's semi-naive
     // frontier pruning lossless
@@ -1454,6 +1519,11 @@ object SparkEntry {
     "user_walks" ->
       s"""WITH $userWalksSql
          |SELECT start, walk, step, node FROM walks""".stripMargin,
+    // node2vec-biased walk corpus: hash-div-weight argmin per step, with
+    // the previous-node adjacency probe as a LEFT JOIN
+    "user_walks_biased" ->
+      s"""WITH $userWalksBiasedSql
+         |SELECT start, walk, step, node FROM bwalks""".stripMargin,
     // skip-gram co-occurrence counts off the walk corpus, symmetric
     // window
     "user_walk_pairs" ->

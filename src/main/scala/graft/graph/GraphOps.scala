@@ -534,6 +534,76 @@ object GraphOps {
     acc
   }
 
+  /** NODE2VEC-style BIASED walk corpus (Grover, Leskovec 2016): like
+    * [[randomWalks]], but the step distribution is 2nd-order Markov —
+    * each candidate's priority depends on its relation to the PREVIOUS
+    * node: `retPermille` weights returning to it, `inPermille` weights
+    * moving to one of its neighbors (BFS-like, node2vec's 1/1), and
+    * `outPermille` weights moving further away (DFS-like, 1/q). The
+    * deterministic integer analog of weighted sampling: candidate
+    * priority = hash div weight (the A-ES u^(1/w) trick in integers —
+    * a larger weight shrinks the priority range, so the argmin picks it
+    * proportionally more often), bit-reproducible across engines. Step 1
+    * has no previous node and falls back to the unbiased hash.
+    *
+    * Scale shape: identical to [[randomWalks]] (constant frontier, one
+    * join + combinable argmin per step) plus one LEFT SEMI-shaped probe
+    * per step — the (prev, candidate) adjacency test — implemented as a
+    * left join against the same partitioned edge table, so each step is
+    * two co-partitioned joins, still no Window and no array payloads.
+    *
+    * @return DataFrame(start, walk, step, node). */
+  def biasedWalks(edges: DataFrame, length: Int, walksPerNode: Int,
+                  retPermille: Long, inPermille: Long, outPermille: Long,
+                  seed: Long = 7L): DataFrame = {
+    require(length >= 0, s"length must be >= 0, got $length")
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    require(retPermille > 0 && inPermille > 0 && outPermille > 0,
+      "weights must be positive")
+    val sym = symmetrize(edges)
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // adjacency probe side: marker rows for the (prev, dst) test
+    val adj = sym.select(col("src").as("p_src"), col("dst").as("p_dst"))
+      .withColumn("is_adj", lit(1))
+    var cur = sym.select(col("src").as("start")).distinct()
+      .withColumn("walk", explode(array((0 until walksPerNode).map(lit): _*)))
+      .withColumn("node", col("start"))
+      .withColumn("prev", lit(null).cast(sym.schema("src").dataType))
+      .localCheckpoint(true)
+    var acc = cur.withColumn("step", lit(0))
+      .select(col("start"), col("walk"), col("step"), col("node"))
+    val P = 2147483647L
+    val dstMult = (2654435761L +
+      java.lang.Math.floorMod(seed, 65536L) * 32452843L) % P
+    for (t <- 1 to length) {
+      val h = ((col("start") % P) * lit(1103515245L) % P +
+        col("walk") * lit(12345L) + lit(t.toLong) * lit(97003L) +
+        (sym("dst") % P) * lit(dstMult) % P) % P
+      val w = when(col("prev").isNull, lit(1000L))
+        .when(sym("dst") === col("prev"), lit(retPermille))
+        .when(col("is_adj").isNotNull, lit(inPermille))
+        .otherwise(lit(outPermille))
+      // integer h div w without float hazards: the numerator is an exact
+      // multiple, so the double division is exactly representable and the
+      // cast equals the oracle's `//`
+      val pr = ((h - h % w) / w).cast("long")
+      cur = cur.join(sym, cur("node") === sym("src"))
+        .join(adj, col("prev") === col("p_src") &&
+          sym("dst") === col("p_dst"), "left_outer")
+        .groupBy(col("start"), col("walk"))
+        .agg(min(struct(pr.as("pr"), sym("dst").as("d"),
+          col("node").as("c"))).as("m"))
+        .select(col("start"), col("walk"), col("m.d").as("node"),
+          col("m.c").as("prev"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(cur.withColumn("step", lit(t))
+        .select(col("start"), col("walk"), col("step"), col("node")))
+    }
+    sym.unpersist()
+    acc
+  }
+
   /** Bounded TRANSITIVE CLOSURE of a DIRECTED edge list with minimum hop
     * distances — the SPARQL 1.1 property-path `p+` evaluator (and the
     * RDFS subClassOf/subPropertyOf closure engine): every (src, dst) pair

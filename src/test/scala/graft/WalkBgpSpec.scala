@@ -96,6 +96,96 @@ class WalkBgpSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // ------------------------------------------------------ biased walks
+
+  /** Plain-Scala reference of the node2vec-biased recurrence. */
+  private def refBiased(edges: Seq[(Long, Long)], length: Int, wpn: Int,
+                        ret: Long, in: Long, out: Long, seed: Long)
+      : Set[(Long, Int, Int, Long)] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val adjSet = sym.toSet
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val P = 2147483647L
+    val mult = (2654435761L +
+      java.lang.Math.floorMod(seed, 65536L) * 32452843L) % P
+    val rows = for {
+      start <- adj.keys.toSeq
+      wk <- 0 until wpn
+    } yield {
+      var cur = start
+      var prev = -1L // sentinel: no previous node
+      (start, wk, 0, start) +: (1 to length).map { t =>
+        val picked = adj(cur).minBy { n =>
+          val h = ((start % P) * 1103515245L % P + wk * 12345L +
+            t * 97003L + (n % P) * mult % P) % P
+          val w =
+            if (prev == -1L) 1000L
+            else if (n == prev) ret
+            else if (adjSet.contains((prev, n))) in
+            else out
+          (h / w, n)
+        }
+        prev = cur; cur = picked
+        (start, wk, t, cur)
+      }
+    }
+    rows.flatten.toSet
+  }
+
+  private def runBiased(edges: Seq[(Long, Long)], length: Int, wpn: Int,
+                        ret: Long, in: Long, out: Long, seed: Long)
+      : Set[(Long, Int, Int, Long)] =
+    GraphOps.biasedWalks(edges.toDF("src", "dst").repartition(4),
+        length, wpn, ret, in, out, seed)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+
+  test("biasedWalks matches the plain-Scala node2vec reference exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (1L, 6L), (1L, 7L))
+    val got = runBiased(edges, 4, 2, 100L, 1000L, 1500L, 7L)
+    assert(got == refBiased(edges, 4, 2, 100L, 1000L, 1500L, 7L))
+  }
+
+  test("biasedWalks bias semantics: huge return weight forces oscillation") {
+    // triangle: every node has 2 neighbors, so step 2 always has the
+    // choice between returning and advancing
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val back = runBiased(tri, 4, 1, 1000000000L, 1000L, 1000L, 7L)
+    // with ret >> others, every step >= 2 returns to the step-2-ago node
+    back.groupBy(r => (r._1, r._2)).values.foreach { wk =>
+      val path = wk.toSeq.sortBy(_._3).map(_._4)
+      (2 until path.length).foreach { i =>
+        assert(path(i) == path(i - 2), s"expected oscillation in $path")
+      }
+    }
+    // with ret = 1 (vanishing), a triangle walk NEVER returns immediately
+    val fwd = runBiased(tri, 4, 1, 1L, 1000L, 1000L, 7L)
+    fwd.groupBy(r => (r._1, r._2)).values.foreach { wk =>
+      val path = wk.toSeq.sortBy(_._3).map(_._4)
+      (2 until path.length).foreach { i =>
+        assert(path(i) != path(i - 2), s"unexpected return in $path")
+      }
+    }
+  }
+
+  // ------------------------------------------------------ type inference
+
+  test("kgInferredTypes: direct type plus every supertype with hops") {
+    val docs = Seq((1L, "customer vector filter"))
+      .toDF("doc_id", "text")
+    val got = graft.Queries.kgInferredTypesOf(
+        graft.Queries.kgTypedTriplesOf(docs))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(
+      ("customer", "biz", 0), ("customer", "asset", 1),
+      ("customer", "resource", 2),
+      ("vector", "data", 0), ("vector", "asset", 1),
+      ("vector", "resource", 2)))
+  }
+
   // --------------------------------------------------------------- BGP
 
   private val kgEdges = Seq(
