@@ -1491,8 +1491,11 @@ object Queries {
     * the DISTINCT edge set (SPARQL set semantics). */
   def kgBgp(s: SparkSession, dir: String): DataFrame = {
     import graph.BgpMatcher.{C, TriplePattern, V}
+    // each pattern scans the edge relation once — checkpoint the distinct
+    // edge set so a k-pattern BGP costs ONE extraction pass, not k
     val e = kgTypedTriples(s, dir)
       .select(col("subj"), col("pred"), col("obj")).distinct()
+      .localCheckpoint()
     graph.BgpMatcher.matchBgp(e, Seq(
       TriplePattern(V("x"), C("filter"), V("m")),
       TriplePattern(V("m"), C("group"), V("y")),
@@ -1507,6 +1510,7 @@ object Queries {
     import graph.BgpMatcher.{C, TriplePattern, V}
     val e = kgTypedTriples(s, dir)
       .select(col("subj"), col("pred"), col("obj")).distinct()
+      .localCheckpoint() // two patterns, one extraction pass (see kgBgp)
     graph.BgpMatcher.matchBgp(e,
       Seq(TriplePattern(V("x"), C("filter"), V("m"))),
       optionals = Seq(TriplePattern(V("m"), C("merge"), V("z"))))
@@ -1546,8 +1550,10 @@ object Queries {
   def kgInferredTypesOf(t: DataFrame): DataFrame = {
     val s = t.sparkSession
     import s.implicits._
-    val ents = t.select(col("subj").as("entity"))
-      .unionByName(t.select(col("obj").as("entity"))).distinct()
+    // both endpoints in ONE extraction scan (a union of two projections
+    // would scan the stream twice)
+    val ents = t.select(explode(array(col("subj"), col("obj")))
+      .as("entity")).distinct()
     val direct = ents
       .withColumn("rdf_type", entityTypeCol(col("entity")))
       .withColumn("hops", lit(0))

@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions._
   * on binding keys. Constant-predicate patterns prune to one predicate's
   * edges before any join; AQE broadcast-converts the small sides at
   * runtime. At a billion edges this is exactly the plan a SPARQL engine's
-  * BGP optimizer (e.g. Jena's weighted-join reorder) would emit.
+  * BGP optimizer (e.g. Jena's weighted-join reorder) would emit. When the
+  * edge relation is itself an expensive derivation (an extraction stream,
+  * not a stored table), checkpoint/cache it before calling — each pattern
+  * scans the relation it is handed once.
   */
 object BgpMatcher {
 
