@@ -1246,6 +1246,23 @@ object Queries {
         col("width"), col("height"), col("n_frames"))
   }
 
+  /** Multimodal AUDIO plumbing with the honest decoder: doc_id % 10 == 5
+    * rows carry a real RIFF/WAVE PCM header that
+    * [[Multimodal.AudioHeaderDecoder]] parses for real (fmt + data
+    * subchunk walk); every other row keeps the UTF-8 payload and the
+    * deterministic FakeAudioDecoder parameters. The oracle recomputes the
+    * planted rates/samples from doc_id — the audio twin of
+    * [[multimodalFeatures]]. */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val media = Multimodal.fromDocumentsWithAudio(
+      table(s, dir, "documents").select(col("doc_id"), col("text")))
+    Multimodal.extractAudio(media).toDF()
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_bytes"),
+        col("sample_rate"), col("channels"), col("n_samples"),
+        col("dur_ms"))
+  }
+
   // ------------------------------------ KG schema induction (typed preds)
 
   /** Typed-predicate lexicon for the schema-induction entries: the relation

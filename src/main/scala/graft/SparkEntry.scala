@@ -137,6 +137,7 @@ object SparkEntry {
     "kg_edge_diff" -> (Queries.kgEdgeDiff _),
     // multimodal plumbing
     "multimodal_features" -> (Queries.multimodalFeatures _),
+    "multimodal_audio" -> (Queries.multimodalAudio _),
   )
 
   // ------- generated oracle SQL for the portable-hash operator family -----
@@ -1785,5 +1786,23 @@ object SparkEntry {
         |      WHEN doc_id % 10 = 9 THEN 26
         |      ELSE CAST(1 + strlen(text) % 30 AS INTEGER) END AS n_frames
         |FROM documents""".stripMargin,
+    // audio plumbing: planted WAV rows decode for real, the rest take the
+    // deterministic byte-length fakes — both recomputable from doc_id/text
+    "multimodal_audio" ->
+      """WITH a AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 5 THEN 44
+        |       ELSE CAST(strlen(text) AS INTEGER) END AS n_bytes,
+        |  CASE WHEN doc_id % 10 = 5
+        |       THEN CAST(8000 + (doc_id % 8) * 4000 AS INTEGER)
+        |       ELSE CAST(8000 + (strlen(text) * 7) % 40000 AS INTEGER)
+        |       END AS sample_rate,
+        |  CASE WHEN doc_id % 10 = 5 THEN CAST(1 + doc_id % 2 AS INTEGER)
+        |       ELSE CAST(1 + strlen(text) % 2 AS INTEGER) END AS channels,
+        |  CASE WHEN doc_id % 10 = 5 THEN 1000 + doc_id % 9000
+        |       ELSE 256 + (strlen(text) * 13) % 65536 END AS n_samples
+        | FROM documents)
+        |SELECT doc_id, n_bytes, sample_rate, channels, n_samples,
+        |  (n_samples * 1000) // sample_rate AS dur_ms
+        |FROM a""".stripMargin,
   )
 }

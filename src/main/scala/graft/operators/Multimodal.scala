@@ -224,6 +224,134 @@ object Multimodal {
         ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
   }
 
+  // ------------------------------------------------------------- audio
+
+  case class AudioFeatures(doc_id: String, media_ref: String, n_bytes: Int,
+                           sample_rate: Int, channels: Int,
+                           n_samples: Long, dur_ms: Long)
+
+  /** STUB audio decoder — the FakeDecoder twin for payloads that are not
+    * WAV: deterministic pseudo-parameters from the byte length only, so
+    * the catalog oracle recomputes them from `octet_length(text)`. */
+  object FakeAudioDecoder extends Serializable {
+    def decodeOne(r: MediaRow): AudioFeatures = {
+      val n = r.media_bytes.length
+      val rate = 8000 + math.floorMod(n * 7, 40000)
+      val samples = 256L + math.floorMod(n * 13, 65536)
+      AudioFeatures(r.doc_id, r.media_ref, n,
+        sample_rate = rate, channels = 1 + math.floorMod(n, 2),
+        n_samples = samples, dur_ms = samples * 1000L / rate)
+    }
+  }
+
+  /** REAL WAV header decode (RIFF/WAVE, the public Microsoft/IBM spec):
+    * "RIFF" u32le "WAVE", then subchunks `[id:4][size:u32le][payload]`;
+    * the `fmt ` subchunk carries audio format (1 = PCM), channel count
+    * (u16le), sample rate (u32le) and bits per sample (u16le at offset
+    * 14); the `data` subchunk's declared size divided by the block align
+    * (channels · bits/8) is the sample count. Like the image probes this
+    * trusts DECLARED sizes — a header probe must not require the payload
+    * bytes to be present — but malformed structure (bad magic, missing
+    * fmt/data, zero rates or dims) falls back to [[FakeAudioDecoder]]. */
+  object AudioHeaderDecoder extends Serializable {
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def ascii(b: Array[Byte], off: Int): String =
+      new String(b.slice(off, off + 4), "US-ASCII")
+
+    /** (sample_rate, channels, n_samples) from a WAV header; None if the
+      * payload is not well-formed RIFF/WAVE PCM. */
+    def decodeParams(b: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (b.length < 12 || ascii(b, 0) != "RIFF" || ascii(b, 8) != "WAVE")
+        return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+      var dataSize = -1L
+      while (i + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+        val id = ascii(b, i)
+        val size = le32(b, i + 4)
+        if (size < 0 || size > Int.MaxValue - 16) return None // corrupt size
+        if (id == "fmt " && size >= 16 && i + 24 <= b.length) {
+          val audioFormat = le16(b, i + 8)
+          if (audioFormat != 1) return None // non-PCM: out of probe scope
+          fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt, le16(b, i + 22)))
+        } else if (id == "data") dataSize = size
+        // subchunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      fmt match {
+        case Some((ch, rate, bits))
+            if ch > 0 && rate > 0 && bits > 0 && bits % 8 == 0 &&
+              dataSize >= 0 =>
+          Some((rate, ch, dataSize / (ch.toLong * (bits / 8))))
+        case _ => None
+      }
+    }
+
+    /** Batched decode, FakeAudioDecoder contract: real parameters when
+      * the payload parses as RIFF/WAVE PCM, deterministic fakes else. */
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
+      rows.map { r =>
+        decodeParams(r.media_bytes) match {
+          case Some((rate, ch, samples)) =>
+            AudioFeatures(r.doc_id, r.media_ref, r.media_bytes.length,
+              rate, ch, samples, samples * 1000L / rate)
+          case None => FakeAudioDecoder.decodeOne(r)
+        }
+      }
+  }
+
+  /** Minimal REAL WAV payload: RIFF/WAVE + PCM `fmt ` + a `data` chunk
+    * whose size is declared but whose sample bytes are elided (header
+    * probes trust declared sizes; shipping n_samples · block_align zero
+    * bytes in a synthetic corpus would be pure dead weight). 44 bytes. */
+  def wavBytes(sampleRate: Int, channels: Int, nSamples: Long): Array[Byte] = {
+    val blockAlign = channels * 2 // 16-bit PCM
+    val b = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                        // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)            // byte rate
+      .putShort(blockAlign.toShort).putShort(16.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt((nSamples * blockAlign).toInt)
+    b.array()
+  }
+
+  /** Bind a (doc_id, text) table into media rows with real WAV payloads
+    * planted on doc_id % 10 == 5: sample rate 8000 + 4000·(id mod 8),
+    * 1 + id mod 2 channels, 1000 + id mod 9000 samples. Every other row
+    * keeps the UTF-8 text payload and takes the FakeAudioDecoder path —
+    * the audio twin of [[fromDocumentsWithImages]]. */
+  def fromDocumentsWithAudio(docs: DataFrame)
+                            (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes =
+          if (id % 10 == 5)
+            wavBytes((8000 + (id % 8) * 4000).toInt, (1 + id % 2).toInt,
+              1000 + id % 9000)
+          else if (text == null) Array.empty[Byte]
+          else text.getBytes("UTF-8")
+        MediaRow(id.toString, s"media://$id", bytes)
+      }
+  }
+
+  /** Decode stage for audio rows — same zero-shuffle mapPartitions shape
+    * as [[extractFeatures]]. */
+  def extractAudio(media: Dataset[MediaRow])
+                  (implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(AudioHeaderDecoder.decodeBatch)
+  }
+
   /** Bind a (doc_id, text) table into media rows WITH real image payloads
     * planted deterministically: doc_id % 10 == 3 rows carry a well-formed
     * PNG header (width = 1 + id mod 1024, height = 1 + 7·id mod 1024),

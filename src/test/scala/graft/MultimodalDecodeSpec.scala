@@ -143,6 +143,43 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(out(5L) == ((n, 64 + n % 640, 64 + (n * 31) % 480, 1 + n % 30)))
   }
 
+  test("WAV headers parse to the exact declared audio parameters") {
+    import graft.operators.Multimodal.AudioHeaderDecoder
+    // the builder's own output: 44-byte RIFF/WAVE, fmt then data
+    assert(AudioHeaderDecoder.decodeParams(Multimodal.wavBytes(44100, 2, 1000))
+      .contains((44100, 2, 1000L)))
+    assert(AudioHeaderDecoder.decodeParams(Multimodal.wavBytes(8000, 1, 1L))
+      .contains((8000, 1, 1L)))
+    // a foreign subchunk (LIST) before fmt must be skipped, not fatal
+    val w = Multimodal.wavBytes(16000, 1, 500)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ Array.fill(4)(0x20.toByte)
+    val withList = w.take(12) ++ list ++ w.drop(12)
+    assert(AudioHeaderDecoder.decodeParams(withList)
+      .contains((16000, 1, 500L)))
+    // malformed payloads fall back: bad magic, truncation, non-PCM
+    assert(AudioHeaderDecoder.decodeParams("RIFXnope".getBytes).isEmpty)
+    assert(AudioHeaderDecoder.decodeParams(w.take(20)).isEmpty)
+    val nonPcm = w.clone(); nonPcm(20) = 3 // audio format = IEEE float
+    assert(AudioHeaderDecoder.decodeParams(nonPcm).isEmpty)
+  }
+
+  test("the audio binder plants real WAV payloads the honest decoder reads") {
+    val docs = Seq(5L -> "five", 2L -> "plain text here")
+      .toDF("doc_id", "text")
+    val out = Multimodal.extractAudio(Multimodal.fromDocumentsWithAudio(docs))
+      .collect().map(f => f.doc_id.toLong ->
+        ((f.n_bytes, f.sample_rate, f.channels, f.n_samples, f.dur_ms))).toMap
+    // %10==5 → WAV: rate 8000+4000·(5%8)=28000, ch 1+5%2=2, 1005 samples
+    assert(out(5L) == ((44, 28000, 2, 1005L, 1005L * 1000 / 28000)),
+      s"wav row: ${out(5L)}")
+    // other rows keep UTF-8 payload + deterministic fake parameters
+    val n = "plain text here".getBytes("UTF-8").length
+    val rate = 8000 + (n * 7) % 40000
+    val samples = 256L + (n * 13) % 65536
+    assert(out(2L) == ((n, rate, 1 + n % 2, samples, samples * 1000 / rate)))
+  }
+
   test("planted GIF/WebP builders round-trip through the real decoder") {
     assert(HeaderDecoder.decodeDims(Multimodal.gifBytes(640, 480))
       .contains((640, 480)))
