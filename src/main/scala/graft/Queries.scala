@@ -575,6 +575,34 @@ object Queries {
     graph.GraphOps.ssspBounded(e, seeds, rounds = 4)
   }
 
+  /** The user graph as TEMPORAL edges: one (src, dst, t) row per shared
+    * minute, both directions — the time-respecting contact list
+    * [[userTemporalReach]] propagates over. */
+  def userTemporalEdges(s: SparkSession, dir: String): DataFrame = {
+    val b = table(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000").as("bkt"))
+      .distinct()
+    val p = b.as("x").join(b.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("src"), col("y.user_id").as("dst"),
+        col("x.bkt").as("t"))
+    p.unionByName(
+      p.select(col("dst").as("src"), col("src").as("dst"), col("t")))
+  }
+
+  /** Earliest-arrival temporal reachability from the smallest user over
+    * the minute-stamped contact graph, 4 time-respecting hops
+    * ([[graft.graph.GraphOps.earliestArrival]] — the influence/contact
+    * propagation primitive: a hop through a minute EARLIER than the
+    * current arrival does not count; the oracle unrolls the naive
+    * whole-set recurrence, proving the changed-frontier pruning exact). */
+  def userTemporalReach(s: SparkSession, dir: String): DataFrame = {
+    val e = userTemporalEdges(s, dir)
+    val seeds = e.agg(min(col("src")).as("node"))
+    graph.GraphOps.earliestArrival(e, seeds, rounds = 4)
+  }
+
   /** One-row structural summary of the user graph — counts, max degree,
     * wedges, distinct triangles, global clustering coefficient in exact
     * ppm ([[graft.graph.GraphOps.graphStats]]). */
@@ -780,6 +808,13 @@ object Queries {
   def textClassifier(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.classifierScore(table(s, dir, "documents"),
       vocabKey = Some(s"$dir#documents#words"))
+
+  /** Count-min-sketch token-frequency estimates beside the exact counts
+    * ([[TextAnalysis.cmsTokenCounts]] — the 100 TB heavy-hitter primitive;
+    * the exact side exists to exhibit est ≥ exact). */
+  def textCmsCounts(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cmsTokenCounts(
+      table(s, dir, "documents").select(col("doc_id"), col("text")))
 
   /** Target mix for the weighted-mixture catalog entry (ppm of the final
     * corpus per language; shared with the generated oracle's VALUES list).

@@ -87,6 +87,7 @@ object SparkEntry {
     "text_mixture" -> (Queries.textMixture _),
     "text_mixture_weighted" -> (Queries.textMixtureWeighted _),
     "text_classifier" -> (Queries.textClassifier _),
+    "text_cms_counts" -> (Queries.textCmsCounts _),
     "corpus_stats" -> (Queries.corpusStats _),
     "corpus_overlap" -> (Queries.corpusOverlap _),
     "corpus_audit" -> (Queries.corpusAudit _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "user_walks" -> (Queries.userWalks _),
     "user_walk_pairs" -> (Queries.userWalkPairs _),
     "user_walks_biased" -> (Queries.userWalksBiased _),
+    "user_temporal_reach" -> (Queries.userTemporalReach _),
     "kg_pipeline_triples" -> (Queries.kgPipelineTriples _),
     "kg_nodes" -> (Queries.kgNodes _),
     // KG schema induction over typed predicates + export/negatives
@@ -980,6 +982,28 @@ object SparkEntry {
          |       FROM t JOIN vocab USING (w) GROUP BY doc_id)
          |SELECT doc_id, logit, CAST(logit > 0 AS INTEGER) AS label_keep FROM s""".stripMargin
     },
+    // count-min sketch rebuilt cell-for-cell: 3 LCG hash rows over the
+    // dense vocabulary rank, estimate = min cell, exact counts beside
+    "text_cms_counts" -> {
+      import graft.operators.Dedup.{HashA, HashB}
+      val rows = (0 until 3).map { j =>
+        s"""SELECT sh, n, $j AS j,
+           |   ((${HashA(j)}*tid + ${HashB(j)}) % $P) % 64 AS b FROM wc"""
+          .stripMargin
+      }.mkString("\n   UNION ALL ")
+      s"""WITH toks AS (SELECT unnest(string_split(text,' ')) AS sh
+         |   FROM documents WHERE text IS NOT NULL),
+         | tf AS (SELECT sh FROM toks WHERE length(sh) > 0),
+         | counts AS (SELECT sh, count(*) AS n FROM tf GROUP BY sh),
+         | vocab AS (SELECT sh, row_number() OVER (ORDER BY sh) AS tid
+         |   FROM (SELECT DISTINCT sh FROM tf)),
+         | wc AS (SELECT c.sh, c.n, v.tid FROM counts c JOIN vocab v USING (sh)),
+         | jb AS ($rows),
+         | cells AS (SELECT j, b, CAST(sum(n) AS BIGINT) AS cell
+         |   FROM jb GROUP BY 1, 2)
+         |SELECT jb.sh AS token, min(jb.n) AS n_exact, min(cell) AS n_est
+         |FROM jb JOIN cells USING (j, b) GROUP BY jb.sh""".stripMargin
+    },
     // cross-source n-gram overlap census (contamination matrix)
     "corpus_overlap" -> {
       val k = Queries.PassageK; val km1 = k - 1
@@ -1513,6 +1537,32 @@ object SparkEntry {
          | d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS d FROM syme),
          |$steps
          |SELECT node, d AS dist FROM d4""".stripMargin
+    },
+    // earliest-arrival temporal reachability: the oracle unrolls the
+    // NAIVE whole-set time-respecting recurrence (arrival_i(v) =
+    // min(arrival_{i-1}(v), min t of in-edges with t >= arrival_{i-1}(u)))
+    // — the hash match proves the changed-frontier pruning exact
+    "user_temporal_reach" -> {
+      val steps = (1 to 4).map { i =>
+        s""" d$i AS MATERIALIZED (SELECT node, min(a) AS arrival FROM (
+           |   SELECT node, arrival AS a FROM d${i - 1}
+           |   UNION ALL
+           |   SELECT e.dst AS node, e.t AS a
+           |   FROM d${i - 1} p JOIN te e
+           |     ON e.src = p.node AND e.t >= p.arrival) GROUP BY node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS MATERIALIZED (SELECT DISTINCT user_id,
+         |   epoch_us(ts) // 60000000 AS bkt FROM events),
+         | tp AS MATERIALIZED (SELECT x.user_id AS src, y.user_id AS dst,
+         |     x.bkt AS t
+         |   FROM b x JOIN b y ON x.bkt = y.bkt AND x.user_id < y.user_id),
+         | te AS MATERIALIZED (SELECT src, dst, t FROM tp
+         |   UNION ALL SELECT dst, src, t FROM tp),
+         | d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS arrival
+         |   FROM te),
+         |$steps
+         |SELECT node, arrival FROM d4""".stripMargin
     },
     // deterministic DeepWalk corpus: the oracle re-derives every step of
     // every walk with the same LCG argmin (row_number twin of the

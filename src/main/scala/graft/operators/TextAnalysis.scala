@@ -388,6 +388,47 @@ object TextAnalysis {
         (col("logit") > 0L).cast("int").as("label_keep"))
   }
 
+  /** COUNT-MIN SKETCH token-frequency estimation (Cormode, Muthukrishnan
+    * 2005): `depth` hash rows × `width` buckets, each cell the summed
+    * count of the tokens hashing into it; a token's estimate is the MIN
+    * over its `depth` cells — always ≥ the true count, within εN with
+    * high probability. At 100 TB this is the heavy-hitter primitive: the
+    * sketch table is depth·width rows (a broadcastable artifact) built
+    * with ONE map-side-combinable shuffle keyed on (row, bucket) — the
+    * exact per-token groupBy this replaces shuffles a billion-key
+    * aggregation. The catalog entry ALSO computes the exact counts and
+    * joins them beside the estimates to EXHIBIT the overcount bound; a
+    * production run keeps only the sketch and point-queries it.
+    *
+    * Hashing reuses the portable LCG rows ([[Dedup.HashA]]/[[Dedup.HashB]]
+    * over dense vocabulary ranks) so DuckDB rebuilds the identical sketch
+    * cell-for-cell; the production form hashes tokens directly (xxhash64)
+    * exactly like the minhash family's split.
+    *
+    * @return (token, n_exact, n_est) — n_est ≥ n_exact for every token. */
+  def cmsTokenCounts(docs: DataFrame, depth: Int = 3, width: Int = 64,
+                     vocabKey: Option[String] = None): DataFrame = {
+    require(depth >= 1 && depth <= 32, s"depth must be in [1,32], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val toks = docs.select(explode(split(col("text"), " ")).as("sh"))
+      .filter(length(col("sh")) > 0)
+    val counts = toks.groupBy(col("sh")).agg(count(lit(1)).as("n"))
+    val vocab = Dedup.tokenVocabCached(toks, vocabKey)
+    // (token, n, tid) exploded into its depth (row, bucket) coordinates
+    val jb = counts.join(vocab, "sh")
+      .select(col("sh"), col("n"), explode(array((0 until depth).map { j =>
+        struct(lit(j).as("j"),
+          (Dedup.lcgHash(j, col("tid")) % lit(width.toLong)).as("b"))
+      }: _*)).as("jb"))
+      .select(col("sh"), col("n"), col("jb.j").as("j"), col("jb.b").as("b"))
+      .localCheckpoint() // two consumers: the cell sums and the probe join
+    val cells = jb.groupBy(col("j"), col("b")).agg(sum(col("n")).as("cell"))
+    jb.join(cells, Seq("j", "b"))
+      .groupBy(col("sh"))
+      .agg(min(col("n")).as("n_exact"), min(col("cell")).as("n_est"))
+      .select(col("sh").as("token"), col("n_exact"), col("n_est"))
+  }
+
   /** [[classifierScore]] with an EXTERNAL weight table — the trained-
     * weights deployment path: `weights` is (feature: Long, weight: Long)
     * over [0, dim) hashed features, exactly the flat array a trained

@@ -416,6 +416,51 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(row.getLong(4) == 4L && row.getLong(5) == 800000L)
   }
 
+  /** Naive whole-set earliest-arrival recurrence — no frontier pruning. */
+  private def refArrival(edges: Seq[(Long, Long, Long)], seed: Long,
+                         rounds: Int, t0: Long = 0L): Map[Long, Long] = {
+    var d = Map(seed -> t0)
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.flatMap { case (u, v, t) =>
+        d.get(u).filter(t >= _).map(_ => v -> t)
+      }
+      d = (d.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    d
+  }
+
+  private def runArrival(edges: Seq[(Long, Long, Long)], seed: Long,
+                         rounds: Int): Map[Long, Long] =
+    GraphOps.earliestArrival(edges.toDF("src", "dst", "t"),
+        Seq(seed).toDF("node"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("earliestArrival: a too-early edge does NOT propagate") {
+    // 1 -(t=5)-> 2 -(t=3)-> 3: node 3 is unreachable in time order;
+    // 2 -(t=7)-> 4 IS reachable (7 >= arrival(2) = 5)
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 4L, 7L))
+    val got = runArrival(e, seed = 1L, rounds = 4)
+    assert(got == Map(1L -> 0L, 2L -> 5L, 4L -> 7L))
+  }
+
+  test("earliestArrival: a LATER but time-valid path beats no path") {
+    // direct edge too early after the detour? seed at 0: both paths valid;
+    // earliest arrival takes the min t per node across paths
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 4L))
+    val got = runArrival(e, seed = 1L, rounds = 4)
+    // node 2: direct at t=10 vs via 3 (arrive 2, then t=4 >= 2) -> 4
+    assert(got(2L) == 4L && got(3L) == 2L)
+  }
+
+  test("earliestArrival equals the naive recurrence (pruning lossless)") {
+    // denser temporal graph incl. a cycle and re-improvement chances
+    val e = Seq((1L, 2L, 3L), (2L, 3L, 5L), (3L, 1L, 6L), (1L, 3L, 9L),
+      (3L, 4L, 7L), (4L, 2L, 8L), (2L, 4L, 4L), (4L, 5L, 1L))
+    for (r <- 0 to 5)
+      assert(runArrival(e, 1L, r) == refArrival(e, 1L, r), s"rounds=$r")
+  }
+
   test("nodeDegrees: distinct-neighbor degree and doc support from the rollup") {
     val rollup = Seq(
       ("a", "p1", "b", 3L), ("a", "p2", "b", 2L), // multi-pred: same pair

@@ -427,6 +427,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch: estimates equal the brute-force cells, est >= exact") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "aa bb aa cc dd"), (2L, "aa bb ee ff gg hh"), (3L, "aa ii jj"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.cmsTokenCounts(docs, depth = 3, width = 8)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // brute-force reference with the same constants
+    val toks = Seq("aa","bb","aa","cc","dd","aa","bb","ee","ff","gg","hh",
+      "aa","ii","jj")
+    val exact = toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tid = exact.keys.toSeq.sorted.zipWithIndex
+      .map { case (t, i) => t -> (i + 1L) }.toMap
+    def bucket(j: Int, t: String): Long =
+      ((Dedup.HashA(j) * tid(t) + Dedup.HashB(j)) % Dedup.HashP) % 8
+    // keys.toSeq: a Set inner generator would DEDUP equal ((j,b),n) pairs
+    val cells = (for { j <- 0 until 3; t <- exact.keys.toSeq } yield
+      ((j, bucket(j, t)), exact(t))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    val est = exact.keys.map(t =>
+      t -> (0 until 3).map(j => cells((j, bucket(j, t)))).min).toMap
+    assert(got == exact.map { case (t, n) => t -> ((n, est(t))) })
+    assert(got.forall { case (t, (ex, es)) => es >= ex })
+    // pigeonhole: depth 1, width 2, 10 tokens -> collisions must overcount
+    val tight = TextAnalysis.cmsTokenCounts(docs, depth = 1, width = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(tight.forall { case (ex, es) => es >= ex })
+    assert(tight.exists { case (ex, es) => es > ex },
+      "2 buckets over 10 tokens must collide somewhere")
+  }
+
   test("decontaminate never shuffle-joins the corpus (every join is broadcast)") {
     val plan = Dedup.decontaminate(docs, docs.limit(2), shingleN = 8)
       .queryExecution.executedPlan.toString
