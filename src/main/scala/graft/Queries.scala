@@ -809,6 +809,13 @@ object Queries {
     TextAnalysis.classifierScore(table(s, dir, "documents"),
       vocabKey = Some(s"$dir#documents#words"))
 
+  /** KMV bottom-k distinct-token estimates per language beside the exact
+    * distinct counts ([[TextAnalysis.kmvDistinctTokens]] — the
+    * approximate-distinct primitive; exact side = the demonstration). */
+  def textKmvDistinct(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.kmvDistinctTokens(
+      table(s, dir, "documents").select(col("lang"), col("text")))
+
   /** Count-min-sketch token-frequency estimates beside the exact counts
     * ([[TextAnalysis.cmsTokenCounts]] — the 100 TB heavy-hitter primitive;
     * the exact side exists to exhibit est ≥ exact). */

@@ -88,6 +88,7 @@ object SparkEntry {
     "text_mixture_weighted" -> (Queries.textMixtureWeighted _),
     "text_classifier" -> (Queries.textClassifier _),
     "text_cms_counts" -> (Queries.textCmsCounts _),
+    "text_kmv_distinct" -> (Queries.textKmvDistinct _),
     "corpus_stats" -> (Queries.corpusStats _),
     "corpus_overlap" -> (Queries.corpusOverlap _),
     "corpus_audit" -> (Queries.corpusAudit _),
@@ -1003,6 +1004,32 @@ object SparkEntry {
          |   FROM jb GROUP BY 1, 2)
          |SELECT jb.sh AS token, min(jb.n) AS n_exact, min(cell) AS n_est
          |FROM jb JOIN cells USING (j, b) GROUP BY jb.sh""".stripMargin
+    },
+    // KMV bottom-k distinct sketch: k smallest distinct LCG hashes per
+    // lang, estimate (k-1)*P // h_k, exact small-set fallback
+    "text_kmv_distinct" -> {
+      import graft.operators.Dedup.{HashA, HashB}
+      val k = 16
+      s"""WITH toks AS (SELECT lang, unnest(string_split(text,' ')) AS sh
+         |   FROM documents WHERE text IS NOT NULL),
+         | tf AS (SELECT DISTINCT lang, sh FROM toks WHERE length(sh) > 0),
+         | vocab AS (SELECT sh, row_number() OVER (ORDER BY sh) AS tid
+         |   FROM (SELECT DISTINCT sh FROM tf)),
+         | hs AS (SELECT lang, tid, (${HashA(4)}*tid + ${HashB(4)}) % $P AS h
+         |   FROM tf JOIN vocab USING (sh)),
+         | hd AS (SELECT DISTINCT lang, h FROM hs),
+         | mins AS (SELECT lang, h FROM (SELECT lang, h,
+         |     row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |   FROM hd) WHERE rn <= $k),
+         | kth AS (SELECT lang, max(h) AS hk, count(*) AS m FROM mins
+         |   GROUP BY lang),
+         | ex AS (SELECT lang, count(DISTINCT tid) AS n_exact FROM hs
+         |   GROUP BY lang)
+         |SELECT ex.lang, n_exact,
+         |  CASE WHEN m < $k THEN m
+         |       ELSE (${k - 1} * $P) // hk END AS n_est
+         |FROM ex JOIN kth ON ex.lang IS NOT DISTINCT FROM kth.lang"""
+        .stripMargin
     },
     // cross-source n-gram overlap census (contamination matrix)
     "corpus_overlap" -> {

@@ -121,12 +121,25 @@ object Sampling {
   def stratifiedExactK(docs: DataFrame, idCol: Column, stratum: Column,
                        k: Int, hashIdx: Int = 3,
                        safetyMargin: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k > 0, s"k must be positive, got $k")
     val h = pmod(lit(Dedup.HashA(hashIdx)) * idCol.cast("long")
       + lit(Dedup.HashB(hashIdx)), lit(Dedup.HashP))
     val base = docs.select(stratum.as("stratum"), idCol.cast("long").as("doc_id"))
       .withColumn("h", h)
+    minKByHash(base, k, safetyMargin)
+      .select(col("stratum"), col("doc_id"), col("rn").cast("long").as("rn"))
+  }
+
+  /** The pre-thinned exact min-k machinery behind [[stratifiedExactK]]
+    * (and the KMV sketch): given prepared (stratum, doc_id, h) rows with
+    * h uniform on [0, HashP), return each stratum's min(k, n) smallest
+    * (h, doc_id) rows with rank rn = 1..k — thinning to ~2k+margin
+    * survivors per stratum before the ranking window, with the
+    * per-failing-stratum full re-rank fallback (see the scaladoc above
+    * for the downward-closure exactness argument). */
+  private[operators] def minKByHash(base: DataFrame, k: Int,
+                                    safetyMargin: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
     val counts = base.groupBy(col("stratum")).agg(count(lit(1)).as("n"))
     // threshold per stratum: everything when n ≤ k (the whole stratum is
     // the sample); else the (2k + margin)-quantile of the uniform hash.
@@ -160,7 +173,6 @@ object Sampling {
       .unionByName(slow.select(col("stratum"), col("doc_id"), col("h")))
       .withColumn("rn", row_number().over(win))
       .filter(col("rn") <= k)
-      .select(col("stratum"), col("doc_id"), col("rn").cast("long").as("rn"))
   }
 
   /** DoReMi-style WEIGHTED mixture: `targets` (grp, target_ppm) pins each

@@ -429,6 +429,47 @@ object TextAnalysis {
       .select(col("sh").as("token"), col("n_exact"), col("n_est"))
   }
 
+  /** KMV (k-minimum-values) DISTINCT-COUNT sketch per language
+    * (Bar-Yossef et al. 2002; the bottom-k sketch): hash every distinct
+    * token, keep each group's k smallest distinct hash values, and
+    * estimate the distinct count as (k−1)·P div h_k from the k-th
+    * smallest — the approximate-distinct primitive for cardinalities too
+    * large to countDistinct exactly (a billion-key exact distinct is a
+    * full shuffle of every key; the sketch ships k longs per group and
+    * merges by union+re-min). Groups with fewer than k distinct hashes
+    * return their EXACT count (the standard KMV small-set fallback).
+    *
+    * The k-smallest selection reuses [[Sampling.stratifiedExactK]]'s
+    * pre-thinned machinery (threshold to ~2k survivors, per-stratum
+    * fallback), so no stratum ever ranks more than O(k) rows. The
+    * catalog entry joins the EXACT distinct count beside the estimate to
+    * exhibit the accuracy — production keeps only the sketch. */
+  def kmvDistinctTokens(docs: DataFrame, k: Int = 16,
+                        vocabKey: Option[String] = None): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = docs.select(col("lang"),
+        explode(split(col("text"), " ")).as("sh"))
+      .filter(length(col("sh")) > 0)
+    val lt = toks.distinct()
+    val vocab = Dedup.tokenVocabCached(toks.select(col("sh")), vocabKey)
+    val hs = lt.join(vocab, "sh")
+      .select(col("lang").as("stratum"), col("tid"),
+        Dedup.lcgHash(4, col("tid")).as("h"))
+      .localCheckpoint() // two consumers: exact count and the sketch
+    val hd = hs.select(col("stratum"), col("h")).distinct()
+      .withColumn("doc_id", col("h")) // KMV ranks the hash value itself
+    val kth = Sampling.minKByHash(hd, k, safetyMargin = 64)
+      .groupBy(col("stratum"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
+    val exact = hs.groupBy(col("stratum"))
+      .agg(countDistinct(col("tid")).as("n_exact"))
+    exact.join(kth, exact("stratum") <=> kth("stratum"))
+      .select(exact("stratum").as("lang"), col("n_exact"),
+        when(col("m") < k, col("m"))
+          .otherwise(expr(s"(${k - 1} * ${Dedup.HashP}) div hk"))
+          .as("n_est"))
+  }
+
   /** [[classifierScore]] with an EXTERNAL weight table — the trained-
     * weights deployment path: `weights` is (feature: Long, weight: Long)
     * over [0, dim) hashed features, exactly the flat array a trained

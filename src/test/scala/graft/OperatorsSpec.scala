@@ -459,6 +459,33 @@ class OperatorsSpec extends AnyFunSuite {
       "2 buckets over 10 tokens must collide somewhere")
   }
 
+  test("KMV distinct sketch: exact below k, reference-equal estimate above") {
+    import graft.operators.TextAnalysis
+    // lang "aa": 3 distinct tokens (< k=16) -> the exact fallback;
+    // lang "bb": 200 distinct tokens -> the (k-1)*P/h_k estimator
+    val big = (1 to 200).map(i => ("bb", s"tok$i bridge")).toSeq
+    val docs = (Seq(("aa", "x y z"), ("aa", "x y")) ++ big)
+      .toDF("lang", "text")
+    val got = TextAnalysis.kmvDistinctTokens(docs, k = 16)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got("aa") == ((3L, 3L)), "small set must fall back to exact")
+    // brute-force reference: same vocab rank, same hash, same estimator
+    val allToks = (Seq("x y z", "x y") ++ big.map(_._2))
+      .flatMap(_.split(" ")).distinct.sorted
+    val tid = allToks.zipWithIndex.map { case (t, i) => t -> (i + 1L) }.toMap
+    val bbToks = (big.map(_._2).flatMap(_.split(" "))).distinct
+    val hashes = bbToks.map(t =>
+      (Dedup.HashA(4) * tid(t) + Dedup.HashB(4)) % Dedup.HashP)
+      .distinct.sorted
+    val hk = hashes(15) // 16th smallest
+    val want = 15L * Dedup.HashP / hk
+    assert(got("bb") == ((201L, want)), s"got ${got("bb")}, want (201, $want)")
+    // estimator sanity: within the expected KMV error band for k=16
+    assert(want > 201 / 2 && want < 201 * 2,
+      s"estimate $want implausibly far from 201")
+  }
+
   test("decontaminate never shuffle-joins the corpus (every join is broadcast)") {
     val plan = Dedup.decontaminate(docs, docs.limit(2), shingleN = 8)
       .queryExecution.executedPlan.toString
