@@ -809,6 +809,16 @@ object Queries {
     TextAnalysis.classifierScore(table(s, dir, "documents"),
       vocabKey = Some(s"$dir#documents#words"))
 
+  /** A-ES weighted exact-k sample: 8 docs per language, weighted by token
+    * count ([[operators.Sampling.weightedExactK]] — priority = hash div
+    * weight, longer docs proportionally likelier; the quality-weighted
+    * selection primitive). */
+  def textSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.weightedExactK(
+      table(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+      idCol = col("doc_id"), stratum = col("lang"),
+      weight = size(split(col("text"), " ")), k = 8)
+
   /** KMV bottom-k distinct-token estimates per language beside the exact
     * distinct counts ([[TextAnalysis.kmvDistinctTokens]] — the
     * approximate-distinct primitive; exact side = the demonstration). */

@@ -89,6 +89,7 @@ object SparkEntry {
     "text_classifier" -> (Queries.textClassifier _),
     "text_cms_counts" -> (Queries.textCmsCounts _),
     "text_kmv_distinct" -> (Queries.textKmvDistinct _),
+    "text_sample_weighted" -> (Queries.textSampleWeighted _),
     "corpus_stats" -> (Queries.corpusStats _),
     "corpus_overlap" -> (Queries.corpusOverlap _),
     "corpus_audit" -> (Queries.corpusAudit _),
@@ -1131,6 +1132,19 @@ object SparkEntry {
          |      ORDER BY (${HashA(3)}*doc_id + ${HashB(3)}) % $P, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 50""".stripMargin
+    },
+    // A-ES weighted exact-k: priority = hash // weight (token count,
+    // clamped >= 1), min-8 per language by (priority, id)
+    "text_sample_weighted" -> {
+      import graft.operators.Dedup.{HashA, HashB}
+      s"""SELECT lang AS stratum, doc_id, rn FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ((${HashA(5)}*doc_id + ${HashB(5)}) % $P) //
+         |        greatest(1, coalesce(len(string_split(text,' ')), 0)),
+         |        doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 8""".stripMargin
     },
     "kg_edge_rollup" ->
       s"""SELECT subj, pred, obj, count(*) AS n_docs, min(doc_id) AS first_doc

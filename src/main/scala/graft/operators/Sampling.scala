@@ -129,6 +129,38 @@ object Sampling {
       .select(col("stratum"), col("doc_id"), col("rn").cast("long").as("rn"))
   }
 
+  /** WEIGHTED exact-k sample per stratum (Efraimidis-Spirakis A-ES 2006,
+    * the integer analog): each row's priority is hash div weight — a
+    * larger weight shrinks the priority range, so the min-k selection
+    * picks it proportionally more often (the u^(1/w) trick with integer
+    * division; the same deterministic weighting the node2vec walker
+    * uses). The quality-weighted data-selection primitive: "sample 10k
+    * docs per language, proportional to quality score", bit-reproducible
+    * across reruns and engines.
+    *
+    * Selection reuses [[minKByHash]]. Its thinning quantile assumes a
+    * uniform ranking value; priorities skew LOW under weighting, which
+    * only makes the thin CONSERVATIVE (more survivors pass — never
+    * fewer), so exactness is untouched and the per-stratum fallback
+    * stays the safety net. Weights are clamped to ≥ 1 (a zero/null
+    * weight still competes, at the lowest odds).
+    *
+    * @return (stratum, doc_id, rn), rn = 1..k by (priority, id). */
+  def weightedExactK(docs: DataFrame, idCol: Column, stratum: Column,
+                     weight: Column, k: Int, hashIdx: Int = 5,
+                     safetyMargin: Int = 64): DataFrame = {
+    val h = pmod(lit(Dedup.HashA(hashIdx)) * idCol.cast("long")
+      + lit(Dedup.HashB(hashIdx)), lit(Dedup.HashP))
+    val w = greatest(lit(1L), coalesce(weight.cast("long"), lit(0L)))
+    // integer h div w without float hazards: exact-multiple division
+    val pr = ((h - h % w) / w).cast("long")
+    val base = docs
+      .select(stratum.as("stratum"), idCol.cast("long").as("doc_id"),
+        pr.as("h"))
+    minKByHash(base, k, safetyMargin)
+      .select(col("stratum"), col("doc_id"), col("rn").cast("long").as("rn"))
+  }
+
   /** The pre-thinned exact min-k machinery behind [[stratifiedExactK]]
     * (and the KMV sketch): given prepared (stratum, doc_id, h) rows with
     * h uniform on [0, HashP), return each stratum's min(k, n) smallest

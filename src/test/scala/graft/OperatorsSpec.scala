@@ -486,6 +486,34 @@ class OperatorsSpec extends AnyFunSuite {
       s"estimate $want implausibly far from 201")
   }
 
+  test("weighted exact-k: A-ES priorities match the brute-force reference") {
+    import graft.operators.Sampling
+    // 40 docs across 2 langs, weights 1..12 cycling; k=5
+    val docs = (1 to 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de",
+        Seq.fill(1 + i % 12)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val got = Sampling.weightedExactK(docs, col("doc_id"), col("lang"),
+        size(split(col("text"), " ")), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (1 to 40).map { i =>
+      val w = (1 + i % 12).toLong
+      val h = java.lang.Math.floorMod(
+        Dedup.HashA(5) * i + Dedup.HashB(5), Dedup.HashP)
+      (if (i % 2 == 0) "en" else "de", i.toLong, h / w)
+    }.groupBy(_._1).flatMap { case (lang, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(5).zipWithIndex
+        .map { case ((l, id, _), j) => (l, id, (j + 1).toLong) }
+    }.toSet
+    assert(got == want)
+    // a null-text (weight-less) doc competes at weight 1, never crashes
+    val withNull = docs.unionByName(
+      Seq((99L, "en", null.asInstanceOf[String])).toDF("doc_id", "lang", "text"))
+    val n = Sampling.weightedExactK(withNull, col("doc_id"), col("lang"),
+      size(split(col("text"), " ")), k = 5).count()
+    assert(n == 10L)
+  }
+
   test("decontaminate never shuffle-joins the corpus (every join is broadcast)") {
     val plan = Dedup.decontaminate(docs, docs.limit(2), shingleN = 8)
       .queryExecution.executedPlan.toString
