@@ -135,7 +135,7 @@ object Bench {
     // q13_streaming isolated at the end; everything else best-of-2
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val (streamQ, batchQ) = ordered.partition(_._1 == "q13_streaming")
-    val results = batchQ.map { case (name, fn) =>
+    val resultsRaw = batchQ.map { case (name, fn) =>
       val t1 = timeOne(name, fn)
       // best-of-2 up to 60s: every query gets a steady-state sample (the
       // old 10s cutoff left the one long query recording its cold run)
@@ -144,6 +144,25 @@ object Bench {
       } else t1
       name -> best
     } ++ streamQ.map { case (name, fn) => name -> timeOne(name, fn) }
+
+    // v8: the 14 relational q1-q14 entries fold into ONE explicit
+    // "q_relational" sum in the JSON — they are stable sub-second scan
+    // floors (0.13-0.58s for four rounds straight) and at a 100-entry
+    // catalog their flat keys alone overflow the driver's 2000-char
+    // archive window. NOT silent: the summed key names itself, the
+    // per-query values still print to stderr below and BENCH.md carries
+    // the full table every round.
+    val (relational, rest) = resultsRaw.partition(r =>
+      r._1.matches("q\\d+_.*") && r._1 != "q13_streaming")
+    val results =
+      if (relational.isEmpty) rest
+      else {
+        relational.foreach { case (n, v) =>
+          System.err.println(f"[bench] $n%s ${v}%.2fs (folded into q_relational)")
+        }
+        rest :+ ("q_relational" ->
+          relational.map(_._2).filter(_ >= 0).sum)
+      }
 
     // KG throughput + scaling: fresh JVM per leg, corpora staged once here.
     // Efficiency legs run at N=2 → 4N=8 cores — the linear region of this
