@@ -1635,6 +1635,27 @@ object Queries {
     direct.unionByName(inferred)
   }
 
+  /** RULE APPLICATION (KG completion): materialize the edges the mined
+    * Horn rule { ?x filter ?m . ?m group ?y } ⇒ { ?x scan ?y } predicts
+    * but the extraction has not observed
+    * ([[graft.graph.BgpMatcher.construct]] — SPARQL CONSTRUCT with the
+    * newOnly anti-join; the body is the same grounding join [[kgRules]]
+    * counts, so this entry is the miner's downstream consumer: mined
+    * rule in, inferred edge candidates out). Production picks rule
+    * (body, head) pairs from kgRules above a confidence gate; the
+    * catalog pins this one rule for determinism. */
+  def kgRuleInfer(s: SparkSession, dir: String): DataFrame = {
+    import graph.BgpMatcher.{C, TriplePattern, V}
+    val e = kgTypedTriples(s, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+      .localCheckpoint() // body patterns + the anti-join all read it
+    graph.BgpMatcher.construct(e,
+      body = Seq(
+        TriplePattern(V("x"), C("filter"), V("m")),
+        TriplePattern(V("m"), C("group"), V("y"))),
+      head = TriplePattern(V("x"), C("scan"), V("y")))
+  }
+
   def kgRules(s: SparkSession, dir: String): DataFrame =
     kgRulesOf(kgTypedTriples(s, dir))
 

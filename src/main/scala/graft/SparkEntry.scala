@@ -135,6 +135,7 @@ object SparkEntry {
     "kg_rules" -> (Queries.kgRules _),
     "kg_bgp" -> (Queries.kgBgp _),
     "kg_bgp_optional" -> (Queries.kgBgpOptional _),
+    "kg_rule_infer" -> (Queries.kgRuleInfer _),
     "kg_path_closure" -> (Queries.kgPathClosure _),
     "kg_inferred_types" -> (Queries.kgInferredTypes _),
     "kg_schema_viol" -> (Queries.kgSchemaViolations _),
@@ -1414,6 +1415,19 @@ object SparkEntry {
          |JOIN e c ON c.subj = a.subj AND c.obj = b.obj
          |WHERE a.pred = 'filter' AND b.pred = 'group'
          |  AND c.pred = 'scan'""".stripMargin,
+    // rule application / SPARQL CONSTRUCT: the rule body's distinct
+    // groundings anti-joined against observed head edges — the inferred
+    // KG-completion candidates
+    "kg_rule_infer" ->
+      s"""WITH $kgTypedCtes,
+         | e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t),
+         | body AS (SELECT DISTINCT a.subj AS x, b.obj AS y
+         |   FROM e a JOIN e b ON b.subj = a.obj
+         |   WHERE a.pred = 'filter' AND b.pred = 'group')
+         |SELECT x AS subj, 'scan' AS pred, y AS obj FROM body
+         |WHERE NOT EXISTS (SELECT 1 FROM e h
+         |  WHERE h.subj = body.x AND h.pred = 'scan' AND h.obj = body.y)"""
+        .stripMargin,
     // BGP with an OPTIONAL group: LEFT JOIN twin of the engine's
     // optional-pattern compiler path (unmatched -> NULL z)
     "kg_bgp_optional" ->

@@ -134,4 +134,36 @@ object BgpMatcher {
     }
     plan.select(outCols.map(col): _*)
   }
+
+  /** SPARQL CONSTRUCT with a single head pattern — the RULE APPLICATION
+    * step of KG completion: evaluate the `body` BGP, instantiate `head`
+    * once per distinct binding, and (with `newOnly`, the default) keep
+    * only triples NOT already in the graph — exactly how a mined Horn
+    * rule (e.g. from the AMIE-style miner) materializes its inferred
+    * edges. Head variables must be bound by the body (an unbound head
+    * variable would construct blank nodes — out of scope, rejected).
+    *
+    * Scale shape: the body join chain (see [[matchBgp]]) + one distinct
+    * + one anti-join co-partitioned on the full triple key.
+    *
+    * @return DataFrame(subj, pred, obj) of constructed triples. */
+  def construct(edges: DataFrame, body: Seq[TriplePattern],
+                head: TriplePattern, newOnly: Boolean = true): DataFrame = {
+    val bound = body.flatMap(_.vars).toSet
+    val missing = head.vars.filterNot(bound.contains)
+    require(missing.isEmpty,
+      s"head variables ${missing.mkString(", ")} are not bound by the body")
+    val bindings = matchBgp(edges, body)
+    def term(t: Term): Column = t match {
+      case V(n) => col(n)
+      case C(v) => lit(v)
+    }
+    val derived = bindings.select(term(head.s).as("subj"),
+      term(head.p).as("pred"), term(head.o).as("obj")).distinct()
+    if (newOnly)
+      derived.join(edges.select(col("subj"), col("pred"), col("obj")),
+        Seq("subj", "pred", "obj"), "left_anti")
+    else derived
+  }
+
 }

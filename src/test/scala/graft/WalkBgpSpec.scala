@@ -336,6 +336,29 @@ class WalkBgpSpec extends AnyFunSuite {
     assert(runClosure(dag, 50) == refClosure(dag, 50))
   }
 
+  test("CONSTRUCT materializes rule heads, newOnly drops observed edges") {
+    // closed grounding (a,b,c): scan edge exists -> excluded by newOnly;
+    // open grounding (a,b,d): no scan edge -> inferred
+    val body = Seq(
+      TriplePattern(V("x"), C("filter"), V("m")),
+      TriplePattern(V("m"), C("group"), V("y")))
+    val head = TriplePattern(V("x"), C("scan"), V("y"))
+    val inferred = BgpMatcher.construct(edgesDf, body, head)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(inferred == Set(("a", "scan", "d")))
+    // newOnly = false keeps the closed grounding too
+    val all = BgpMatcher.construct(edgesDf, body, head, newOnly = false)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(all == Set(("a", "c"), ("a", "d")))
+    // a head variable the body never binds is rejected
+    val bad = intercept[IllegalArgumentException] {
+      BgpMatcher.construct(edgesDf, body,
+        TriplePattern(V("x"), C("scan"), V("zz")))
+    }
+    assert(bad.getMessage.contains("not bound"))
+  }
+
   test("BGP rejects a disconnected pattern set") {
     val e = intercept[IllegalArgumentException] {
       BgpMatcher.matchBgp(edgesDf, Seq(
