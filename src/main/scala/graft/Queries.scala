@@ -1659,6 +1659,90 @@ object Queries {
   def kgRules(s: SparkSession, dir: String): DataFrame =
     kgRulesOf(kgTypedTriples(s, dir))
 
+  /** Catalog gates for the mined-rule applier: a rule must predict its
+    * head for at least half its body groundings over at least 3 of them
+    * (the 5-word closed dictionary bounds body support by the 10
+    * orientable entity pairs, so support gates here are small-integer —
+    * a real KG would gate in the hundreds). Shared by [[kgRuleApply]]
+    * and [[kgCompletionEval]] (and mirrored into both oracle queries
+    * from these constants). */
+  val RuleConfGatePermille = 500
+  val RuleMinPairs = 3L
+
+  /** Deterministic 75/25 EDGE-LEVEL split shared by the completion
+    * entries: rank code over the closed lexicons (subj·25 + pred·5 +
+    * obj — injective on valid triples, pure integer CASE arithmetic so
+    * the oracle reproduces it), held out when ≡ 3 (mod 4). An edge
+    * split, not a doc split, because the word-soup corpus SATURATES the
+    * closed-vocabulary KG (every syntactically valid edge is asserted
+    * by some doc in every doc quartile — a doc-level holdout is empty);
+    * holding out edges is the standard link-prediction protocol
+    * (AMIE / KG-embedding evaluation setting). */
+  private def edgeSplitCode: Column = {
+    def rank(c: Column, words: Seq[String]): Column =
+      words.zipWithIndex.tail.foldLeft(when(c === words.head, 0)) {
+        case (acc, (w, i)) => acc.when(c === w, i)
+      }
+    rank(col("subj"), kgDictWords) * lit(25) +
+      rank(col("pred"), kgPredWords) * lit(5) +
+      rank(col("obj"), kgDictWords)
+  }
+
+  /** MINED-RULE APPLICATION (KG completion, closed loop): mine chain-2
+    * Horn rules from the TRAINING split of the typed KG ([[kgRulesOf]]
+    * over the [[edgeSplitCode]] 75%), keep those above the confidence/
+    * support gates, and apply the WHOLE gated rule set in one pass
+    * ([[graft.graph.GraphOps.applyMinedRules]]) — no hand-pinned
+    * pattern, in contrast to [[kgRuleInfer]] which demonstrates the
+    * single-rule CONSTRUCT form. Output is every edge absent from the
+    * training graph that some gated rule predicts, with the best
+    * confidence that predicts it ([[kgCompletionEval]] scores exactly
+    * this table against the held-out quarter). Production applies the
+    * same code path to the full graph — the split exists because the
+    * saturated synthetic KG leaves a complete graph nothing to infer. */
+  def kgRuleApply(s: SparkSession, dir: String): DataFrame = {
+    val train = kgTypedTriples(s, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+      .filter(edgeSplitCode % 4 =!= 3)
+      .localCheckpoint() // miner, grounding chain and anti-join share it
+    graph.GraphOps.applyMinedRules(train, kgRulesOf(train),
+      RuleConfGatePermille, RuleMinPairs)
+  }
+
+  /** KG-COMPLETION EVALUATION — the measurement a completion system
+    * ships with: hold out a deterministic quarter of the distinct edges
+    * ([[edgeSplitCode]]), mine rules on the remaining graph, apply them
+    * ([[graft.graph.GraphOps.applyMinedRules]], same gates and split as
+    * [[kgRuleApply]]), and score the inferred edges against the held-out
+    * set — the standard link-prediction protocol for rule miners (AMIE's
+    * evaluation setting). One row: inferred/held-out/hit counts plus
+    * integer permille precision (hits per inferred edge) and recall
+    * (hits per held-out edge — raw recall over ALL held-out edges,
+    * including those no chain-2 rule could ever predict, so a floor). */
+  def kgCompletionEval(s: SparkSession, dir: String): DataFrame = {
+    val full = kgTypedTriples(s, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+      .localCheckpoint() // both split halves read it
+    val train = full.filter(edgeSplitCode % 4 =!= 3)
+    val heldout = full.filter(edgeSplitCode % 4 === 3)
+      .localCheckpoint() // read twice: count + hit probe
+    val inferred = graph.GraphOps.applyMinedRules(train, kgRulesOf(train),
+      RuleConfGatePermille, RuleMinPairs)
+      .localCheckpoint() // read twice: count + hit probe
+    val hits = inferred.join(heldout, Seq("subj", "pred", "obj"),
+      "left_semi")
+    val counts = inferred.agg(count(lit(1)).as("n_inferred"))
+      .crossJoin(heldout.agg(count(lit(1)).as("n_heldout")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+    counts.select(col("n_inferred"), col("n_heldout"), col("n_hit"),
+      when(col("n_inferred") === 0, lit(0L))
+        .otherwise(expr("(n_hit * 1000) div n_inferred"))
+        .as("precision_permille"),
+      when(col("n_heldout") === 0, lit(0L))
+        .otherwise(expr("(n_hit * 1000) div n_heldout"))
+        .as("recall_permille"))
+  }
+
   def kgRulesOf(t: DataFrame): DataFrame = {
     val e = t.select(col("subj"), col("pred"), col("obj")).distinct()
     val paths = e.select(col("pred").as("pred_a"), col("subj").as("x"),

@@ -136,6 +136,8 @@ object SparkEntry {
     "kg_bgp" -> (Queries.kgBgp _),
     "kg_bgp_optional" -> (Queries.kgBgpOptional _),
     "kg_rule_infer" -> (Queries.kgRuleInfer _),
+    "kg_rule_apply" -> (Queries.kgRuleApply _),
+    "kg_completion_eval" -> (Queries.kgCompletionEval _),
     "kg_path_closure" -> (Queries.kgPathClosure _),
     "kg_inferred_types" -> (Queries.kgInferredTypes _),
     "kg_schema_viol" -> (Queries.kgSchemaViolations _),
@@ -310,6 +312,45 @@ object SparkEntry {
        |    $flags FROM documents),
        | t AS MATERIALIZED (${branches.mkString("\nUNION ALL\n")})""".stripMargin
   }
+
+  /** `CASE <col> WHEN 'filter' THEN 0 ... END` — predicate-lexicon rank,
+    * the [[dictRankSql]] twin over [[graft.Queries.kgPredWords]]. */
+  private def predRankSql(c: String): String =
+    s"CASE $c " + Queries.kgPredWords.zipWithIndex.map { case (w, i) =>
+      s"WHEN '$w' THEN $i" }.mkString(" ") + " END"
+
+  /** The completion entries' deterministic edge-split code — the SQL
+    * mirror of `Queries.edgeSplitCode` (subj rank·25 + pred rank·5 +
+    * obj rank; held out when ≡ 3 mod 4). */
+  private def edgeSplitSql: String =
+    s"(${dictRankSql("subj")}) * 25 + (${predRankSql("pred")}) * 5 + " +
+      s"(${dictRankSql("obj")})"
+
+  /** CTE chain `chain → rp → np → cl → rules → predicted` mirroring
+    * [[graft.graph.GraphOps.applyMinedRules]] over the edge CTE `ec`:
+    * chain-2 groundings, the kg_rules mining rollup, the gate (the SAME
+    * Scala constants the engine uses), and the per-predicted-edge
+    * max-confidence dedup. Ends without a trailing comma. */
+  private def minedRuleCtes(ec: String): String =
+    s""" chain AS MATERIALIZED (SELECT a.pred AS pred_a, b.pred AS pred_b,
+       |   a.subj AS x, b.obj AS y FROM $ec a JOIN $ec b ON b.subj = a.obj),
+       | rp AS MATERIALIZED (SELECT DISTINCT pred_a, pred_b, x, y
+       |   FROM chain),
+       | np AS (SELECT pred_a, pred_b, count(*) AS n_pairs FROM rp
+       |   GROUP BY 1, 2),
+       | cl AS (SELECT p.pred_a, p.pred_b, h.pred AS pred_head,
+       |   count(*) AS n_closed FROM rp p
+       |   JOIN $ec h ON h.subj = p.x AND h.obj = p.y GROUP BY 1, 2, 3),
+       | rules AS (SELECT pred_a, pred_b, pred_head,
+       |     (n_closed * 1000) // n_pairs AS conf_permille
+       |   FROM cl JOIN np USING (pred_a, pred_b)
+       |   WHERE (n_closed * 1000) // n_pairs >=
+       |       ${Queries.RuleConfGatePermille}
+       |     AND n_pairs >= ${Queries.RuleMinPairs}),
+       | predicted AS (SELECT c.x AS subj, r.pred_head AS pred,
+       |     c.y AS obj, max(r.conf_permille) AS conf_permille
+       |   FROM chain c JOIN rules r USING (pred_a, pred_b)
+       |   GROUP BY 1, 2, 3)""".stripMargin
 
   /** `CASE <col> WHEN 'customer' THEN 'biz' ... END` — the SQL mirror of
     * the engine's entity-type when-chain, generated from the same map. */
@@ -1415,6 +1456,47 @@ object SparkEntry {
          |JOIN e c ON c.subj = a.subj AND c.obj = b.obj
          |WHERE a.pred = 'filter' AND b.pred = 'group'
          |  AND c.pred = 'scan'""".stripMargin,
+    // mined-rule application: the miner's gated output applied wholesale
+    // — chain groundings joined with the gated rule table, best-conf per
+    // predicted edge, NOT EXISTS against the observed set. The mining
+    // CTEs are the kg_rules SQL verbatim; gates come from the SAME Scala
+    // constants the engine applies (Queries.RuleConfGatePermille/MinPairs)
+    "kg_rule_apply" ->
+      s"""WITH $kgTypedCtes,
+         | fe AS (SELECT DISTINCT subj, pred, obj FROM t),
+         | e AS MATERIALIZED (SELECT * FROM fe
+         |   WHERE ($edgeSplitSql) % 4 <> 3),
+         |${minedRuleCtes("e")}
+         |SELECT subj, pred, obj, conf_permille FROM predicted p
+         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.subj = p.subj
+         |  AND e.pred = p.pred AND e.obj = p.obj)""".stripMargin,
+    // held-out completion eval: mine + apply on the training 3/4 of the
+    // distinct edge set (the word-soup corpus saturates the closed-
+    // vocabulary KG, so the split must be edge-level, not doc-level),
+    // score inferred edges against the held-out quarter — one row of
+    // counts + permille precision/recall
+    "kg_completion_eval" ->
+      s"""WITH $kgTypedCtes,
+         | fe AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t),
+         | e AS MATERIALIZED (SELECT * FROM fe
+         |   WHERE ($edgeSplitSql) % 4 <> 3),
+         | held AS MATERIALIZED (SELECT * FROM fe
+         |   WHERE ($edgeSplitSql) % 4 = 3),
+         |${minedRuleCtes("e")},
+         | inferred AS MATERIALIZED (
+         |   SELECT subj, pred, obj FROM predicted p
+         |   WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.subj = p.subj
+         |     AND e.pred = p.pred AND e.obj = p.obj)),
+         | c AS (SELECT (SELECT count(*) FROM inferred) AS n_inferred,
+         |   (SELECT count(*) FROM held) AS n_heldout,
+         |   (SELECT count(*) FROM inferred JOIN held
+         |      USING (subj, pred, obj)) AS n_hit)
+         |SELECT n_inferred, n_heldout, n_hit,
+         |  CASE WHEN n_inferred = 0 THEN 0
+         |    ELSE (n_hit * 1000) // n_inferred END AS precision_permille,
+         |  CASE WHEN n_heldout = 0 THEN 0
+         |    ELSE (n_hit * 1000) // n_heldout END AS recall_permille
+         |FROM c""".stripMargin,
     // rule application / SPARQL CONSTRUCT: the rule body's distinct
     // groundings anti-joined against observed head edges — the inferred
     // KG-completion candidates

@@ -710,6 +710,55 @@ object GraphOps {
     settled
   }
 
+  /** MINED-RULE APPLICATION — the data-driven half of the KG-completion
+    * loop: consume the Horn-rule miner's OUTPUT TABLE (pred_a, pred_b,
+    * pred_head, n_pairs, conf_permille — the schema of
+    * [[graft.Queries.kgRulesOf]], itself the AMIE-style chain-2 miner),
+    * keep every rule above the support/confidence gates, and materialize
+    * all edges those rules predict that the graph does not contain. This
+    * closes mining → application without a human pinning patterns
+    * (contrast [[BgpMatcher.construct]], which applies ONE hand-written
+    * rule): the whole gated rule set is applied in a single pass.
+    *
+    * Plan shape at a billion edges: the chain-2 grounding join is ONE
+    * self-join of the edge set on the shared node (the same join the
+    * miner ran); the gated rule table is at most |preds|³ rows, so it
+    * BROADCASTS onto the raw chain BEFORE deduplication — groundings of
+    * non-rule predicate pairs are pruned pre-shuffle. The groupBy that
+    * dedups groundings (taking the max confidence when several rules
+    * predict the same edge) keys on the full triple, and the final
+    * NOT-EXISTS anti-join reuses exactly that partitioning — one
+    * self-join + one shuffle + one co-partitioned anti-join total.
+    *
+    * @param edges triple table (subj, pred, obj); duplicates collapse.
+    * @param rules miner output (pred_a, pred_b, pred_head, n_pairs,
+    *              conf_permille); extra columns are ignored.
+    * @param minConfPermille keep rules with conf_permille >= this.
+    * @param minPairs keep rules with body support n_pairs >= this
+    *                 (low-support rules have unreliable confidence —
+    *                 AMIE's head-coverage gate plays the same role).
+    * @return DataFrame(subj, pred, obj, conf_permille): predicted edges
+    *         absent from `edges`, each with the best confidence among
+    *         the gated rules that predict it. */
+  def applyMinedRules(edges: DataFrame, rules: DataFrame,
+                      minConfPermille: Int, minPairs: Long): DataFrame = {
+    val e = edges.select(col("subj"), col("pred"), col("obj")).distinct()
+    val gated = rules
+      .filter(col("conf_permille") >= minConfPermille &&
+        col("n_pairs") >= minPairs)
+      .select(col("pred_a"), col("pred_b"), col("pred_head"),
+        col("conf_permille"))
+    val chain = e.select(col("pred").as("pred_a"), col("subj").as("x"),
+        col("obj").as("mid"))
+      .join(e.select(col("pred").as("pred_b"), col("subj").as("mid"),
+        col("obj").as("y")), "mid")
+    chain.join(broadcast(gated), Seq("pred_a", "pred_b"))
+      .groupBy(col("x").as("subj"), col("pred_head").as("pred"),
+        col("y").as("obj"))
+      .agg(max(col("conf_permille")).as("conf_permille"))
+      .join(e, Seq("subj", "pred", "obj"), "left_anti")
+  }
+
   /** SKIP-GRAM co-occurrence counts over a walk corpus — the (center,
     * context) training pairs DeepWalk/node2vec feed to word2vec, grouped
     * to counts (the GloVe-style corpus form: at 10⁹ nodes the raw pair

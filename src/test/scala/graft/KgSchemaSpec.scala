@@ -216,6 +216,81 @@ class KgSchemaSpec extends AnyFunSuite {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("mined-rule application: gates, best-confidence dedup, anti-join") {
+    // two chain-2 rules into head h: (p,q) with 4 groundings / 2 closed
+    // (conf 500) and (t,u) with 3 groundings / 2 closed (conf 666); the
+    // open grounding (a3,b3) is predicted by BOTH (max-conf dedup) and
+    // (a4,b4) by (p,q) alone; every closed grounding anti-joins away
+    val edges = Seq(
+      ("a1", "p", "m1"), ("a2", "p", "m2"), ("a3", "p", "m3"),
+      ("a4", "p", "m4"),
+      ("m1", "q", "b1"), ("m2", "q", "b2"), ("m3", "q", "b3"),
+      ("m4", "q", "b4"),
+      ("a5", "t", "n1"), ("a6", "t", "n2"), ("a3", "t", "n0"),
+      ("n1", "u", "b5"), ("n2", "u", "b6"), ("n0", "u", "b3"),
+      ("a1", "h", "b1"), ("a2", "h", "b2"), ("a5", "h", "b5"),
+      ("a6", "h", "b6")).toDF("subj", "pred", "obj")
+    val rules = Queries.kgRulesOf(edges)
+    assert(rules.as[(String, String, String, Long, Long, Long)]
+      .collect().toSet == Set(("p", "q", "h", 4L, 2L, 500L),
+        ("t", "u", "h", 3L, 2L, 666L)))
+    def got(minConf: Int, minPairs: Long) =
+      graph.GraphOps.applyMinedRules(edges, rules, minConf, minPairs)
+        .as[(String, String, String, Long)].collect().toSet
+    assert(got(500, 2) ==
+      Set(("a3", "h", "b3", 666L), ("a4", "h", "b4", 500L)))
+    // confidence gate drops (p,q): a4 vanishes, a3 keeps rule2's conf
+    assert(got(600, 2) == Set(("a3", "h", "b3", 666L)))
+    // support gate drops (t,u): a3 falls back to rule1's conf
+    assert(got(500, 4) ==
+      Set(("a3", "h", "b3", 500L), ("a4", "h", "b4", 500L)))
+    assert(got(500, 5) == Set.empty[(String, String, String, Long)])
+  }
+
+  test("mined-rule application agrees with per-rule CONSTRUCT on testdata") {
+    import graph.BgpMatcher.{C, TriplePattern, V}
+    // rebuild the catalog's 75% train split by hand (independent recount
+    // of edgeSplitCode: subj rank·25 + pred rank·5 + obj rank, keep ≠3
+    // mod 4), then re-derive the applied rules via the CONSTRUCT path
+    val dRank = Queries.kgDictWords.zipWithIndex.toMap
+    val pRank = Queries.kgPredWords.zipWithIndex.toMap
+    val code = udf((s: String, p: String, o: String) =>
+      dRank(s) * 25 + pRank(p) * 5 + dRank(o))
+    val e = Queries.kgTypedTriples(spark, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+      .filter(code(col("subj"), col("pred"), col("obj")) % 4 =!= 3)
+      .localCheckpoint()
+    val rules = Queries.kgRulesOf(e)
+      .filter(col("conf_permille") >= Queries.RuleConfGatePermille &&
+        col("n_pairs") >= Queries.RuleMinPairs)
+      .as[(String, String, String, Long, Long, Long)].collect()
+    assert(rules.nonEmpty, "catalog gates must keep rules on the train split")
+    val viaConstruct = rules.map { case (pa, pb, ph, _, _, conf) =>
+      graph.BgpMatcher.construct(e, Seq(
+          TriplePattern(V("x"), C(pa), V("m")),
+          TriplePattern(V("m"), C(pb), V("y"))),
+        TriplePattern(V("x"), C(ph), V("y")))
+        .withColumn("conf_permille", lit(conf))
+    }.reduce(_ unionByName _)
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(max(col("conf_permille")).as("conf_permille"))
+      .as[(String, String, String, Long)].collect().toSet
+    val got = Queries.kgRuleApply(spark, dir)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == viaConstruct && got.nonEmpty)
+  }
+
+  test("completion eval: one internally-consistent row on testdata") {
+    val rows = Queries.kgCompletionEval(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (ni, nh, nhit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nh > 0, "the held-out quarter must assert some unique edges")
+    assert(nhit <= math.min(ni, nh))
+    assert(r.getLong(3) == (if (ni == 0) 0L else nhit * 1000 / ni))
+    assert(r.getLong(4) == (if (nh == 0) 0L else nhit * 1000 / nh))
+  }
+
   test("schema violations: only deviating edges, correct side flags") {
     // merge edges: (customer,vector), (vector,stream) — domain tie
     // biz=1/data=1 → 'biz' (lexicographic min), range 'data'; the
