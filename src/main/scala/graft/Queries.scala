@@ -1585,6 +1585,40 @@ object Queries {
       optionals = Seq(TriplePattern(V("m"), C("merge"), V("z"))))
   }
 
+  /** BGP with a solution-level FILTER: every x that `filter`s some m and
+    * `scan`s some y, keeping only bindings where m ≠ y — the inequality
+    * constraint form (SPARQL `FILTER(?m != ?y)`). The compiler pushes
+    * the filter to the join that binds its second variable, so the
+    * pruning happens before any downstream exchange
+    * ([[graft.graph.BgpMatcher.matchBgp]] earliest-placement rewrite). */
+  def kgBgpFilter(s: SparkSession, dir: String): DataFrame = {
+    import graph.BgpMatcher.{C, TriplePattern, V}
+    val e = kgTypedTriples(s, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+      .localCheckpoint() // two patterns, one extraction pass (see kgBgp)
+    graph.BgpMatcher.matchBgp(e, Seq(
+        TriplePattern(V("x"), C("filter"), V("m")),
+        TriplePattern(V("x"), C("scan"), V("y"))),
+      filters = Seq(col("m") =!= col("y")))
+  }
+
+  /** BGP UNION: direct `merge` edges (?x merge ?y) unioned with 2-hop
+    * filter→scan chains (?x filter ?m . ?m scan ?y) — the SPARQL
+    * alternation form; ?m is unbound (NULL) in the first branch
+    * ([[graft.graph.BgpMatcher.matchBgpUnion]], bag semantics — the
+    * branches here are disjoint by construction, so the bag is the
+    * set). */
+  def kgBgpUnion(s: SparkSession, dir: String): DataFrame = {
+    import graph.BgpMatcher.{Bgp, C, TriplePattern, V}
+    val e = kgTypedTriples(s, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+      .localCheckpoint() // three patterns, one extraction pass (see kgBgp)
+    graph.BgpMatcher.matchBgpUnion(e, Seq(
+      Bgp(Seq(TriplePattern(V("x"), C("merge"), V("y")))),
+      Bgp(Seq(TriplePattern(V("x"), C("filter"), V("m")),
+        TriplePattern(V("m"), C("scan"), V("y"))))))
+  }
+
   /** SPARQL property-path `filter+` over the typed KG: all entity pairs
     * connected by a directed chain of `filter` edges, with minimum hop
     * count ([[graft.graph.GraphOps.transitiveClosure]] — semi-naive

@@ -135,6 +135,8 @@ object SparkEntry {
     "kg_rules" -> (Queries.kgRules _),
     "kg_bgp" -> (Queries.kgBgp _),
     "kg_bgp_optional" -> (Queries.kgBgpOptional _),
+    "kg_bgp_filter" -> (Queries.kgBgpFilter _),
+    "kg_bgp_union" -> (Queries.kgBgpUnion _),
     "kg_rule_infer" -> (Queries.kgRuleInfer _),
     "kg_rule_apply" -> (Queries.kgRuleApply _),
     "kg_completion_eval" -> (Queries.kgCompletionEval _),
@@ -1456,6 +1458,26 @@ object SparkEntry {
          |JOIN e c ON c.subj = a.subj AND c.obj = b.obj
          |WHERE a.pred = 'filter' AND b.pred = 'group'
          |  AND c.pred = 'scan'""".stripMargin,
+    // BGP solution-level FILTER: the x-anchored filter/scan star with the
+    // m <> y inequality constraint
+    "kg_bgp_filter" ->
+      s"""WITH $kgTypedCtes,
+         | e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t)
+         |SELECT a.subj AS x, a.obj AS m, b.obj AS y
+         |FROM e a JOIN e b ON b.subj = a.subj
+         |WHERE a.pred = 'filter' AND b.pred = 'scan'
+         |  AND a.obj <> b.obj""".stripMargin,
+    // BGP UNION (bag semantics): direct merge edges, with m unbound, plus
+    // 2-hop filter->scan chains binding m
+    "kg_bgp_union" ->
+      s"""WITH $kgTypedCtes,
+         | e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t)
+         |SELECT subj AS x, obj AS y, CAST(NULL AS VARCHAR) AS m
+         |FROM e WHERE pred = 'merge'
+         |UNION ALL
+         |SELECT a.subj AS x, b.obj AS y, a.obj AS m
+         |FROM e a JOIN e b ON b.subj = a.obj
+         |WHERE a.pred = 'filter' AND b.pred = 'scan'""".stripMargin,
     // mined-rule application: the miner's gated output applied wholesale
     // — chain groundings joined with the gated rule table, best-conf per
     // predicted edge, NOT EXISTS against the observed set. The mining

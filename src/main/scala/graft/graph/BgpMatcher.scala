@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 
 /** SPARQL-style BASIC GRAPH PATTERN matching over the constructed KG —
@@ -79,6 +79,12 @@ object BgpMatcher {
     else filtered.select(proj: _*)
   }
 
+  /** Variable names a FILTER condition references — the unresolved
+    * attributes of its column tree (filters are authored against the
+    * BGP's variable columns, so every reference is a plain name). */
+  private def refsOf(c: Column): Set[String] =
+    GraftSqlBridge.referencedNames(c)
+
   /** Evaluate the conjunction of `patterns` over `edges` (columns subj,
     * pred, obj), then left-join each `optionals` pattern (SPARQL
     * `OPTIONAL { ... }` with a single triple pattern per group): rows
@@ -91,15 +97,38 @@ object BgpMatcher {
     * distinct variables in first-appearance order (required patterns
     * first, then optionals). Bag semantics over the input multiset.
     *
+    * `filters` are SPARQL solution-level FILTER constraints (e.g.
+    * `col("m") =!= col("y")`), each referencing only BGP variables. The
+    * compiler PUSHES each filter to the earliest point of the join chain
+    * where all its variables are bound — a selective inequality prunes
+    * bindings before the later shuffles instead of after the full chain
+    * (the FILTER-placement rewrite every SPARQL optimizer performs; at a
+    * billion edges the difference is the size of every downstream
+    * exchange). A filter naming an optional's variable runs after that
+    * optional's left join and sees SQL NULL semantics for unmatched rows
+    * (congruent with SPARQL's error-is-false for our string terms:
+    * NULL <op> x is never TRUE, so unmatched rows are dropped — spell
+    * `isNull`/`coalesce` explicitly to keep them).
+    *
     * @throws IllegalArgumentException on an empty pattern list, a
     *         disconnected BGP (a pattern sharing no variable with the
-    *         already-joined set), or an invalid optional. */
+    *         already-joined set), an invalid optional, or a filter
+    *         referencing no variable / an unbound name. */
   def matchBgp(edges: DataFrame, patterns: Seq[TriplePattern],
-               optionals: Seq[TriplePattern] = Nil): DataFrame = {
+               optionals: Seq[TriplePattern] = Nil,
+               filters: Seq[Column] = Nil): DataFrame = {
     require(patterns.nonEmpty, "BGP needs at least one triple pattern")
     val outCols = (patterns ++ optionals).flatMap(_.vars).distinct
     require(patterns.exists(_.vars.nonEmpty),
       "BGP binds no variables — use a plain filter")
+    var pending: Seq[(Column, Set[String])] = filters.map { f =>
+      val refs = refsOf(f)
+      require(refs.nonEmpty, s"FILTER $f references no BGP variable")
+      val unknown = refs.diff(outCols.toSet)
+      require(unknown.isEmpty,
+        s"FILTER $f references unbound name(s): ${unknown.mkString(", ")}")
+      (f, refs)
+    }
 
     // anchor: most constants among the VARIABLE patterns (ties: input
     // order) — a fully-constant pattern binds nothing, so it can only be
@@ -107,6 +136,14 @@ object BgpMatcher {
     val anchor = patterns.filter(_.vars.nonEmpty).maxBy(_.nConsts)
     var bound = anchor.vars.toSet
     var plan = compileOne(edges, anchor)
+    // earliest-placement FILTER pushdown: apply every pending filter
+    // whose variables are all bound at this point of the chain
+    def applyReadyFilters(): Unit = {
+      val (ready, rest) = pending.partition(_._2.subsetOf(bound))
+      ready.foreach { case (f, _) => plan = plan.filter(f) }
+      pending = rest
+    }
+    applyReadyFilters()
     var todo = patterns.diff(Seq(anchor))
     while (todo.nonEmpty) {
       val scored = todo.map(p => (p, p.vars.count(bound.contains)))
@@ -118,6 +155,7 @@ object BgpMatcher {
         if (next.vars.isEmpty) plan.join(rel, lit(true), "left_semi")
         else plan.join(rel, next.vars.filter(bound.contains))
       bound ++= next.vars
+      applyReadyFilters()
       todo = todo.diff(Seq(next))
     }
     // OPTIONAL groups: left-join in input order, each keyed on variables
@@ -131,8 +169,39 @@ object BgpMatcher {
         s"OPTIONAL pattern $opt binds no new variable — use a required pattern")
       plan = plan.join(compileOne(edges, opt), shared, "left_outer")
       bound ++= fresh
+      applyReadyFilters()
     }
     plan.select(outCols.map(col): _*)
+  }
+
+  /** One UNION branch: a required BGP plus its optionals and filters —
+    * the operand shape of [[matchBgpUnion]]. */
+  final case class Bgp(patterns: Seq[TriplePattern],
+                       optionals: Seq[TriplePattern] = Nil,
+                       filters: Seq[Column] = Nil)
+
+  /** SPARQL `UNION` over BGP groups: evaluate each branch independently
+    * ([[matchBgp]] — each keeps its own join order, filter placement and
+    * optionals) and take the bag union of the solution sequences (SPARQL
+    * 1.1 §18.5 Union). Branches may bind DIFFERENT variable sets; the
+    * output schema is the distinct variables in first-appearance order
+    * across branches, and a variable a branch does not bind is NULL in
+    * that branch's rows (SPARQL's "unbound"). No cross-branch dedup —
+    * UNION is bag semantics; wrap in `.distinct()` for set semantics.
+    *
+    * Scale shape: branches are independent subplans under one union —
+    * Spark schedules their stages concurrently, and each branch's
+    * constant-predicate scans prune independently. */
+  def matchBgpUnion(edges: DataFrame, branches: Seq[Bgp]): DataFrame = {
+    require(branches.nonEmpty, "UNION needs at least one branch")
+    val outCols = branches
+      .flatMap(b => (b.patterns ++ b.optionals).flatMap(_.vars)).distinct
+    branches.map { b =>
+      val m = matchBgp(edges, b.patterns, b.optionals, b.filters)
+      val have = m.columns.toSet
+      m.select(outCols.map(v =>
+        if (have(v)) col(v) else lit(null).cast("string").as(v)): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** SPARQL CONSTRUCT with a single head pattern — the RULE APPLICATION

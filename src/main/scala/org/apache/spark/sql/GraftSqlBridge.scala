@@ -11,6 +11,16 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Column names an UNRESOLVED column expression references — collected
+    * from the Spark-4 ColumnNode tree (`Column.node` is `private[sql]`,
+    * and `expression(c)` wraps the node lazily, so catalyst-side
+    * traversal sees no attributes until analysis). Multi-part names join
+    * with '.'; resolved/analyzed columns are out of scope. */
+  def referencedNames(c: Column): Set[String] =
+    c.node.collect {
+      case a: internal.UnresolvedAttribute => a.nameParts.mkString(".")
+    }.toSet
+
   /** The classic session's guaranteed-unique UUID (`private[sql]` in
     * Spark 4) — used to key session-scoped caches where identityHashCode
     * could collide after a stopped session is GC'd. */

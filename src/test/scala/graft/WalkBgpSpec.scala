@@ -2,6 +2,7 @@ package graft
 
 import graft.graph.{BgpMatcher, GraphOps}
 import graft.graph.BgpMatcher.{C, TriplePattern, V}
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Random-walk corpus + BGP pattern matching — the two consumer-side
@@ -283,6 +284,71 @@ class WalkBgpSpec extends AnyFunSuite {
         optionals = Seq(TriplePattern(V("x"), C("scan"), V("m"))))
     }
     assert(noFresh.getMessage.contains("binds no new variable"))
+  }
+
+  test("BGP FILTER: inequality prunes bindings; placement is semantic-free") {
+    // add a scan edge so x=a binds y in {b, c}: FILTER(m != y) must drop
+    // exactly the m == y binding
+    val df = (kgEdges :+ ("a", "scan", "b")).toDF("subj", "pred", "obj")
+    val pats = Seq(
+      TriplePattern(V("x"), C("filter"), V("m")),
+      TriplePattern(V("x"), C("scan"), V("y")))
+    def run(ps: Seq[TriplePattern]) =
+      BgpMatcher.matchBgp(df, ps, filters = Seq(col("m") =!= col("y")))
+        .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("m"),
+          r.getAs[String]("y"))).toSet
+    assert(run(pats) == Set(("a", "b", "c")))
+    // the compiler's earliest-placement must not change the result under
+    // a different join order (filter lands after a different join)
+    assert(run(pats.reverse) == Set(("a", "b", "c")))
+  }
+
+  test("BGP FILTER on an optional variable: NULL rows drop under <op>") {
+    // a filter b (b merge e), c filter f (f has no merge edge): the z
+    // filter sees NULL for the unmatched row and drops it (SQL NULL =
+    // SPARQL error-is-false)
+    val df = (kgEdges :+ ("c", "filter", "f") :+ ("b", "merge", "e"))
+      .toDF("subj", "pred", "obj")
+    val got = BgpMatcher.matchBgp(df,
+        Seq(TriplePattern(V("x"), C("filter"), V("m"))),
+        optionals = Seq(TriplePattern(V("m"), C("merge"), V("z"))),
+        filters = Seq(col("z") === "e"))
+      .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("z")))
+      .toSet
+    assert(got == Set(("a", "e")))
+  }
+
+  test("BGP FILTER referencing an unbound or no variable is rejected") {
+    val unbound = intercept[IllegalArgumentException] {
+      BgpMatcher.matchBgp(edgesDf,
+        Seq(TriplePattern(V("x"), C("filter"), V("m"))),
+        filters = Seq(col("nope") === "a"))
+    }
+    assert(unbound.getMessage.contains("unbound name"))
+    val novar = intercept[IllegalArgumentException] {
+      BgpMatcher.matchBgp(edgesDf,
+        Seq(TriplePattern(V("x"), C("filter"), V("m"))),
+        filters = Seq(lit(1) === 1))
+    }
+    assert(novar.getMessage.contains("references no BGP variable"))
+  }
+
+  test("BGP UNION: branch-wise vars, NULL for unbound, bag semantics") {
+    import BgpMatcher.Bgp
+    val branches = Seq(
+      Bgp(Seq(TriplePattern(V("x"), C("merge"), V("y")))),
+      Bgp(Seq(TriplePattern(V("x"), C("filter"), V("m")),
+        TriplePattern(V("m"), C("group"), V("y")))))
+    val got = BgpMatcher.matchBgpUnion(edgesDf, branches)
+      .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("y"),
+        Option(r.getAs[String]("m")))).toSet
+    assert(got == Set(
+      ("d", "e", None), // merge branch: m unbound
+      ("a", "c", Some("b")), ("a", "d", Some("b"))))
+    // bag semantics: duplicating a branch duplicates its solutions
+    val bag = BgpMatcher.matchBgpUnion(edgesDf,
+      Seq(branches.head, branches.head))
+    assert(bag.count() == 2 && bag.distinct().count() == 1)
   }
 
   // ------------------------------------------------- transitive closure
