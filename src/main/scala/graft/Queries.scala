@@ -501,6 +501,19 @@ object Queries {
         coalesce(col("canonical_id"), col("node")).as("merge_id"))
   }
 
+  /** ER CANDIDATE GENERATION over entity surface forms — the discovery
+    * step upstream of [[kgEntityMerge]]'s closure: token-blocked
+    * Levenshtein candidate pairs over the part-name catalog (the
+    * testdata's only table with genuine name VARIANTS — "cold ring" /
+    * "old ring" at edit distance 1), with the blocking-key frequency cap
+    * that keeps a stopword-ish token from pairing everything
+    * ([[graft.canon.ErCandidates.nameCandidates]]). maxBlockNames = 100
+    * keeps every token on this catalog (16 tokens × 8 names); the cap's
+    * bite is spec-tested on a hand-built hot-token fixture. */
+  def kgErCandidates(s: SparkSession, dir: String): DataFrame =
+    canon.ErCandidates.nameCandidates(table(s, dir, "part"), "p_name",
+      maxEdit = 2, maxBlockNames = 100L)
+
   /** Edge ASSOCIATION strength over the KG rollup: observed co-occurrence
     * vs the independence expectation, as integer lift in ppm —
     * lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b), scaled ×10⁶ and

@@ -110,6 +110,7 @@ object SparkEntry {
     "kg_khop" -> (Queries.kgKhop _),
     "kg_communities" -> (Queries.kgCommunities _),
     "kg_entity_merge" -> (Queries.kgEntityMerge _),
+    "kg_er_candidates" -> (Queries.kgErCandidates _),
     "kg_edge_rollup_delta" -> (Queries.kgEdgeRollupDelta _),
     "kg_stream_edges" -> (Queries.kgStreamEdges _),
     "kg_lift" -> (Queries.kgLift _),
@@ -1335,6 +1336,28 @@ object SparkEntry {
          | nodes AS (SELECT DISTINCT a AS node FROM sym)
          |SELECT n.node, coalesce(c.merge_id, n.node) AS merge_id
          |FROM nodes n LEFT JOIN canon c ON n.node = c.node""".stripMargin,
+    // ER candidate generation: distinct part names + support, token
+    // blocking with the frequency cap (<= 100 keeps all 16 tokens here),
+    // pair dedup counting shared blocking tokens, levenshtein verify
+    "kg_er_candidates" ->
+      """WITH n AS (SELECT p_name AS name, count(*) AS n_ids FROM part
+        |   WHERE p_name IS NOT NULL GROUP BY 1),
+        | tok AS (SELECT DISTINCT name, tok FROM (
+        |   SELECT name, unnest(string_split(name, ' ')) AS tok FROM n)
+        |   WHERE tok <> ''),
+        | keep AS (SELECT tok FROM (
+        |   SELECT tok, count(*) AS c FROM tok GROUP BY 1) WHERE c <= 100),
+        | bl AS (SELECT t.name, t.tok FROM tok t JOIN keep USING (tok)),
+        | pairs AS (SELECT a.name AS name_a, b.name AS name_b,
+        |     count(*) AS n_shared_tokens
+        |   FROM bl a JOIN bl b ON a.tok = b.tok AND a.name < b.name
+        |   GROUP BY 1, 2)
+        |SELECT name_a, name_b,
+        |  levenshtein(name_a, name_b) AS edit_dist, n_shared_tokens,
+        |  na.n_ids AS n_ids_a, nb.n_ids AS n_ids_b
+        |FROM pairs JOIN n na ON na.name = name_a
+        |JOIN n nb ON nb.name = name_b
+        |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin,
     // edge association lift in ppm: n_ab·N·1e6 // (n_a·n_b) — all-integer
     // PMI core; per-entity doc supports reuse the mentions predicate
     "kg_lift" -> {

@@ -73,6 +73,78 @@ class CanonEvalSpec extends AnyFunSuite {
     assert(out == Set(("d1", "a"), ("d2", "q")))
   }
 
+  test("ER candidates: blocking, edit gate, hot-token cap, support counts") {
+    import org.apache.spark.sql.functions.col
+    // "red ring"×2, "red rng", "blu ring", plus an unblocked outlier;
+    // one null name must be ignored
+    val mentions = Seq("red ring", "red ring", "red rng", "blu ring",
+      "zzz qqq", null).toDF("p_name")
+    def run(maxEdit: Int, cap: Long) =
+      graft.canon.ErCandidates.nameCandidates(mentions, "p_name", maxEdit, cap)
+        .as[(String, String, Int, Long, Long, Long)].collect().toSet
+    // maxEdit 1: only (red ring, red rng) — shares "red" (and not "ring"/
+    // "rng"), support 2 vs 1
+    assert(run(1, 10L) == Set(("red ring", "red rng", 1, 1L, 2L, 1L)))
+    // maxEdit 3 admits the 3-substitution pair via the shared "ring"
+    assert(run(3, 10L) == Set(
+      ("red ring", "red rng", 1, 1L, 2L, 1L),
+      ("blu ring", "red ring", 3, 1L, 1L, 2L)))
+    // cap 1 drops every shared blocking token -> no candidates at all
+    assert(run(3, 1L).isEmpty)
+  }
+
+  test("ER candidates: equal to token-sharing brute force on testdata") {
+    import org.apache.spark.sql.functions._
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val got = graft.canon.ErCandidates
+      .nameCandidates(part, "p_name", maxEdit = 2, maxBlockNames = 100L)
+      .select("name_a", "name_b", "edit_dist")
+      .as[(String, String, Int)].collect().toSet
+    // brute force: ALL name pairs within edit 2 that share >= 1 token —
+    // the operator's exact contract (blocking must lose nothing else)
+    val names = part.select("p_name").distinct()
+      .as[String].collect().filter(_ != null)
+    val brute = (for {
+      a <- names; b <- names if a < b
+      if a.split(" ").toSet.intersect(b.split(" ").toSet).nonEmpty
+    } yield (a, b)).filter { case (a, b) =>
+      // classic Levenshtein, plain Scala
+      val (m, n) = (a.length, b.length)
+      val d = Array.tabulate(m + 1, n + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to m; j <- 1 to n)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(m)(n) <= 2
+    }.toSet
+    assert(got.map(t => (t._1, t._2)) == brute && got.nonEmpty)
+    // on THIS catalog, token blocking is lossless even vs the
+    // unrestricted all-pairs search (every close pair shares its noun)
+    val unrestricted = (for (a <- names; b <- names if a < b) yield (a, b))
+    assert(brute.size == unrestricted.count { case (a, b) =>
+      val (m, n) = (a.length, b.length)
+      val d = Array.tabulate(m + 1, n + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to m; j <- 1 to n)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(m)(n) <= 2
+    })
+  }
+
+  test("ER candidates feed the merge closure: transitive variant cluster") {
+    // dist-1 chain: "acme co" ~ "acmee co" ~ "acmee cco"; closing the
+    // candidate pairs as equiv edges merges all three to the min label
+    val mentions = Seq("acme co", "acmee co", "acmee cco", "other inc")
+      .toDF("p_name")
+    val cands = graft.canon.ErCandidates
+      .nameCandidates(mentions, "p_name", maxEdit = 1, maxBlockNames = 10L)
+    val edges = cands.select(org.apache.spark.sql.functions.col("name_a").as("src"),
+      org.apache.spark.sql.functions.col("name_b").as("dst")).as[EquivEdge]
+    val canon = ConnectedComponents.canonicalize(edges)
+      .as[(String, String)].collect().toMap
+    assert(canon("acme co") == "acme co" && canon("acmee co") == "acme co"
+      && canon("acmee cco") == "acme co" && !canon.contains("other inc"))
+  }
+
   test("evalsorel: symmetric matching, duplicate dropping, micro P/R") {
     val gold = Seq(
       ("d1", "Complex_formation", "A", "B"),
