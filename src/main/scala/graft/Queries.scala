@@ -765,6 +765,13 @@ object Queries {
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(table(s, dir, "documents"))
 
+  /** TF-IDF key-term extraction: each doc's top-3 distinguishing terms
+    * under the integer idf surrogate ([[operators.TextAnalysis.keyTerms]]
+    * — rankings match log-idf whenever df differ; the surrogate keeps
+    * the oracle bit-exact). */
+  def textKeyTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.keyTerms(table(s, dir, "documents"), k = 3)
+
   /** C4/RefinedWeb line-level boilerplate removal: lines appearing in ≥ 2
     * distinct documents are dropped from every document carrying them
     * (on the single-line testdata corpus this degenerates to whole-text

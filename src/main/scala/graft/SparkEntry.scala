@@ -76,6 +76,7 @@ object SparkEntry {
     "text_sample" -> (Queries.textSample _),
     "text_sample_topk" -> (Queries.textSampleTopK _),
     "text_repetition" -> (Queries.textRepetition _),
+    "text_keyterms" -> (Queries.textKeyTerms _),
     "text_pack" -> (Queries.textPack _),
     "text_pack_chunks" -> (Queries.textPackChunks _),
     "text_gopher" -> (Queries.textGopher _),
@@ -1125,6 +1126,23 @@ object SparkEntry {
         | COALESCE(string_agg(CASE WHEN NOT boiler THEN line END, chr(10) ORDER BY pos), '')
         |   AS clean_text
         |FROM k GROUP BY doc_id""".stripMargin,
+    // tf-idf key terms: integer idf surrogate (n_docs*1000 // df), ties
+    // by term ascending; oracle ranks with a window (the engine uses a
+    // bounded per-doc sort instead — the VALUES must agree)
+    "text_keyterms" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        | nd AS (SELECT count(*) AS n_docs FROM d),
+        | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |   WHERE term <> '' GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT t.doc_id, t.term, t.tf, f.df,
+        |     t.tf * ((nd.n_docs * 1000) // f.df) AS score
+        |   FROM tf t JOIN df f USING (term) CROSS JOIN nd),
+        | rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, rank, term, tf, df, score FROM rk
+        |WHERE rank <= 3""".stripMargin,
     // intra-doc repetition: totals/distincts are integers; the duplicate
     // fraction is one per-row IEEE subtract+divide, bit-stable cross-engine
     "text_repetition" ->

@@ -470,6 +470,47 @@ object TextAnalysis {
           .as("n_est"))
   }
 
+  /** TF-IDF-style KEY-TERM extraction: each document's top-k most
+    * DISTINGUISHING terms — high in-document frequency, low document
+    * frequency — the classic keyword/topic-surfacing primitive (Salton's
+    * tf-idf; per-doc keyword sets feed clustering, dedup explanations,
+    * and search-index boosting). The inverse-document-frequency weight
+    * here is the INTEGER surrogate `(n_docs·1000) div df`: strictly
+    * decreasing in df, so per-document RANKINGS match any monotone idf
+    * (log-idf included) whenever df values differ, and the oracle
+    * reproduces the score bit-exactly without cross-engine `ln` hazards
+    * (production swaps one expression for log-idf).
+    *
+    * Scale shape: tf is one (doc_id, term) map-side-combinable count; df
+    * aggregates tf again BY TERM (never rescans the corpus); the df join
+    * keys on term — vocabulary-scaled, left to AQE to broadcast when it
+    * fits (at web scale a token-df table can be GBs: forcing broadcast
+    * would be wrong). The top-k selection is a per-document
+    * collect_list + sort_array + slice — bounded by the DOC's distinct
+    * terms, no corpus-wide Window sort. Ties rank by term ascending.
+    *
+    * @return (doc_id, rank 1..k, term, tf, df, score). */
+  def keyTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val d = docs.filter(col("text").isNotNull)
+    val tf = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(nd))
+      .withColumn("score", col("tf") * expr("(n_docs * 1000) div df"))
+    scored.groupBy(col("doc_id"))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("score")).as("neg"), col("term"), col("tf"), col("df"),
+        col("score")))), 1, k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.term").as("term"), col("col.tf").as("tf"),
+        col("col.df").as("df"), col("col.score").as("score"))
+  }
+
   /** [[classifierScore]] with an EXTERNAL weight table — the trained-
     * weights deployment path: `weights` is (feature: Long, weight: Long)
     * over [0, dim) hashed features, exactly the flat array a trained

@@ -486,6 +486,30 @@ class OperatorsSpec extends AnyFunSuite {
       s"estimate $want implausibly far from 201")
   }
 
+  test("keyTerms: integer idf ranking, ties by term, null docs excluded") {
+    val kt = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common common date"),
+      (5L, "x y"),
+      (6L, null)).toDF("doc_id", "text")
+    val got = TextAnalysis.keyTerms(kt, k = 2)
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    // n_docs = 4 (null excluded); idf surrogate = 4000 // df
+    assert(got == Set(
+      (1L, 1L, "apple", 2L, 1L, 8000L), // tf 2 beats every idf-4000 term
+      (1L, 2L, "banana", 1L, 2L, 2000L),
+      (2L, 1L, "cherry", 1L, 1L, 4000L),
+      (2L, 2L, "banana", 1L, 2L, 2000L),
+      (3L, 1L, "date", 1L, 1L, 4000L),
+      (3L, 2L, "common", 2L, 3L, 2666L), // 2 * (4000 div 3 = 1333)
+      (5L, 1L, "x", 1L, 1L, 4000L), // score tie with y -> term ascending
+      (5L, 2L, "y", 1L, 1L, 4000L)))
+    // k larger than a doc's vocabulary returns the whole vocabulary
+    assert(TextAnalysis.keyTerms(kt, k = 10)
+      .filter(col("doc_id") === 5L).count() == 2)
+  }
+
   test("weighted exact-k: A-ES priorities match the brute-force reference") {
     import graft.operators.Sampling
     // 40 docs across 2 langs, weights 1..12 cycling; k=5
