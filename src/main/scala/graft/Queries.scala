@@ -616,6 +616,19 @@ object Queries {
     graph.GraphOps.earliestArrival(e, seeds, rounds = 4)
   }
 
+  /** Sampled-source harmonic centrality over the user graph: seeds =
+    * users with id ≡ 0 (mod 7) (the deterministic sample an
+    * Eppstein–Wang estimator BFSes from), 3 bounded hops, integer
+    * permille harmonic sums
+    * ([[graft.graph.GraphOps.harmonicCentrality]]). */
+  def userHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val e = userGraphEdges(s, dir)
+    val seeds = graph.GraphOps.symmetrize(e)
+      .select(col("src").as("node")).distinct()
+      .filter(col("node") % 7 === 0)
+    graph.GraphOps.harmonicCentrality(e, seeds, maxHops = 3)
+  }
+
   /** One-row structural summary of the user graph — counts, max degree,
     * wedges, distinct triangles, global clustering coefficient in exact
     * ppm ([[graft.graph.GraphOps.graphStats]]). */

@@ -121,6 +121,7 @@ object SparkEntry {
     "user_ppr" -> (Queries.userPpr _),
     "user_sssp" -> (Queries.userSssp _),
     "user_graph_stats" -> (Queries.userGraphStats _),
+    "user_harmonic" -> (Queries.userHarmonic _),
     "user_walks" -> (Queries.userWalks _),
     "user_walk_pairs" -> (Queries.userWalkPairs _),
     "user_walks_biased" -> (Queries.userWalksBiased _),
@@ -1679,6 +1680,24 @@ object SparkEntry {
          | s0 AS MATERIALIZED (SELECT src, dst FROM sym),
          |$steps
          |SELECT src AS node, count(*) AS deg FROM s6 GROUP BY src""".stripMargin
+    },
+    // sampled-source harmonic centrality: per-seed BFS unrolled 3 hops
+    // (min-dist recurrence keyed by seed), then the 1000 // dist sum
+    "user_harmonic" -> {
+      val steps = (1 to 3).map { i =>
+        s""" d$i AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM (
+           |   SELECT seed, node, dist FROM d${i - 1}
+           |   UNION ALL
+           |   SELECT p.seed, s.dst AS node, p.dist + 1 AS dist
+           |   FROM d${i - 1} p JOIN sym s ON s.src = p.node) GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $userSymSql,
+         | seeds AS (SELECT DISTINCT src AS seed FROM sym WHERE src % 7 = 0),
+         | d0 AS (SELECT seed, seed AS node, 0 AS dist FROM seeds),
+         |$steps
+         |SELECT node, CAST(sum(1000 // dist) AS BIGINT) AS h_permille,
+         |  count(*) AS n_seeds_reached
+         |FROM d3 WHERE dist > 0 GROUP BY node""".stripMargin
     },
     // resource-allocation link prediction: non-adjacent pairs sharing >= 2
     // neighbors, ra = sum(1e9 // deg(z)) — integer per-term division

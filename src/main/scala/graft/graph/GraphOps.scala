@@ -183,6 +183,63 @@ object GraphOps {
     settled
   }
 
+  /** PER-SEED bounded BFS distances — [[khopDistances]] keyed by seed:
+    * where the multi-source form settles the MIN distance over the whole
+    * seed set, this keeps one distance row PER (seed, reached node), the
+    * table sampled-source centrality estimators aggregate. Same
+    * changed-frontier pruning, anti-joined on the (seed, node) pair key;
+    * the frontier join stays ONE equi-join per hop regardless of seed
+    * count (seeds ride along as a payload column), so s seeds cost the
+    * same shuffle count as one.
+    *
+    * @param seeds one `node` column; duplicates collapse.
+    * @return DataFrame(seed, node, dist) for every node within `maxHops`
+    *         of each seed (dist 0 = the seed itself). */
+  def perSeedDistances(edges: DataFrame, seeds: DataFrame,
+                       maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val sym = symmetrize(edges)
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var settled = seeds.select(col("node").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"))
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = settled
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = sym.join(frontier, sym("src") === frontier("node"))
+        .select(col("seed"), sym("dst").as("node")).distinct()
+        .join(settled, Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      settled = settled.unionByName(frontier)
+    }
+    sym.unpersist()
+    settled
+  }
+
+  /** SAMPLED-SOURCE HARMONIC CENTRALITY (Eppstein–Wang estimation,
+    * Δ-bounded): for every node v, Σ over sampled seeds s ≠ v within
+    * `maxHops` of 1000 div d(s, v) — the integer-permille harmonic sum.
+    * Exact harmonic centrality needs all-pairs distances (quadratic —
+    * off the table at 10⁹ nodes); the standard scalable estimator runs
+    * BFS from a deterministic seed SAMPLE and rescales, with the hop
+    * bound cutting the long tail (distant nodes contribute ≤ 1000/Δ
+    * each). Pass every node as a seed for the exact bounded form on
+    * small graphs.
+    *
+    * @return DataFrame(node, h_permille, n_seeds_reached) over nodes
+    *         within `maxHops` of ≥ 1 seed (a seed reached only by itself
+    *         does not appear — dist 0 contributes nothing). */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+                         maxHops: Int): DataFrame =
+    perSeedDistances(edges, seeds, maxHops)
+      .filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(sum(expr("1000 div dist")).as("h_permille"),
+        count(lit(1)).as("n_seeds_reached"))
+
   /** Fixed-iteration SYNCHRONOUS label propagation (Raghavan, Albert,
     * Kumara 2007, the deterministic synchronous variant): every node
     * starts labeled with itself; each round it adopts the label most

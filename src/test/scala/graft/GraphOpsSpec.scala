@@ -161,6 +161,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(runKhop(g, Seq("zzz"), 4) == Map("zzz" -> 0))
   }
 
+  test("perSeedDistances: keyed per seed, no cross-seed min-merge") {
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val got = GraphOps.perSeedDistances(chain.toDF("src", "dst"),
+        Seq("a", "c").toDF("node"), maxHops = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    // khopDistances would settle b at min(1,1)=1 ONCE; here both seeds
+    // keep their own row, and a's view of d (3 hops) is cut by the bound
+    assert(got == Set(
+      ("a", "a", 0), ("a", "b", 1), ("a", "c", 2),
+      ("c", "c", 0), ("c", "b", 1), ("c", "d", 1), ("c", "a", 2)))
+  }
+
+  test("harmonicCentrality: hand-computed permille sums on the chain") {
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val got = GraphOps.harmonicCentrality(chain.toDF("src", "dst"),
+        Seq("a", "c").toDF("node"), maxHops = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // a: only c reaches it (dist 2 -> 500); b: both seeds at 1 (2000);
+    // c: a at 2 (500); d: c at 1 (1000), a's 3 hops beyond the bound
+    assert(got == Set(("a", 500L, 1L), ("b", 2000L, 2L),
+      ("c", 500L, 1L), ("d", 1000L, 1L)))
+    // integer division: dist 3 contributes 333 when the bound admits it
+    val far = GraphOps.harmonicCentrality(chain.toDF("src", "dst"),
+        Seq("a").toDF("node"), maxHops = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(far("d") == 333L)
+  }
+
   test("khopDistances: frontier loop equals the naive whole-set recurrence " +
     "on a seeded random graph") {
     val rnd = new scala.util.Random(20260817L)
