@@ -1710,11 +1710,18 @@ object Queries {
     * counts, so this entry is the miner's downstream consumer: mined
     * rule in, inferred edge candidates out). Production picks rule
     * (body, head) pairs from kgRules above a confidence gate; the
-    * catalog pins this one rule for determinism. */
+    * catalog pins this one rule for determinism. Runs over the
+    * [[edgeSplitCode]] 75% training split, NOT the full graph: the
+    * word-soup corpus saturates the closed-vocabulary KG, so the
+    * full-graph anti-join is vacuously empty (every valid `scan` edge
+    * is already asserted) — the split leaves held-out edges for the
+    * rule to actually reconstruct, making this entry a non-vacuous
+    * demonstration of the CONSTRUCT path. */
   def kgRuleInfer(s: SparkSession, dir: String): DataFrame = {
     import graph.BgpMatcher.{C, TriplePattern, V}
     val e = kgTypedTriples(s, dir)
       .select(col("subj"), col("pred"), col("obj")).distinct()
+      .filter(edgeSplitCode % 4 =!= 3)
       .localCheckpoint() // body patterns + the anti-join all read it
     graph.BgpMatcher.construct(e,
       body = Seq(

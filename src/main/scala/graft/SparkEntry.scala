@@ -1564,9 +1564,13 @@ object SparkEntry {
     // rule application / SPARQL CONSTRUCT: the rule body's distinct
     // groundings anti-joined against observed head edges — the inferred
     // KG-completion candidates
+    // training-split edges only (see Queries.kgRuleInfer: the saturated
+    // closed-vocabulary KG makes the full-graph anti-join vacuously empty)
     "kg_rule_infer" ->
       s"""WITH $kgTypedCtes,
-         | e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t),
+         | fe AS (SELECT DISTINCT subj, pred, obj FROM t),
+         | e AS MATERIALIZED (SELECT * FROM fe
+         |   WHERE ($edgeSplitSql) % 4 <> 3),
          | body AS (SELECT DISTINCT a.subj AS x, b.obj AS y
          |   FROM e a JOIN e b ON b.subj = a.obj
          |   WHERE a.pred = 'filter' AND b.pred = 'group')

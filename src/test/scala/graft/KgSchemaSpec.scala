@@ -280,6 +280,30 @@ class KgSchemaSpec extends AnyFunSuite {
     assert(got == viaConstruct && got.nonEmpty)
   }
 
+  test("rule infer: non-vacuous on the train split, sound vs the body join") {
+    // The catalog entry runs the pinned CONSTRUCT over the 75% training
+    // split precisely because the saturated closed-vocabulary KG makes
+    // the full-graph anti-join vacuously empty — this pins both halves:
+    // the split leaves something to infer, and every inferred edge is a
+    // genuine body grounding absent from the training graph.
+    val dRank = Queries.kgDictWords.zipWithIndex.toMap
+    val pRank = Queries.kgPredWords.zipWithIndex.toMap
+    val train = Queries.kgTypedTriples(spark, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+      .as[(String, String, String)].collect()
+      .filter { case (s, p, o) => (dRank(s) * 25 + pRank(p) * 5 + dRank(o)) % 4 != 3 }
+      .toSet
+    val expected = (for {
+      (x, pa, m) <- train if pa == "filter"
+      (m2, pb, y) <- train if pb == "group" && m2 == m
+      if !train.contains((x, "scan", y))
+    } yield (x, "scan", y)).toSet
+    val got = Queries.kgRuleInfer(spark, dir)
+      .as[(String, String, String)].collect().toSet
+    assert(got.nonEmpty, "the split must leave the pinned rule something to infer")
+    assert(got == expected)
+  }
+
   test("completion eval: one internally-consistent row on testdata") {
     val rows = Queries.kgCompletionEval(spark, dir).collect()
     assert(rows.length == 1)
