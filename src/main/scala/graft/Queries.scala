@@ -1730,6 +1730,37 @@ object Queries {
       head = TriplePattern(V("x"), C("scan"), V("y")))
   }
 
+  /** INCREMENTAL RULE-INFERENCE MAINTENANCE — the delta == full theorem
+    * applied to reasoning: split [[kgRuleInfer]]'s training graph into an
+    * "old" two-quarters and a "delta" quarter ([[edgeSplitCode]]), store
+    * yesterday's derived heads (`construct(old, newOnly = false)` — the
+    * table a production deployment persists beside the rollup), and
+    * maintain the inferred set through
+    * [[graft.graph.BgpMatcher.constructDelta]]'s semi-naive expansion —
+    * the old graph is never re-ground against itself. The ORACLE is the
+    * SAME full-recompute SQL as kg_rule_infer (both run over the %4 ≠ 3
+    * training graph), so the driver's hash match proves delta == full by
+    * an independent engine — the kg_edge_rollup_delta / keepListDelta
+    * protocol extended from aggregation to inference. */
+  def kgRuleInferDelta(s: SparkSession, dir: String): DataFrame = {
+    import graph.BgpMatcher.{construct, constructDelta, C, TriplePattern, V}
+    val e = kgTypedTriples(s, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+      .filter(edgeSplitCode % 4 =!= 3)
+      .localCheckpoint() // old/delta slices + the anti-join all read it
+    val old = e.filter(edgeSplitCode % 4 =!= 2)
+    val delta = e.filter(edgeSplitCode % 4 === 2)
+    val body = Seq(
+      TriplePattern(V("x"), C("filter"), V("m")),
+      TriplePattern(V("m"), C("group"), V("y")))
+    val head = TriplePattern(V("x"), C("scan"), V("y"))
+    // yesterday's stored derivation (the demo recomputes it; production
+    // reads the persisted table — see constructDelta's scaladoc)
+    val oldDerived = construct(old, body, head, newOnly = false)
+      .localCheckpoint()
+    constructDelta(old, delta, oldDerived, body, head)
+  }
+
   def kgRules(s: SparkSession, dir: String): DataFrame =
     kgRulesOf(kgTypedTriples(s, dir))
 

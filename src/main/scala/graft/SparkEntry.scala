@@ -141,6 +141,7 @@ object SparkEntry {
     "kg_bgp_filter" -> (Queries.kgBgpFilter _),
     "kg_bgp_union" -> (Queries.kgBgpUnion _),
     "kg_rule_infer" -> (Queries.kgRuleInfer _),
+    "kg_rule_infer_delta" -> (Queries.kgRuleInferDelta _),
     "kg_rule_apply" -> (Queries.kgRuleApply _),
     "kg_completion_eval" -> (Queries.kgCompletionEval _),
     "kg_path_closure" -> (Queries.kgPathClosure _),
@@ -1567,6 +1568,22 @@ object SparkEntry {
     // training-split edges only (see Queries.kgRuleInfer: the saturated
     // closed-vocabulary KG makes the full-graph anti-join vacuously empty)
     "kg_rule_infer" ->
+      s"""WITH $kgTypedCtes,
+         | fe AS (SELECT DISTINCT subj, pred, obj FROM t),
+         | e AS MATERIALIZED (SELECT * FROM fe
+         |   WHERE ($edgeSplitSql) % 4 <> 3),
+         | body AS (SELECT DISTINCT a.subj AS x, b.obj AS y
+         |   FROM e a JOIN e b ON b.subj = a.obj
+         |   WHERE a.pred = 'filter' AND b.pred = 'group')
+         |SELECT x AS subj, 'scan' AS pred, y AS obj FROM body
+         |WHERE NOT EXISTS (SELECT 1 FROM e h
+         |  WHERE h.subj = body.x AND h.pred = 'scan' AND h.obj = body.y)"""
+        .stripMargin,
+    // incremental inference maintenance hash-matches the FULL-RECOMPUTE
+    // CONSTRUCT over the same training graph — semi-naive delta == full,
+    // proven by the independent engine (the kg_edge_rollup_delta protocol
+    // extended from aggregation to reasoning)
+    "kg_rule_infer_delta" ->
       s"""WITH $kgTypedCtes,
          | fe AS (SELECT DISTINCT subj, pred, obj FROM t),
          | e AS MATERIALIZED (SELECT * FROM fe

@@ -116,7 +116,25 @@ object BgpMatcher {
     *         referencing no variable / an unbound name. */
   def matchBgp(edges: DataFrame, patterns: Seq[TriplePattern],
                optionals: Seq[TriplePattern] = Nil,
-               filters: Seq[Column] = Nil): DataFrame = {
+               filters: Seq[Column] = Nil): DataFrame =
+    matchBgpSources(patterns.map((_, edges)), optionals.map((_, edges)),
+      filters)
+
+  /** Vertical-partitioning form of [[matchBgp]]: each pattern reads its
+    * OWN edge relation. Two callers need this generality: (a) a triple
+    * store laid out per predicate (the classic SPARQL vertical
+    * partitioning — each constant-predicate pattern scans only its own
+    * table, no shared-scan filter needed), and (b) the SEMI-NAIVE delta
+    * evaluation of [[constructDelta]], where the same pattern reads the
+    * old, delta, or combined edge set depending on its position in the
+    * delta expansion. Join order, filter placement and validation are
+    * identical to [[matchBgp]] — the result is the conjunction of the
+    * patterns regardless of which relation each one scans. */
+  def matchBgpSources(patternSources: Seq[(TriplePattern, DataFrame)],
+                      optionalSources: Seq[(TriplePattern, DataFrame)] = Nil,
+                      filters: Seq[Column] = Nil): DataFrame = {
+    val patterns = patternSources.map(_._1)
+    val optionals = optionalSources.map(_._1)
     require(patterns.nonEmpty, "BGP needs at least one triple pattern")
     val outCols = (patterns ++ optionals).flatMap(_.vars).distinct
     require(patterns.exists(_.vars.nonEmpty),
@@ -133,9 +151,9 @@ object BgpMatcher {
     // anchor: most constants among the VARIABLE patterns (ties: input
     // order) — a fully-constant pattern binds nothing, so it can only be
     // a semi-join gate, never the chain anchor
-    val anchor = patterns.filter(_.vars.nonEmpty).maxBy(_.nConsts)
-    var bound = anchor.vars.toSet
-    var plan = compileOne(edges, anchor)
+    val anchor = patternSources.filter(_._1.vars.nonEmpty).maxBy(_._1.nConsts)
+    var bound = anchor._1.vars.toSet
+    var plan = compileOne(anchor._2, anchor._1)
     // earliest-placement FILTER pushdown: apply every pending filter
     // whose variables are all bound at this point of the chain
     def applyReadyFilters(): Unit = {
@@ -144,30 +162,33 @@ object BgpMatcher {
       pending = rest
     }
     applyReadyFilters()
-    var todo = patterns.diff(Seq(anchor))
+    var todo = patternSources.diff(Seq(anchor))
     while (todo.nonEmpty) {
-      val scored = todo.map(p => (p, p.vars.count(bound.contains)))
-      val (next, shared) = scored.maxBy { case (p, s) => (s, p.nConsts) }
+      val scored = todo.map { case (p, src) =>
+        ((p, src), p.vars.count(bound.contains))
+      }
+      val ((next, src), shared) =
+        scored.maxBy { case ((p, _), s) => (s, p.nConsts) }
       require(shared > 0 || next.vars.isEmpty,
         s"disconnected BGP: pattern $next shares no variable with ${bound.mkString(", ")}")
-      val rel = compileOne(edges, next)
+      val rel = compileOne(src, next)
       plan =
         if (next.vars.isEmpty) plan.join(rel, lit(true), "left_semi")
         else plan.join(rel, next.vars.filter(bound.contains))
       bound ++= next.vars
       applyReadyFilters()
-      todo = todo.diff(Seq(next))
+      todo = todo.diff(Seq((next, src)))
     }
     // OPTIONAL groups: left-join in input order, each keyed on variables
     // already bound (by the required chain or an earlier optional)
-    for (opt <- optionals) {
+    for ((opt, src) <- optionalSources) {
       val shared = opt.vars.filter(bound.contains)
       val fresh = opt.vars.filterNot(bound.contains)
       require(shared.nonEmpty,
         s"OPTIONAL pattern $opt shares no variable with the required patterns")
       require(fresh.nonEmpty,
         s"OPTIONAL pattern $opt binds no new variable — use a required pattern")
-      plan = plan.join(compileOne(edges, opt), shared, "left_outer")
+      plan = plan.join(compileOne(src, opt), shared, "left_outer")
       bound ++= fresh
       applyReadyFilters()
     }
@@ -233,6 +254,62 @@ object BgpMatcher {
       derived.join(edges.select(col("subj"), col("pred"), col("obj")),
         Seq("subj", "pred", "obj"), "left_anti")
     else derived
+  }
+
+  /** SEMI-NAIVE incremental maintenance of [[construct]] — the datalog
+    * delta-rule evaluation (the [[graft.operators.Dedup.keepListDelta]] /
+    * KgRollupStore theorem applied to reasoning): when a corpus delta
+    * adds `deltaEdges` to a graph whose previous CONSTRUCT heads were
+    * STORED (`oldDerived` = yesterday's `construct(old, body, head,
+    * newOnly = false)` — production persists it beside the rollup, the
+    * way KgRollupStore persists edge counts), the new inferred set is
+    * maintained WITHOUT re-grounding the old graph against itself.
+    *
+    * Delta expansion: for an n-pattern body, Δ(B₁ ⋈ … ⋈ Bₙ) =
+    * ⋃ᵢ (B'₁ ⋈ … ⋈ B'ᵢ₋₁ ⋈ ΔBᵢ ⋈ Bᵢ₊₁ ⋈ … ⋈ Bₙ) with B' = old ∪ Δ —
+    * every new grounding uses at least one delta edge, in exactly one
+    * branch (the standard semi-naive rewrite; naive re-evaluation grounds
+    * old×old every run, which at a billion edges is the whole join cost
+    * repeated per delta). Each branch is one [[matchBgpSources]] call:
+    * pattern i reads the delta, earlier patterns the combined set, later
+    * ones the old set. New heads union the stored ones, then one
+    * anti-join against the combined edge set (a previously-inferred edge
+    * the delta ASSERTS leaves the inferred set — observation beats
+    * inference) — so the result provably equals
+    * `construct(old ∪ delta, body, head)` while the quadratic grounding
+    * work is delta-restricted.
+    *
+    * Both inputs may overlap (re-delivered edges dedup in the head
+    * distinct); `oldDerived` must carry (subj, pred, obj).
+    *
+    * @return DataFrame(subj, pred, obj), == `construct(old ∪ delta)`. */
+  def constructDelta(oldEdges: DataFrame, deltaEdges: DataFrame,
+                     oldDerived: DataFrame, body: Seq[TriplePattern],
+                     head: TriplePattern,
+                     newOnly: Boolean = true): DataFrame = {
+    val bound = body.flatMap(_.vars).toSet
+    val missing = head.vars.filterNot(bound.contains)
+    require(missing.isEmpty,
+      s"head variables ${missing.mkString(", ")} are not bound by the body")
+    val triple = Seq("subj", "pred", "obj")
+    def edgesOf(df: DataFrame) = df.select(triple.map(col): _*)
+    val old = edgesOf(oldEdges)
+    val delta = edgesOf(deltaEdges)
+    val full = old.unionByName(delta)
+    def term(t: Term): Column = t match {
+      case V(n) => col(n)
+      case C(v) => lit(v)
+    }
+    val headCols = Seq(term(head.s).as("subj"), term(head.p).as("pred"),
+      term(head.o).as("obj"))
+    val deltaDerived = body.indices.map { i =>
+      val sources = body.zipWithIndex.map { case (p, j) =>
+        (p, if (j < i) full else if (j == i) delta else old)
+      }
+      matchBgpSources(sources).select(headCols: _*)
+    }.reduce(_ unionByName _)
+    val derived = edgesOf(oldDerived).unionByName(deltaDerived).distinct()
+    if (newOnly) derived.join(full, triple, "left_anti") else derived
   }
 
 }

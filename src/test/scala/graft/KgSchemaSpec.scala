@@ -304,6 +304,39 @@ class KgSchemaSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("rule infer delta: equals the full recompute, both slices non-trivial") {
+    // the catalog twin: kg_rule_infer_delta shares kg_rule_infer's oracle
+    // SQL, so delta == full must hold bit-for-bit here too — and the
+    // demonstration is only meaningful if the old slice actually stores
+    // derivations AND the delta slice actually adds groundings
+    val full = Queries.kgRuleInfer(spark, dir)
+      .as[(String, String, String)].collect().toSet
+    val got = Queries.kgRuleInferDelta(spark, dir)
+      .as[(String, String, String)].collect().toSet
+    assert(got == full && got.nonEmpty)
+    val dRank = Queries.kgDictWords.zipWithIndex.toMap
+    val pRank = Queries.kgPredWords.zipWithIndex.toMap
+    def code(s: String, p: String, o: String) =
+      dRank(s) * 25 + pRank(p) * 5 + dRank(o)
+    val train = Queries.kgTypedTriples(spark, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+      .as[(String, String, String)].collect()
+      .filter { case (s, p, o) => code(s, p, o) % 4 != 3 }
+    val (delta, old) = train.partition { case (s, p, o) =>
+      code(s, p, o) % 4 == 2
+    }
+    assert(old.nonEmpty && delta.nonEmpty, "both slices must be inhabited")
+    def groundings(e: Set[(String, String, String)]) = for {
+      (x, pa, m) <- e if pa == "filter"
+      (m2, pb, y) <- e if pb == "group" && m2 == m
+    } yield (x, y)
+    val oldG = groundings(old.toSet)
+    val allG = groundings(train.toSet)
+    assert(oldG.nonEmpty, "the stored derivation must be non-empty")
+    assert((allG -- oldG).nonEmpty,
+      "the delta must add groundings the store lacks")
+  }
+
   test("completion eval: one internally-consistent row on testdata") {
     val rows = Queries.kgCompletionEval(spark, dir).collect()
     assert(rows.length == 1)

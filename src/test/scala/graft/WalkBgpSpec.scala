@@ -425,6 +425,73 @@ class WalkBgpSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("not bound"))
   }
 
+  test("matchBgpSources: vertical partitioning equals the single-table BGP") {
+    // split the edge table per predicate (the classic SPARQL vertical
+    // partitioning) and hand each pattern its own relation — same rows
+    val pats = Seq(
+      TriplePattern(V("x"), C("filter"), V("m")),
+      TriplePattern(V("m"), C("group"), V("y")),
+      TriplePattern(V("x"), C("scan"), V("y")))
+    def perPred(p: String) =
+      kgEdges.filter(_._2 == p).toDF("subj", "pred", "obj")
+    val got = BgpMatcher.matchBgpSources(Seq(
+        (pats(0), perPred("filter")),
+        (pats(1), perPred("group")),
+        (pats(2), perPred("scan"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    val whole = BgpMatcher.matchBgp(edgesDf, pats)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == whole && got == Set(("a", "b", "c")))
+  }
+
+  test("constructDelta: semi-naive branches, observation beats inference") {
+    val body = Seq(
+      TriplePattern(V("x"), C("filter"), V("m")),
+      TriplePattern(V("m"), C("group"), V("y")))
+    val head = TriplePattern(V("x"), C("scan"), V("y"))
+    // old graph: a full old-only grounding (p,q,r) plus two half-bridges
+    val old = Seq(
+      ("p", "filter", "q"), ("q", "group", "r"),   // old-only grounding
+      ("a", "filter", "b"),                        // waits for a delta group
+      ("m", "group", "n"))                         // waits for a delta filter
+      .toDF("subj", "pred", "obj")
+    // delta: bridges both directions, one delta-only grounding, and an
+    // ASSERTION of a previously-inferred edge (p scan r becomes observed)
+    val delta = Seq(
+      ("b", "group", "c"),                         // old filter + new group
+      ("l", "filter", "m"),                        // new filter + old group
+      ("u", "filter", "v"), ("v", "group", "w"),   // delta-only grounding
+      ("p", "scan", "r"))                          // observation beats inference
+      .toDF("subj", "pred", "obj")
+    val oldDerived = BgpMatcher.construct(old, body, head, newOnly = false)
+    val got = BgpMatcher.constructDelta(old, delta, oldDerived, body, head)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    // (p,scan,r) is now observed -> out; the three delta-touching
+    // groundings are in; equals the full recompute
+    val full = BgpMatcher.construct(old.unionByName(delta), body, head)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == full)
+    assert(got == Set(("a", "scan", "c"), ("l", "scan", "n"),
+      ("u", "scan", "w")))
+    // behavioral proof the old graph is never re-ground against itself:
+    // an EMPTY stored derivation loses exactly the old-only grounding —
+    // if the delta path recomputed old×old, (p,scan,r)'s sibling
+    // derivation (p,q,r) would resurface here regardless of the store
+    val noStore = BgpMatcher.constructDelta(old,
+        delta.filter(col("pred") =!= "scan"),
+        oldDerived.limit(0), body, head)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(!noStore.contains(("p", "scan", "r")),
+      "old-only grounding must come from the store, not a re-grounding")
+    assert(noStore == Set(("a", "scan", "c"), ("l", "scan", "n"),
+      ("u", "scan", "w")))
+  }
+
   test("BGP rejects a disconnected pattern set") {
     val e = intercept[IllegalArgumentException] {
       BgpMatcher.matchBgp(edgesDf, Seq(
