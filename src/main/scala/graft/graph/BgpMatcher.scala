@@ -225,6 +225,33 @@ object BgpMatcher {
     }.reduce(_ unionByName _)
   }
 
+  /** SPARQL `MINUS` (1.1 §18.5): drop every solution of `required` for
+    * which `minus` has a COMPATIBLE solution — compatible = equal on the
+    * shared variables. Compiled as one anti-join on the shared variable
+    * columns: the subtrahend side never grows the output, so at a billion
+    * edges this is the same co-partitioned anti-join shape as the
+    * CONSTRUCT newOnly gate. Groups sharing NO variable are rejected:
+    * SPARQL makes a domain-disjoint MINUS a no-op (keeps everything),
+    * which in practice is a mis-typed variable name — the same stance
+    * this compiler takes on disconnected BGPs. NULL bindings from an
+    * OPTIONAL keep their row (NULL joins nothing), congruent with
+    * SPARQL's unbound-variable compatibility: a solution whose shared
+    * variable is unbound is only removable through its OTHER shared
+    * bindings, and with a single unbound shared key nothing matches. */
+  def matchBgpMinus(edges: DataFrame, required: Bgp, minus: Bgp): DataFrame = {
+    val req = matchBgp(edges, required.patterns, required.optionals,
+      required.filters)
+    val sub = matchBgp(edges, minus.patterns, minus.optionals, minus.filters)
+    val shared = req.columns.intersect(sub.columns).toSeq
+    require(shared.nonEmpty,
+      "MINUS group shares no variable with the required patterns — " +
+        "SPARQL would keep every solution; spell the no-op explicitly")
+    // the using-columns join fronts the key columns — restore the
+    // required side's variable order (first-appearance, like matchBgp)
+    req.join(sub.select(shared.map(col): _*), shared, "left_anti")
+      .select(req.columns.map(col).toSeq: _*)
+  }
+
   /** SPARQL CONSTRUCT with a single head pattern — the RULE APPLICATION
     * step of KG completion: evaluate the `body` BGP, instantiate `head`
     * once per distinct binding, and (with `newOnly`, the default) keep

@@ -425,6 +425,59 @@ class WalkBgpSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("not bound"))
   }
 
+  test("MINUS drops compatible solutions, keeps NULL-keyed optional rows") {
+    import BgpMatcher.Bgp
+    val e = Seq(
+      ("a", "filter", "b"), ("c", "filter", "d"), // two required solutions
+      ("b", "merge", "e"),                        // optional binds z=e for (a,b)
+      ("k", "sort", "e"))                         // minus group binds z=e
+      .toDF("subj", "pred", "obj")
+    val got = BgpMatcher.matchBgpMinus(e,
+        required = Bgp(Seq(TriplePattern(V("x"), C("filter"), V("m"))),
+          optionals = Seq(TriplePattern(V("m"), C("merge"), V("z")))),
+        minus = Bgp(Seq(TriplePattern(V("q"), C("sort"), V("z")))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    // (a,b,e) is compatible with the minus solution z=e -> dropped;
+    // (c,d,NULL)'s unbound shared variable matches nothing -> kept
+    assert(got == Set(("c", "d", null)))
+    // plain subtraction on two shared variables
+    val both = BgpMatcher.matchBgpMinus(e,
+        required = Bgp(Seq(TriplePattern(V("x"), C("filter"), V("m")))),
+        minus = Bgp(Seq(TriplePattern(V("x"), C("filter"), C("b")),
+          TriplePattern(V("x"), C("filter"), V("m")))))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(both == Set(("c", "d")), "only the b-anchored solution subtracts")
+    // a domain-disjoint MINUS is rejected (SPARQL's silent no-op is a bug)
+    val bad = intercept[IllegalArgumentException] {
+      BgpMatcher.matchBgpMinus(e,
+        required = Bgp(Seq(TriplePattern(V("x"), C("filter"), V("m")))),
+        minus = Bgp(Seq(TriplePattern(V("q"), C("sort"), V("z")))))
+    }
+    assert(bad.getMessage.contains("shares no variable"))
+  }
+
+  test("catalog MINUS agrees with a naive recount on testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val dRank = Queries.kgDictWords.zipWithIndex.toMap
+    val pRank = Queries.kgPredWords.zipWithIndex.toMap
+    val train = Queries.kgTypedTriples(spark, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+      .as[(String, String, String)].collect()
+      .filter { case (s, p, o) =>
+        (dRank(s) * 25 + pRank(p) * 5 + dRank(o)) % 4 != 3 }
+      .toSet
+    val expected = train.collect {
+      case (x, "filter", m) if !train.contains((x, "scan", m)) => (x, m)
+    }
+    val got = Queries.kgBgpMinus(spark, dir)
+      .as[(String, String)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+    assert(train.exists { case (x, p, m) =>
+      p == "filter" && train.contains((x, "scan", m)) },
+      "the subtraction must actually drop something")
+  }
+
   test("matchBgpSources: vertical partitioning equals the single-table BGP") {
     // split the edge table per predicate (the classic SPARQL vertical
     // partitioning) and hand each pattern its own relation — same rows
