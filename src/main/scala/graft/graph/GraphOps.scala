@@ -276,6 +276,103 @@ object GraphOps {
     labels
   }
 
+  /** 1-dimensional WEISFEILER-LEMAN color refinement — the iterated
+    * structural-partition construction behind graph-DB structural
+    * indexes (the A(k)/bisimulation quotient family: nodes whose k-hop
+    * neighborhoods are indistinguishable share a class, so a query
+    * evaluated on the quotient bounds its answer on the full graph) and
+    * the expressiveness yardstick of message-passing GNNs (Weisfeiler &
+    * Leman 1968; Morris et al. AAAI 2019). Round r refines the partition
+    * by the signature (own color, sorted MULTISET of neighbor colors);
+    * the multiset is carried as (color, count) pairs — bounded per node
+    * by its distinct-neighbor-color count ≤ degree, the same
+    * neighborhood-rollup bound every aggregation here lives with.
+    *
+    * Color compression: a fresh class id each round is the MINIMUM node
+    * id sharing the signature — one groupBy(sig) + join back, instead of
+    * the global `dense_rank` window a single-node implementation reaches
+    * for (a total-order window is the one thing that cannot scale past
+    * one partition; min-per-group shuffles on the signature hash and
+    * AQE-splits like any aggregation). Node ids must be numeric.
+    *
+    * Scale shape: per round, one co-partitioned color join onto the
+    * (repartitioned once, persisted) edge table, two map-side-combinable
+    * aggregations, one signature join — k rounds = O(k) bounded-width
+    * shuffles, lineage cut per round.
+    *
+    * @return DataFrame(node, color) — color = min node id of the node's
+    *         round-`rounds` structural class. */
+  def wlColors(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = symmetrize(edges).filter(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var colors = sym.select(col("src").as("node")).distinct()
+      .withColumn("color", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbh = sym.join(colors, sym("dst") === colors("node"))
+        .groupBy(sym("src").as("node"), col("color").as("nc"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("node"))
+        .agg(sort_array(collect_list(struct(col("nc"), col("n"))))
+          .as("nbsig"))
+      // every node of the symmetrized loop-free graph has a neighbor,
+      // so the signature join is total (inner, no null branch)
+      val sigs = colors.join(nbh, "node")
+        .select(col("node"), struct(col("color"), col("nbsig")).as("sig"))
+      val reps = sigs.groupBy(col("sig")).agg(min(col("node")).as("rep"))
+      colors = sigs.join(reps, "sig")
+        .select(col("node"), col("rep").as("color"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist()
+    colors
+  }
+
+  /** NEWMAN MODULARITY of a node partition over an undirected graph —
+    * the standard quality score for community structure (Newman & Girvan
+    * 2004): Q = Σ_c [ m_c/m − (d_c/2m)² ], community c's internal-edge
+    * fraction minus the fraction a degree-preserving random rewiring
+    * would give it. Emitted per community in EXACT integers: the
+    * contribution numerator 4·m·m_c − d_c² over denominator 4·m², scaled
+    * to ppm with the TRUNCATING integer division both engines natively
+    * share (Spark `div` and DuckDB `//` both round toward zero — a
+    * sparse community's negative contribution truncates identically on
+    * both sides; Σ contrib_ppm ≈ 10⁶·Q either way). Long arithmetic
+    * holds to ~10⁸ edges (4m²·10⁶ < 2⁶³); past that, lift the numerator
+    * to decimal.
+    *
+    * Inputs: `edges` as DISTINCT unordered pairs (src < dst, the m-edge
+    * undirected form), `labels` as (node, label) covering every endpoint.
+    * Shape: one broadcast-by-construction one-row crossJoin for m, two
+    * label joins on the edge table, two map-side-combinable rollups — no
+    * window, no collect.
+    *
+    * @return DataFrame(community, n_members, m_in, deg_sum, contrib_ppm). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+    val lab = labels.select(col("node"), col("label"))
+    val deg = symmetrize(e0).groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val dc = lab.join(deg, "node")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("deg_sum"))
+    val mc = e0
+      .join(lab.select(col("node"), col("label").as("la")),
+        col("src") === col("node")).drop("node")
+      .join(lab.select(col("node"), col("label").as("lb")),
+        col("dst") === col("node")).drop("node")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("m_in"))
+    val m = e0.agg(count(lit(1)).as("m"))
+    dc.join(mc, Seq("community"), "left_outer").crossJoin(m)
+      .select(col("community"), col("n_members"),
+        coalesce(col("m_in"), lit(0L)).as("m_in"), col("deg_sum"),
+        expr("""((4 * m * coalesce(m_in, 0) - deg_sum * deg_sum)
+               | * 1000000) div (4 * m * m)""".stripMargin)
+          .as("contrib_ppm"))
+  }
+
   /** Fixed-iteration integer PageRank over an undirected edge list.
     *
     * Ranks are longs scaled by `scale` (default parts-per-trillion);

@@ -503,4 +503,74 @@ class GraphOpsSpec extends AnyFunSuite {
       "b" -> ((1L, 5L)),
       "c" -> ((1L, 1L))))
   }
+
+  /** Plain-Scala WL refinement — the SAME (own color, sorted neighbor
+    * multiset) partition with min-member class ids, no Spark. */
+  private def refWl(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .distinct.filter(e => e._1 != e._2)
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var color: Map[Long, Long] = adj.keys.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      def sig(v: Long) = (color(v),
+        adj(v).map(color).groupBy(identity)
+          .map { case (c, l) => (c, l.size) }.toSeq.sorted)
+      color = adj.keys.toSeq.groupBy(sig).flatMap { case (_, vs) =>
+        val m = vs.min
+        vs.map(_ -> m)
+      }
+    }
+    color
+  }
+
+  private def runWl(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    GraphOps.wlColors(edges.toDF("src", "dst").repartition(4), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("wlColors: P5 — round 1 is degree classes, round 2 splits the center") {
+    val p5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // round 1: ends {1,5} vs inner {2,3,4} (signature = degree multiset)
+    assert(runWl(p5, 1) ==
+      Map(1L -> 1L, 5L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    // round 2: the center's neighbors are both inner -> {3} splits off
+    assert(runWl(p5, 2) ==
+      Map(1L -> 1L, 5L -> 1L, 2L -> 2L, 4L -> 2L, 3L -> 3L))
+  }
+
+  test("wlColors equals the plain-Scala reference on a seeded random graph") {
+    val edges = (0 until 60).map { i =>
+      val a = (i * 2654435761L) % 23
+      val b = (i * 40503L + 7) % 23
+      (a, if (a == b) (b + 1) % 23 else b)
+    }.distinct
+    for (r <- 1 to 3)
+      assert(runWl(edges, r) == refWl(edges, r), s"round $r diverged")
+  }
+
+  test("modularity: two triangles + bridge — known Q, and floor on negatives") {
+    val tri2 = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    def run(labels: Seq[(Long, Long)]): Map[Long, (Long, Long, Long, Long)] =
+      GraphOps.modularity(tri2.toDF("src", "dst"),
+          labels.toDF("node", "label"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // natural split: each triangle one community. m = 7, each side
+    // m_in = 3 + the bridge endpoint degree: d_c = 7.
+    // contrib = (4*7*3 - 49)*1e6 // 196 = 178571 each; Q ~ 0.357 (known)
+    val natural = run(Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    assert(natural == Map(
+      1L -> ((3L, 3L, 7L, 178571L)),
+      4L -> ((3L, 3L, 7L, 178571L))))
+    // adversarial split {1,4} has NO internal edge: numer = -25e6,
+    // -25000000/196 = -127551.02... -> -127551 (both engines' integer
+    // division truncates toward zero — Spark `div`, DuckDB `//` — so the
+    // negative contribution is pinned to the shared semantics)
+    val adv = run(Seq(1L -> 1L, 4L -> 1L, 2L -> 2L, 3L -> 2L,
+      5L -> 5L, 6L -> 5L))
+    assert(adv(1L) == ((2L, 0L, 5L, -127551L)))
+    // {2,3}: m_in = 1 (edge 2-3), d = 5 -> (28-25)*1e6 // 196 = 15306
+    assert(adv(2L) == ((2L, 1L, 5L, 15306L)))
+  }
 }
