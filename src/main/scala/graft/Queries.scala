@@ -641,6 +641,28 @@ object Queries {
   def userKcore(s: SparkSession, dir: String): DataFrame =
     graph.GraphOps.kCorePeel(userGraphEdges(s, dir), k = 10, rounds = 6)
 
+  /** Two rounds of Weisfeiler-Leman color refinement over the user
+    * graph — each user's structural-equivalence class after looking two
+    * hops out ([[graft.graph.GraphOps.wlColors]]; class ids are min
+    * member ids, window-free). */
+  def userWlColors(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.wlColors(userGraphEdges(s, dir), rounds = 2)
+      .select(col("node").as("user_id"), col("color"))
+
+  /** Newman modularity panel of the 3-round label-propagation partition
+    * of the user graph — per community: size, internal edges, degree
+    * mass, and the exact-integer ppm contribution to Q
+    * ([[graft.graph.GraphOps.modularity]] over
+    * [[graft.graph.GraphOps.labelPropagate]] — the measurement that says
+    * whether the communities the engine ships are better than a random
+    * rewiring). */
+  def userModularity(s: SparkSession, dir: String): DataFrame = {
+    val e0 = userGraphEdges(s, dir)
+      .localCheckpoint() // labels, degrees, m and m_in all read it
+    graph.GraphOps.modularity(e0,
+      graph.GraphOps.labelPropagate(e0, iterations = 3))
+  }
+
   /** Resource-allocation link prediction over the user graph: every
     * non-adjacent pair sharing ≥ 2 neighbors, with the integer RA score
     * ([[graft.graph.GraphOps.linkPredict]]). */
@@ -1650,6 +1672,26 @@ object Queries {
       Bgp(Seq(TriplePattern(V("x"), C("merge"), V("y")))),
       Bgp(Seq(TriplePattern(V("x"), C("filter"), V("m")),
         TriplePattern(V("m"), C("scan"), V("y"))))))
+  }
+
+  /** SPARQL `MINUS` over the typed KG: filter-pairs that have NO scan
+    * edge between the same endpoints — solution-level subtraction
+    * ([[graft.graph.BgpMatcher.matchBgpMinus]]), the algebra form
+    * negation-as-failure queries take ("entities related by p but not by
+    * q" — a KG-quality probe for missing inverse/parallel assertions).
+    * Runs over the [[edgeSplitCode]] training split for the same reason
+    * [[kgRuleInfer]] does: the saturated closed-vocabulary KG asserts
+    * every valid edge, so a full-graph MINUS is vacuously empty; the
+    * split leaves real survivors. */
+  def kgBgpMinus(s: SparkSession, dir: String): DataFrame = {
+    import graph.BgpMatcher.{Bgp, C, TriplePattern, V}
+    val e = kgTypedTriples(s, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+      .filter(edgeSplitCode % 4 =!= 3)
+      .localCheckpoint() // both groups read the derived edge set
+    graph.BgpMatcher.matchBgpMinus(e,
+      required = Bgp(Seq(TriplePattern(V("x"), C("filter"), V("m")))),
+      minus = Bgp(Seq(TriplePattern(V("x"), C("scan"), V("m")))))
   }
 
   /** SPARQL property-path `filter+` over the typed KG: all entity pairs

@@ -117,6 +117,8 @@ object SparkEntry {
     "kg_lift" -> (Queries.kgLift _),
     // user co-occurrence graph (events): peel / link-predict / PPR
     "user_kcore" -> (Queries.userKcore _),
+    "user_wl_colors" -> (Queries.userWlColors _),
+    "user_modularity" -> (Queries.userModularity _),
     "user_linkpred" -> (Queries.userLinkPredict _),
     "user_ppr" -> (Queries.userPpr _),
     "user_sssp" -> (Queries.userSssp _),
@@ -140,6 +142,7 @@ object SparkEntry {
     "kg_bgp_optional" -> (Queries.kgBgpOptional _),
     "kg_bgp_filter" -> (Queries.kgBgpFilter _),
     "kg_bgp_union" -> (Queries.kgBgpUnion _),
+    "kg_bgp_minus" -> (Queries.kgBgpMinus _),
     "kg_rule_infer" -> (Queries.kgRuleInfer _),
     "kg_rule_infer_delta" -> (Queries.kgRuleInferDelta _),
     "kg_rule_apply" -> (Queries.kgRuleApply _),
@@ -1521,6 +1524,18 @@ object SparkEntry {
          |SELECT a.subj AS x, b.obj AS y, a.obj AS m
          |FROM e a JOIN e b ON b.subj = a.obj
          |WHERE a.pred = 'filter' AND b.pred = 'scan'""".stripMargin,
+    // SPARQL MINUS: anti-join on the shared variables — filter pairs with
+    // no parallel scan edge, over the training split (the saturated full
+    // graph would subtract everything)
+    "kg_bgp_minus" ->
+      s"""WITH $kgTypedCtes,
+         | fe AS (SELECT DISTINCT subj, pred, obj FROM t),
+         | e AS MATERIALIZED (SELECT * FROM fe
+         |   WHERE ($edgeSplitSql) % 4 <> 3)
+         |SELECT a.subj AS x, a.obj AS m FROM e a
+         |WHERE a.pred = 'filter' AND NOT EXISTS (
+         |  SELECT 1 FROM e s WHERE s.pred = 'scan'
+         |    AND s.subj = a.subj AND s.obj = a.obj)""".stripMargin,
     // mined-rule application: the miner's gated output applied wholesale
     // — chain groundings joined with the gated rule table, best-conf per
     // predicted edge, NOT EXISTS against the observed set. The mining
@@ -1701,6 +1716,62 @@ object SparkEntry {
          | s0 AS MATERIALIZED (SELECT src, dst FROM sym),
          |$steps
          |SELECT src AS node, count(*) AS deg FROM s6 GROUP BY src""".stripMargin
+    },
+    // 2 rounds of WL color refinement: signature = own color + ordered
+    // (neighbor color : count) string, class id = min node id per
+    // signature (the engine groups by the same (color, sorted multiset)
+    // key, so the partitions — and min ids — coincide)
+    "user_wl_colors" -> {
+      val steps = (1 to 2).map { i =>
+        s""" n$i AS MATERIALIZED (SELECT e.src AS node, d.color AS nc,
+           |     count(*) AS n
+           |   FROM sym e JOIN c${i - 1} d ON d.node = e.dst GROUP BY 1, 2),
+           | s$i AS MATERIALIZED (SELECT c.node,
+           |     c.color::VARCHAR || '|' || string_agg(
+           |       x.nc::VARCHAR || ':' || x.n::VARCHAR, ',' ORDER BY x.nc)
+           |       AS sig
+           |   FROM c${i - 1} c JOIN n$i x ON x.node = c.node
+           |   GROUP BY c.node, c.color),
+           | c$i AS MATERIALIZED (SELECT node,
+           |     min(node) OVER (PARTITION BY sig) AS color FROM s$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $userSymSql,
+         | c0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+         |     CAST(0 AS BIGINT) AS color FROM sym),
+         |$steps
+         |SELECT node AS user_id, color FROM c2""".stripMargin
+    },
+    // Newman modularity of the 3-round label-prop partition: the same
+    // argmax unroll as kg_communities over the user graph, then exact
+    // integer contributions (4·m·m_c − d_c²)·10⁶ floor-div 4·m²
+    "user_modularity" -> {
+      val steps = (1 to 3).map { i =>
+        s""" t$i AS (SELECT s.dst AS node, l.label, count(*) AS c
+           |   FROM l${i - 1} l JOIN sym s ON s.src = l.node GROUP BY 1, 2),
+           | l$i AS MATERIALIZED (SELECT node, label FROM t$i
+           |   QUALIFY row_number() OVER (
+           |     PARTITION BY node ORDER BY c DESC, label) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $userSymSql,
+         | l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
+         |   FROM sym),
+         |$steps,
+         | deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+         | m AS (SELECT count(*) AS m FROM e0),
+         | dc AS (SELECT l.label AS community, count(*) AS n_members,
+         |     CAST(sum(d.deg) AS BIGINT) AS deg_sum
+         |   FROM l3 l JOIN deg d ON d.node = l.node GROUP BY 1),
+         | mc AS (SELECT la.label AS community, count(*) AS m_in
+         |   FROM e0 JOIN l3 la ON la.node = e0.src
+         |     JOIN l3 lb ON lb.node = e0.dst
+         |   WHERE la.label = lb.label GROUP BY 1)
+         |SELECT dc.community, dc.n_members, coalesce(mc.m_in, 0) AS m_in,
+         |  dc.deg_sum,
+         |  ((4 * m.m * coalesce(mc.m_in, 0) - dc.deg_sum * dc.deg_sum)
+         |    * 1000000) // (4 * m.m * m.m) AS contrib_ppm
+         |FROM dc LEFT JOIN mc ON mc.community = dc.community
+         |CROSS JOIN m""".stripMargin
     },
     // sampled-source harmonic centrality: per-seed BFS unrolled 3 hops
     // (min-dist recurrence keyed by seed), then the 1000 // dist sum
