@@ -629,6 +629,18 @@ object Queries {
     graph.GraphOps.harmonicCentrality(e, seeds, maxHops = 3)
   }
 
+  /** Sampled-source Brandes betweenness over the user graph: the same
+    * id ≡ 0 (mod 7) seed sample and 3-hop bound as [[userHarmonic]],
+    * exact integer path counts forward, fixed-point dependency
+    * accumulation backward ([[graft.graph.GraphOps.betweenness]]). */
+  def userBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val e = userGraphEdges(s, dir)
+    val seeds = graph.GraphOps.symmetrize(e)
+      .select(col("src").as("node")).distinct()
+      .filter(col("node") % 7 === 0)
+    graph.GraphOps.betweenness(e, seeds, maxHops = 3)
+  }
+
   /** One-row structural summary of the user graph — counts, max degree,
     * wedges, distinct triangles, global clustering coefficient in exact
     * ppm ([[graft.graph.GraphOps.graphStats]]). */
@@ -640,6 +652,21 @@ object Queries {
     * rounds; the engine's stability short-circuit is provably identical). */
   def userKcore(s: SparkSession, dir: String): DataFrame =
     graph.GraphOps.kCorePeel(userGraphEdges(s, dir), k = 10, rounds = 6)
+
+  /** Luby maximal independent set over the user graph, 6 rounds of
+    * portable-LCG priority draws ([[graft.graph.GraphOps.lubyMis]] —
+    * the oracle replays the identical draws, so the driver hash match
+    * pins every round's winners, losers and isolated joins). */
+  def userMis(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.lubyMis(userGraphEdges(s, dir), rounds = 6)
+
+  /** 4 peeling rounds toward the 4-truss of the user graph — surviving
+    * edges close ≥ 2 triangles within the surviving set
+    * ([[graft.graph.GraphOps.kTrussPeel]]; the oracle unrolls the same
+    * rounds with naive per-edge common-neighbor counts, so the hash
+    * match proves the degree-ordered enumeration exact). */
+  def userTruss(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.kTrussPeel(userGraphEdges(s, dir), k = 4, rounds = 4)
 
   /** Two rounds of Weisfeiler-Leman color refinement over the user
     * graph — each user's structural-equivalence class after looking two

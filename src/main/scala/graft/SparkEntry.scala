@@ -117,6 +117,9 @@ object SparkEntry {
     "kg_lift" -> (Queries.kgLift _),
     // user co-occurrence graph (events): peel / link-predict / PPR
     "user_kcore" -> (Queries.userKcore _),
+    "user_betweenness" -> (Queries.userBetweenness _),
+    "user_mis" -> (Queries.userMis _),
+    "user_truss" -> (Queries.userTruss _),
     "user_wl_colors" -> (Queries.userWlColors _),
     "user_modularity" -> (Queries.userModularity _),
     "user_linkpred" -> (Queries.userLinkPredict _),
@@ -1716,6 +1719,101 @@ object SparkEntry {
          | s0 AS MATERIALIZED (SELECT src, dst FROM sym),
          |$steps
          |SELECT src AS node, count(*) AS deg FROM s6 GROUP BY src""".stripMargin
+    },
+    // sampled-source Brandes betweenness: BFS with exact path-count sums
+    // unrolled 3 hops, then the backward dependency recurrence
+    // σv·(10⁶ + δw) // σw level by level — the engine's fixed-point
+    // arithmetic replayed term-for-term
+    "user_betweenness" -> {
+      val fwd = (1 to 3).map { r =>
+        s""" nw$r AS MATERIALIZED (SELECT p.seed, s.dst AS node,
+           |     $r AS dist, CAST(sum(p.sigma) AS BIGINT) AS sigma
+           |   FROM ${if (r == 1) "st0" else s"nw${r - 1}"} p
+           |   JOIN sym s ON s.src = p.node
+           |   WHERE NOT EXISTS (SELECT 1 FROM st${r - 1} t
+           |     WHERE t.seed = p.seed AND t.node = s.dst)
+           |   GROUP BY p.seed, s.dst),
+           | st$r AS MATERIALIZED (SELECT * FROM st${r - 1}
+           |   UNION ALL SELECT * FROM nw$r)""".stripMargin
+      }.mkString(",\n")
+      val bwd = (2 to 0 by -1).map { l =>
+        s""" d$l AS MATERIALIZED (SELECT v.seed, v.node,
+           |     CAST(COALESCE(SUM((v.sigma * (1000000 + d.delta))
+           |       // d.sigma), 0) AS BIGINT) AS delta, v.sigma
+           |   FROM st3 v
+           |   LEFT JOIN sym s ON s.src = v.node
+           |   LEFT JOIN d${l + 1} d ON d.seed = v.seed AND d.node = s.dst
+           |   WHERE v.dist = $l
+           |   GROUP BY v.seed, v.node, v.sigma)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $userSymSql,
+         | seeds AS (SELECT DISTINCT src AS node FROM sym
+         |   WHERE src % 7 = 0),
+         | st0 AS MATERIALIZED (SELECT node AS seed, node, 0 AS dist,
+         |   CAST(1 AS BIGINT) AS sigma FROM seeds),
+         |$fwd,
+         | d3 AS MATERIALIZED (SELECT seed, node,
+         |   CAST(0 AS BIGINT) AS delta, sigma FROM st3 WHERE dist = 3),
+         |$bwd
+         |SELECT node, CAST(sum(delta) AS BIGINT) AS bc_scaled,
+         |  count(*) AS n_seeds
+         |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+         |  UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+         |WHERE node <> seed GROUP BY node""".stripMargin
+    },
+    // Luby MIS, 6 unrolled rounds: per-round LCG priorities encoded as
+    // one BIGINT (p·10⁷ + node), local-min winners, winner-neighbor
+    // drops, isolated unconditional joins — the engine's exact protocol
+    "user_mis" -> {
+      import graft.operators.Dedup.{HashA, HashB, HashP}
+      def enc(i: Int, c: String) =
+        s"(((${HashA((9 + i) % 64)} * $c + ${HashB((9 + i) % 64)}) % $HashP)" +
+          s" * 10000000 + $c)"
+      val steps = (1 to 6).map { i =>
+        s""" en$i AS (SELECT DISTINCT src AS node FROM c${i - 1}),
+           | iso$i AS (SELECT node FROM u${i - 1}
+           |   EXCEPT SELECT node FROM en$i),
+           | nb$i AS (SELECT src AS node, min(${enc(i, "dst")}) AS m
+           |   FROM c${i - 1} GROUP BY src),
+           | win$i AS (SELECT node FROM nb$i WHERE ${enc(i, "node")} < m),
+           | j$i AS MATERIALIZED (SELECT node FROM win$i
+           |   UNION ALL SELECT node FROM iso$i),
+           | los$i AS (SELECT DISTINCT dst AS node FROM c${i - 1} e
+           |   JOIN win$i w ON e.src = w.node),
+           | u$i AS MATERIALIZED (SELECT node FROM u${i - 1} EXCEPT
+           |   (SELECT node FROM j$i UNION ALL SELECT node FROM los$i)),
+           | c$i AS MATERIALIZED (SELECT e.src, e.dst FROM c${i - 1} e
+           |   JOIN u$i a ON e.src = a.node JOIN u$i b ON e.dst = b.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $userSymSql,
+         | c0 AS MATERIALIZED (SELECT src, dst FROM sym),
+         | u0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+         |$steps
+         |${(1 to 6).map(i =>
+             s"SELECT node, $i AS round FROM j$i").mkString("\nUNION ALL\n")}"""
+        .stripMargin
+    },
+    // 4 unrolled 4-truss peeling rounds: per-edge support = naive
+    // common-neighbor count inside the current set (the engine's
+    // degree-ordered triangle credits equal it), peel support < 2;
+    // output = the LAST round's supports filtered (the engine contract)
+    "user_truss" -> {
+      val steps = (1 to 4).map { i =>
+        s""" sy$i AS MATERIALIZED (SELECT a, b FROM s${i - 1}
+           |   UNION ALL SELECT b, a FROM s${i - 1}),
+           | sup$i AS MATERIALIZED (SELECT e.a, e.b, count(*) AS sup
+           |   FROM s${i - 1} e JOIN sy$i x ON x.a = e.a
+           |     JOIN sy$i y ON y.a = e.b AND y.b = x.b
+           |   GROUP BY e.a, e.b),
+           | s$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE sup >= 2)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $userSymSql,
+         | s0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0),
+         |$steps
+         |SELECT a AS src, b AS dst, sup AS support
+         |FROM sup4 WHERE sup >= 2""".stripMargin
     },
     // 2 rounds of WL color refinement: signature = own color + ordered
     // (neighbor color : count) string, class id = min node id per

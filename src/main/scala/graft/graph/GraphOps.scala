@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -239,6 +239,92 @@ object GraphOps {
       .groupBy(col("node"))
       .agg(sum(expr("1000 div dist")).as("h_permille"),
         count(lit(1)).as("n_seeds_reached"))
+
+  /** SAMPLED-SOURCE BETWEENNESS CENTRALITY — Brandes' two-phase
+    * dependency accumulation (Brandes 2001) from a deterministic seed
+    * sample with a hop bound, the standard scalable estimator
+    * (Brandes-Pich 2007; exact betweenness is all-pairs — off the table
+    * at 10⁹ nodes, like the harmonic case above).
+    *
+    * Forward phase per seed: synchronous BFS carrying the EXACT
+    * shortest-path counts σ(s,v) — a node discovered in round r has
+    * dist r, and its σ is the sum of its round-(r−1) predecessors' σ
+    * (integral, no estimation). Backward phase, deepest level first:
+    *   δ(s,v) = Σ_{w succ of v} σ(v) · (scale + δ(s,w)) div σ(w)
+    * — Brandes' recurrence in FIXED-POINT integers (dependencies scaled
+    * by `scale`; each division is exact integer arithmetic, so the
+    * DuckDB oracle replays it term-for-term; all terms non-negative, so
+    * truncation is floor on both engines). Betweenness(v) = Σ over
+    * seeds of δ(s,v), v ≠ s.
+    *
+    * Scale shape: the forward loop is [[perSeedDistances]] with one
+    * extra combinable sum (σ rides the frontier exactly like the seed
+    * key); the backward loop is `maxHops` co-partitioned
+    * level-(l)×level-(l+1) joins — every join keyed on (seed, node), no
+    * window, no collect; s seeds share each round's shuffles.
+    *
+    * @return DataFrame(node, bc_scaled, n_seeds) over nodes reached by
+    *         ≥ 1 foreign seed: the summed scaled dependency and the
+    *         number of seeds whose BFS reached the node. */
+  def betweenness(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                  scale: Long = 1000000L): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val sym = symmetrize(edges).filter(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var settled = seeds.select(col("node").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"))
+      .withColumn("dist", lit(0)).withColumn("sigma", lit(1L))
+      .localCheckpoint(true)
+    var frontier = settled
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = sym.join(frontier, sym("src") === frontier("node"))
+        .groupBy(col("seed"), sym("dst").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(settled, Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .select(col("seed"), col("node"), col("dist"), col("sigma"))
+        .localCheckpoint(true)
+      settled = settled.unionByName(frontier).localCheckpoint(true)
+    }
+    val deepest = hop
+    // backward accumulation: δ at the deepest level is 0; each level
+    // pulls from its successors through the (seed-shared) edge table
+    var delta = settled.filter(col("dist") === deepest)
+      .select(col("seed"), col("node"), lit(0L).as("delta"))
+      .localCheckpoint(true)
+    var acc = delta
+    for (l <- (deepest - 1) to 0 by -1) {
+      val level = settled.filter(col("dist") === l)
+      val succ = delta.select(col("seed"), col("node").as("wnode"),
+        col("delta").as("wdelta"))
+      val withSucc = level
+        .join(sym, sym("src") === level("node"))
+        .join(succ, succ("wnode") === sym("dst") &&
+          succ("seed") === level("seed"))
+        .select(level("seed").as("seed"), level("node").as("node"),
+          level("sigma").as("sigma"), succ("wnode").as("wnode"),
+          succ("wdelta").as("wdelta"))
+      val contrib = withSucc
+        .join(settled.select(col("seed"), col("node").as("wnode"),
+          col("sigma").as("wsigma")), Seq("seed", "wnode"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(expr(s"sigma * ($scale + wdelta) div wsigma"))
+          .as("contrib"))
+      delta = level.select(col("seed"), col("node"))
+        .join(contrib, Seq("seed", "node"), "left_outer")
+        .select(col("seed"), col("node"),
+          coalesce(col("contrib"), lit(0L)).as("delta"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(delta)
+    }
+    sym.unpersist()
+    acc.filter(col("node") =!= col("seed"))
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).as("bc_scaled"), count(lit(1)).as("n_seeds"))
+  }
 
   /** Fixed-iteration SYNCHRONOUS label propagation (Raghavan, Albert,
     * Kumara 2007, the deterministic synchronous variant): every node
@@ -533,6 +619,140 @@ object GraphOps {
       cur = next
     }
     cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** LUBY'S MAXIMAL INDEPENDENT SET — the foundational symmetry-breaking
+    * primitive of distributed graph computing (Luby 1986): each round
+    * every undecided node draws a fresh deterministic priority (the
+    * portable per-round LCG family [[graft.operators.Dedup.lcgHash]], so
+    * the DuckDB oracle replays the identical draws) and joins the MIS iff
+    * it beats every undecided neighbor; winners' neighbors drop out, and
+    * a node whose neighbors have ALL dropped out joins unconditionally —
+    * its dropped neighbors are non-members by construction, so adding it
+    * is both safe and required for maximality. An MIS over a KG's
+    * conflict graph is how a constructor picks a canonical representative
+    * per contested region (scheduling, landmark selection, coarsening).
+    *
+    * Priorities are compared as ONE encoded long, `p(v)·10⁷ + v` — the
+    * (priority, id) lexicographic tiebreak folded into a single
+    * aggregatable min (node ids must be in [0, 10⁷); widen the stride for
+    * bigger id spaces). Per round: one neighbor-min aggregation, two
+    * anti-joins, two semi-joins — all co-partitioned on the node key; one
+    * bounded count action checks termination. Expected O(log n) rounds
+    * for hash priorities; if `rounds` is exhausted with undecided nodes
+    * left, the returned set is independent but possibly not yet maximal
+    * (the caller sizes `rounds`, exactly like the k-core contract).
+    *
+    * @return DataFrame(node, round) — MIS members and the round each
+    *         joined in. */
+  def lubyMis(edges: DataFrame, rounds: Int, hashIdx: Int = 9): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import graft.operators.Dedup.lcgHash
+    def enc(i: Int, c: Column) =
+      lcgHash((hashIdx + i) % 64, c) * lit(10000000L) + c
+    var cur = symmetrize(edges).filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    var und = cur.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var mis = und.limit(0).withColumn("round", lit(0))
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val withEdges = cur.select(col("src").as("node")).distinct()
+      val isolated = und.join(withEdges, Seq("node"), "left_anti")
+      val nbMin = cur.groupBy(col("src").as("node"))
+        .agg(min(enc(r, col("dst"))).as("m"))
+      val winners = nbMin.filter(enc(r, col("node")) < col("m"))
+        .select(col("node"))
+      val joined = winners.unionByName(isolated).localCheckpoint(true)
+      mis = mis.unionByName(joined.withColumn("round", lit(r)))
+        .localCheckpoint(true)
+      val losers = cur.join(winners.withColumnRenamed("node", "src"),
+        Seq("src"), "left_semi").select(col("dst").as("node")).distinct()
+      und = und.join(joined.unionByName(losers), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      cur = cur
+        .join(und.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(und.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      done = und.isEmpty
+    }
+    mis
+  }
+
+  /** Synchronous K-TRUSS peeling — the EDGE-level sibling of
+    * [[kCorePeel]] (Cohen 2008): the k-truss is the maximal subgraph in
+    * which every edge closes at least k−2 triangles, a strictly tighter
+    * cohesion filter than the k-core (every k-truss sits inside the
+    * (k−1)-core) and the standard "community scaffold" extraction on
+    * co-occurrence graphs. Each round recomputes per-edge support inside
+    * the CURRENT edge set and drops the under-supported edges; dropping
+    * an edge can starve its neighbors' triangles, so peeling cascades
+    * (bounded by `rounds`, with the same one-action-per-round stability
+    * short-circuit as the k-core loop — provably equal to the full
+    * unroll, because peeling a stable set recomputes the same supports).
+    *
+    * Support enumeration reuses the degree-ordered compact-forward
+    * triangle walk of [[triangleCounts]] — each triangle found once at
+    * its lowest-ranked corner, then credited to its THREE edges (an
+    * explode of exactly 3 rows per triangle), so hub wedge fan-out stays
+    * O(√E) per node instead of the naive per-edge common-neighbor join's
+    * d(hub)² blowup.
+    *
+    * @return DataFrame(src, dst, support), src < dst — the surviving
+    *         edges with their support as of the last evaluated round
+    *         (the exact truss support once the set is stable). */
+  def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def supports(cur: DataFrame): DataFrame = {
+      val sym = cur.unionByName(
+        cur.select(col("b").as("a"), col("a").as("b")))
+      val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+      val or1 = sym
+        .join(deg.select(col("n").as("a"), col("d").as("ds")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("dd")), "b")
+        .filter(col("ds") < col("dd") ||
+          (col("ds") === col("dd") && col("a") < col("b")))
+        .select(col("a"), col("b"), col("dd"))
+      val x = or1.select(col("a").as("u"), col("b").as("v"),
+        col("dd").as("dv"))
+      val y = or1.select(col("a").as("u"), col("b").as("w"),
+        col("dd").as("dw"))
+      val wedges = x.join(y, Seq("u"))
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
+      val closing = or1.select(col("a").as("v"), col("b").as("w"))
+      val tris = wedges.join(closing, Seq("v", "w")).select("u", "v", "w")
+      val credits = tris.select(col("u").as("p"), col("v").as("q"))
+        .unionByName(tris.select(col("u").as("p"), col("w").as("q")))
+        .unionByName(tris.select(col("v").as("p"), col("w").as("q")))
+        .select(least(col("p"), col("q")).as("a"),
+          greatest(col("p"), col("q")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      cur.join(credits, Seq("a", "b"), "left_outer")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support"))
+    }
+    var cur = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var sup = supports(cur)
+    var stable = false
+    var r = 0
+    while (r < rounds && !stable) {
+      r += 1
+      if (r > 1) sup = supports(cur)
+      val next = sup.filter(col("support") >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      stable = next.count() == cur.count()
+      cur = next
+    }
+    sup.filter(col("support") >= k - 2)
+      .select(col("a").as("src"), col("b").as("dst"), col("support"))
   }
 
   /** Link prediction over an undirected edge list: for every NON-adjacent

@@ -504,6 +504,206 @@ class GraphOpsSpec extends AnyFunSuite {
       "c" -> ((1L, 1L))))
   }
 
+  /** Plain-Scala sampled Brandes — same BFS σ sums, same fixed-point
+    * backward recurrence σv·(scale+δw)/σw with integer division. */
+  private def refBetweenness(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                             maxHops: Int, scale: Long = 1000000L)
+      : Map[Long, (Long, Long)] = {
+    val sym = edges.flatMap(e => Seq(e, e.swap)).distinct
+      .filter(e => e._1 != e._2)
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val acc = scala.collection.mutable.Map[Long, (Long, Long)]()
+    for (s <- seeds if adj.contains(s)) {
+      var dist = Map(s -> 0)
+      var sigma = Map(s -> 1L)
+      var frontier = Seq(s)
+      for (h <- 1 to maxHops) {
+        val reached = frontier.flatMap(adj(_)).distinct
+          .filterNot(dist.contains)
+        sigma = sigma ++ reached.map(v =>
+          v -> adj(v).filter(u => dist.get(u).contains(h - 1))
+            .map(sigma).sum)
+        dist = dist ++ reached.map(_ -> h)
+        frontier = reached
+      }
+      var delta = dist.filter(_._2 == maxHops).keys
+        .map(_ -> 0L).toMap
+      for (l <- (maxHops - 1) to 0 by -1) {
+        delta = delta ++ dist.filter(_._2 == l).keys.map { v =>
+          v -> adj(v).filter(w => dist.get(w).contains(l + 1))
+            .map(w => sigma(v) * (scale + delta(w)) / sigma(w)).sum
+        }
+      }
+      for ((v, d) <- delta if v != s) {
+        val (b, n) = acc.getOrElse(v, (0L, 0L))
+        acc(v) = (b + d, n + 1)
+      }
+    }
+    acc.toMap
+  }
+
+  private def runBetweenness(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                             maxHops: Int): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    GraphOps.betweenness(edges.toDF("src", "dst").repartition(4),
+        seeds.toDF("node"), maxHops)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+  }
+
+  test("betweenness: P3 bridge gets the full pair dependency") {
+    // seed a over a-b-c: δ(b) = 1·(1e6+0)/1 = 1e6 (b sits on the one
+    // a->c shortest path), δ(c) = 0
+    val got = runBetweenness(Seq((1L, 2L), (2L, 3L)), Seq(1L), maxHops = 3)
+    assert(got == Map(2L -> ((1000000L, 1L)), 3L -> ((0L, 1L))))
+  }
+
+  test("betweenness: diamond splits the dependency over two paths") {
+    // a-b-d and a-c-d: σ(d) = 2, so b and c each carry 1e6/2
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val got = runBetweenness(diamond, Seq(1L), maxHops = 3)
+    assert(got == Map(2L -> ((500000L, 1L)), 3L -> ((500000L, 1L)),
+      4L -> ((0L, 1L))))
+  }
+
+  test("betweenness equals the plain-Scala reference on a seeded graph") {
+    val edges = (0 until 80).map { i =>
+      val a = (i * 2654435761L) % 19
+      val b = (i * 40503L + 7) % 19
+      (a, if (a == b) (b + 1) % 19 else b)
+    }.distinct
+    val seeds = (0L until 19L).filter(_ % 3 == 0)
+    for (h <- 1 to 3)
+      assert(runBetweenness(edges, seeds, h) ==
+        refBetweenness(edges, seeds, h), s"maxHops=$h diverged")
+  }
+
+  /** Plain-Scala Luby MIS — same per-round LCG draws, same encoded
+    * (priority, id) min, same isolated-join rule. */
+  private def refMis(edges: Seq[(Long, Long)], rounds: Int,
+                     hashIdx: Int = 9): Set[(Long, Int)] = {
+    import graft.operators.Dedup.{HashA, HashB, HashP}
+    def enc(i: Int, v: Long) =
+      ((HashA((hashIdx + i) % 64) * v + HashB((hashIdx + i) % 64)) % HashP) *
+        10000000L + v
+    var cur = edges.flatMap(e => Seq(e, e.swap)).distinct
+      .filter(e => e._1 != e._2).toSet
+    var und = cur.map(_._1)
+    var mis = Set.empty[(Long, Int)]
+    var r = 0
+    while (r < rounds && und.nonEmpty) {
+      r += 1
+      val withE = cur.map(_._1)
+      val iso = und -- withE
+      val win = withE.filter(v =>
+        enc(r, v) < cur.filter(_._1 == v).map(e => enc(r, e._2)).min)
+      val joined = win ++ iso
+      mis ++= joined.map((_, r))
+      val losers = cur.filter(e => win(e._1)).map(_._2)
+      und = und -- joined -- losers
+      cur = cur.filter(e => und(e._1) && und(e._2))
+    }
+    mis
+  }
+
+  test("lubyMis: reference-equal, independent and maximal on seeded graphs") {
+    val graphs = Seq(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)),                      // triangle
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)),            // star
+      (0 until 80).map { i =>
+        val a = (i * 2654435761L) % 19
+        val b = (i * 40503L + 7) % 19
+        (a, if (a == b) (b + 1) % 19 else b)
+      }.distinct)
+    for (edges <- graphs) {
+      val got = GraphOps.lubyMis(edges.toDF("src", "dst").repartition(4),
+          rounds = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == refMis(edges, 8), s"diverged on $edges")
+      val misNodes = got.map(_._1)
+      val sym = edges.flatMap(e => Seq(e, e.swap)).filter(e => e._1 != e._2)
+      assert(!sym.exists(e => misNodes(e._1) && misNodes(e._2)),
+        "MIS must be independent")
+      val nodes = sym.map(_._1).toSet
+      assert((nodes -- misNodes).forall(v =>
+        sym.exists(e => e._1 == v && misNodes(e._2))),
+        "MIS must be maximal: every non-member has a member neighbor")
+    }
+  }
+
+  test("lubyMis: a starved path end joins through the isolated rule") {
+    // build a P3 whose round-1 priorities ASCEND along the path: the low
+    // end wins, the middle drops as its neighbor, and the far end — a
+    // round-1 loser to the middle — is left edge-less, so it joins as
+    // 'isolated' in round 2 (without the rule it would dangle forever,
+    // breaking maximality)
+    import graft.operators.Dedup.{HashA, HashB, HashP}
+    def enc1(v: Long) = ((HashA(10) * v + HashB(10)) % HashP) * 10000000L + v
+    val Seq(a, b, c) = (1L to 50L).sortBy(enc1).take(3).toSeq
+    val got = GraphOps.lubyMis(Seq((a, b), (b, c)).toDF("src", "dst"),
+        rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((a, 1), (c, 2)))
+  }
+
+  /** Plain-Scala k-truss peeling — naive per-edge common-neighbor
+    * supports, same round structure, same last-round-support output. */
+  private def refTruss(edges: Seq[(Long, Long)], k: Int, rounds: Int)
+      : Set[(Long, Long, Long)] = {
+    def canon(e: (Long, Long)) = (e._1 min e._2, e._1 max e._2)
+    var cur = edges.map(canon).filter(e => e._1 != e._2).distinct.toSet
+    def sups(s: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = s.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .map { case (n, es) => n -> es.map(_._2) }
+      s.map(e => e -> adj(e._1).intersect(adj(e._2)).size.toLong).toMap
+    }
+    var sup = sups(cur)
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      r += 1
+      if (r > 1) sup = sups(cur)
+      val next = sup.filter(_._2 >= k - 2).keySet
+      stable = next == cur
+      cur = next
+    }
+    sup.filter(_._2 >= k - 2).map { case ((a, b), s) => (a, b, s) }.toSet
+  }
+
+  private def runTruss(edges: Seq[(Long, Long)], k: Int, rounds: Int)
+      : Set[(Long, Long, Long)] =
+    GraphOps.kTrussPeel(edges.toDF("src", "dst").repartition(4), k, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("kTrussPeel: K4 core survives, a pendant triangle peels off") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val pendantTri = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val got = runTruss(k4 ++ pendantTri, k = 4, rounds = 3)
+    // every K4 edge closes 2 triangles inside K4; the pendant triangle's
+    // edges close exactly 1 -> dropped in round 1
+    assert(got == k4.map { case (a, b) => (a, b, 2L) }.toSet)
+  }
+
+  test("kTrussPeel: diamond cascades to empty; one round stops mid-peel") {
+    // K4 minus (3,4): the support-1 edges die in round 1, which starves
+    // (1,2) (support 2 in round 1!) -> it dies in round 2
+    val diamond = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    assert(runTruss(diamond, k = 4, rounds = 3).isEmpty)
+    assert(runTruss(diamond, k = 4, rounds = 1) == Set((1L, 2L, 2L)),
+      "round-1 supports are pre-cascade by contract")
+  }
+
+  test("kTrussPeel equals the plain-Scala reference on a seeded random graph") {
+    val edges = (0 until 80).map { i =>
+      val a = (i * 2654435761L) % 19
+      val b = (i * 40503L + 7) % 19
+      (a, if (a == b) (b + 1) % 19 else b)
+    }.distinct
+    for (r <- 1 to 3)
+      assert(runTruss(edges, 4, r) == refTruss(edges, 4, r),
+        s"rounds=$r diverged")
+  }
+
   /** Plain-Scala WL refinement — the SAME (own color, sorted neighbor
     * multiset) partition with min-member class ids, no Spark. */
   private def refWl(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
