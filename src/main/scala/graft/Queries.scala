@@ -629,6 +629,14 @@ object Queries {
     graph.GraphOps.harmonicCentrality(e, seeds, maxHops = 3)
   }
 
+  /** 3-hop neighborhood function over the user graph with k = 8 bottom-k
+    * sketches ([[graft.graph.GraphOps.neighborhoodFunction]] — exact
+    * under capacity, the KMV estimator over it; the oracle rebuilds the
+    * sketches hash-for-hash). */
+  def userNf(s: SparkSession, dir: String): DataFrame =
+    graph.GraphOps.neighborhoodFunction(userGraphEdges(s, dir),
+      rounds = 3, k = 8)
+
   /** Sampled-source Brandes betweenness over the user graph: the same
     * id ≡ 0 (mod 7) seed sample and 3-hop bound as [[userHarmonic]],
     * exact integer path counts forward, fixed-point dependency

@@ -118,6 +118,7 @@ object SparkEntry {
     // user co-occurrence graph (events): peel / link-predict / PPR
     "user_kcore" -> (Queries.userKcore _),
     "user_betweenness" -> (Queries.userBetweenness _),
+    "user_nf" -> (Queries.userNf _),
     "user_mis" -> (Queries.userMis _),
     "user_truss" -> (Queries.userTruss _),
     "user_wl_colors" -> (Queries.userWlColors _),
@@ -1719,6 +1720,30 @@ object SparkEntry {
          | s0 AS MATERIALIZED (SELECT src, dst FROM sym),
          |$steps
          |SELECT src AS node, count(*) AS deg FROM s6 GROUP BY src""".stripMargin
+    },
+    // 3-round ANF bottom-k sketches: per round UNION the neighbor
+    // sketches and keep the 8 smallest hashes per node; estimate = exact
+    // count under capacity, else the (k−1)·P // h_k KMV formula
+    "user_nf" -> {
+      import graft.operators.Dedup.{HashA, HashB, HashP}
+      val steps = (1 to 3).map { i =>
+        s""" nu$i AS (SELECT node, h FROM a${i - 1}
+           |   UNION SELECT e.src AS node, t.h
+           |   FROM sym e JOIN a${i - 1} t ON t.node = e.dst),
+           | a$i AS MATERIALIZED (SELECT node, h FROM (
+           |   SELECT node, h, row_number() OVER (
+           |     PARTITION BY node ORDER BY h) AS rn FROM nu$i)
+           |   WHERE rn <= 8)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $userSymSql,
+         | a0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+         |   (${HashA(17)} * src + ${HashB(17)}) % $HashP AS h FROM sym),
+         |$steps
+         |SELECT node,
+         |  CASE WHEN count(*) < 8 THEN count(*)
+         |    ELSE (7 * $HashP) // max(h) END AS nf_est,
+         |  count(*) AS sketch_size
+         |FROM a3 GROUP BY node""".stripMargin
     },
     // sampled-source Brandes betweenness: BFS with exact path-count sums
     // unrolled 3 hops, then the backward dependency recurrence

@@ -240,6 +240,62 @@ object GraphOps {
       .agg(sum(expr("1000 div dist")).as("h_permille"),
         count(lit(1)).as("n_seeds_reached"))
 
+  /** NEIGHBORHOOD FUNCTION (ANF) via bottom-k sketches — "how many nodes
+    * are within r hops of v?", the scalable all-sources reachability
+    * profile (Palmer-Gibbons-Faloutsos ANF, KDD 2002; HyperBall swaps
+    * the same loop's sketch for HLL, Boldi-Vigna 2013; this uses the
+    * engine's KMV bottom-k convention — [[graft.operators.TextAnalysis]]
+    * `kmvDistinctTokens` — so the estimator is deterministic and
+    * oracle-replayable). Every node starts holding the portable LCG hash
+    * of itself; each round its sketch absorbs its neighbors' sketches
+    * and keeps the k smallest hashes — bottom-k union is exactly
+    * set-union followed by truncation, the mergeable-sketch property
+    * that lets a billion-node graph carry O(k) state per node where the
+    * exact ball sets would be quadratic.
+    *
+    * Estimate after the last round: the EXACT distinct-hash count while
+    * the sketch is under capacity (the whole ball fits), else
+    * (k−1)·P div h_k (Bar-Yossef et al. 2002 — the kmvDistinctTokens
+    * formula verbatim; hash collisions under-count as in any KMV).
+    *
+    * Scale shape: per round one co-partitioned state join + the
+    * pre-thinned min-k selection ([[graft.operators.Sampling]]
+    * `minKByHash` — no stratum ranks more than O(k) survivors); state
+    * never exceeds k rows per node.
+    *
+    * @return DataFrame(node, nf_est, sketch_size) — estimated
+    *         |ball(node, rounds)| including the node itself. */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int, k: Int,
+                           hashIdx: Int = 17): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(k >= 2, s"k must be >= 2, got $k")
+    import graft.operators.{Dedup, Sampling}
+    val sym = symmetrize(edges).filter(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var state = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), Dedup.lcgHash(hashIdx, col("node")).as("h"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val fromNb = sym.join(state, sym("dst") === state("node"))
+        .select(sym("src").as("node"), col("h"))
+      val all = state.unionByName(fromNb).distinct()
+      state = Sampling.minKByHash(
+          all.select(col("node").as("stratum"), col("h").as("doc_id"),
+            col("h")), k, safetyMargin = 8)
+        .select(col("stratum").as("node"), col("h"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist()
+    state.groupBy(col("node"))
+      .agg(count(lit(1)).as("m"), max(col("h")).as("hk"))
+      .select(col("node"),
+        when(col("m") < k, col("m"))
+          .otherwise(expr(s"(${k - 1} * ${Dedup.HashP}) div hk"))
+          .as("nf_est"),
+        col("m").as("sketch_size"))
+  }
+
   /** SAMPLED-SOURCE BETWEENNESS CENTRALITY — Brandes' two-phase
     * dependency accumulation (Brandes 2001) from a deterministic seed
     * sample with a hop bound, the standard scalable estimator

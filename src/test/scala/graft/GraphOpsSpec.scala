@@ -504,6 +504,59 @@ class GraphOpsSpec extends AnyFunSuite {
       "c" -> ((1L, 1L))))
   }
 
+  /** Plain-Scala ANF — exact ball sets, bottom-k truncation with the
+    * SAME LCG hash, same exact-vs-KMV estimate switch. */
+  private def refNf(edges: Seq[(Long, Long)], rounds: Int, k: Int)
+      : Map[Long, (Long, Long)] = {
+    import graft.operators.Dedup.{HashA, HashB, HashP}
+    def h(v: Long) = (HashA(17) * v + HashB(17)) % HashP
+    val sym = edges.flatMap(e => Seq(e, e.swap)).distinct
+      .filter(e => e._1 != e._2)
+    val adj = sym.groupBy(_._1).map { case (kk, v) => kk -> v.map(_._2) }
+    var sketch: Map[Long, Set[Long]] =
+      adj.keys.map(v => v -> Set(h(v))).toMap
+    for (_ <- 1 to rounds)
+      sketch = adj.keys.map { v =>
+        v -> (sketch(v) ++ adj(v).flatMap(sketch))
+          .toSeq.sorted.take(k).toSet
+      }.toMap
+    sketch.map { case (v, s) =>
+      v -> (if (s.size < k) (s.size.toLong, s.size.toLong)
+            else (((k - 1) * HashP) / s.max, s.size.toLong))
+    }
+  }
+
+  private def runNf(edges: Seq[(Long, Long)], rounds: Int, k: Int)
+      : Map[Long, (Long, Long)] =
+    GraphOps.neighborhoodFunction(
+        edges.toDF("src", "dst").repartition(4), rounds, k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("neighborhoodFunction: exact ball sizes while under capacity") {
+    // P4 path: balls grow 2/3 -> 3/4 -> 4/4; k = 8 holds everything, so
+    // the sketch IS the ball and the estimate is exact
+    val p4 = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(runNf(p4, 1, 8).view.mapValues(_._1).toMap ==
+      Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 2L))
+    assert(runNf(p4, 2, 8).view.mapValues(_._1).toMap ==
+      Map(1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 3L))
+    assert(runNf(p4, 3, 8).view.mapValues(_._1).toMap ==
+      Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L))
+  }
+
+  test("neighborhoodFunction equals the plain-Scala sketch reference " +
+    "when truncation kicks in") {
+    val edges = (0 until 80).map { i =>
+      val a = (i * 2654435761L) % 19
+      val b = (i * 40503L + 7) % 19
+      (a, if (a == b) (b + 1) % 19 else b)
+    }.distinct
+    for ((r, k) <- Seq((1, 4), (2, 4), (3, 6)))
+      assert(runNf(edges, r, k) == refNf(edges, r, k),
+        s"rounds=$r k=$k diverged")
+  }
+
   /** Plain-Scala sampled Brandes — same BFS σ sums, same fixed-point
     * backward recurrence σv·(scale+δw)/σw with integer division. */
   private def refBetweenness(edges: Seq[(Long, Long)], seeds: Seq[Long],
