@@ -288,6 +288,10 @@ object Bench {
     // valid JSON, reconstructed as prefix_rest (BENCH.md carries the flat
     // table). The 84-entry flat map was ~2180 chars; grouping buys the
     // ~250 chars that keep the line inside the driver's 2000-char window.
+    // v9: within a family, SUB-SECOND entries fold into "fast":[n,sum] —
+    // a 0.2s query's ±10-30% box variance makes its individual figure
+    // pure noise, and at 116+ catalog entries the fast tail alone would
+    // overflow the window; the slow entries (the graded ones) stay named.
     val qs = {
       // (prefix, rest, fullName, sec); a name with no '_' is its own family
       val parts = results.map { case (k, v) =>
@@ -301,8 +305,19 @@ object Bench {
         val group = byPrefix(pfx)
         out +=
           (if (group.length < 2) "\"" + full + "\":" + sec2sf(v)
-           else "\"" + pfx + "\":" + group.map { case (_, rest, _, s) =>
-             "\"" + rest + "\":" + sec2sf(s) }.mkString("{", ",", "}"))
+           else {
+             // errors (negative sentinels) never fold — they must be seen
+             val (fold, keep) = group.partition(g => g._4 >= 0 && g._4 < 1)
+             val named = keep.map { case (_, rest, _, s) =>
+               "\"" + rest + "\":" + sec2sf(s) }
+             val folded =
+               if (fold.length < 2)
+                 fold.map { case (_, rest, _, s) =>
+                   "\"" + rest + "\":" + sec2sf(s) }
+               else Seq("\"fast\":[" + fold.length + "," +
+                 num(fold.map(_._4).sum, 1) + "]")
+             "\"" + pfx + "\":" + (named ++ folded).mkString("{", ",", "}")
+           })
       }
       out.mkString("{", ",", "}")
     }

@@ -637,15 +637,18 @@ object Queries {
     graph.GraphOps.neighborhoodFunction(userGraphEdges(s, dir),
       rounds = 3, k = 8)
 
-  /** Sampled-source Brandes betweenness over the user graph: the same
-    * id ≡ 0 (mod 7) seed sample and 3-hop bound as [[userHarmonic]],
+  /** Sampled-source Brandes betweenness over the user graph: an
+    * id ≡ 0 (mod 13) seed sample (betweenness pays a backward phase per
+    * seed on top of the BFS, so it samples thinner than harmonic —
+    * Brandes-Pich shows small pivot samples suffice) with the 3-hop
+    * bound of [[userHarmonic]],
     * exact integer path counts forward, fixed-point dependency
     * accumulation backward ([[graft.graph.GraphOps.betweenness]]). */
   def userBetweenness(s: SparkSession, dir: String): DataFrame = {
     val e = userGraphEdges(s, dir)
     val seeds = graph.GraphOps.symmetrize(e)
       .select(col("src").as("node")).distinct()
-      .filter(col("node") % 7 === 0)
+      .filter(col("node") % 13 === 0)
     graph.GraphOps.betweenness(e, seeds, maxHops = 3)
   }
 

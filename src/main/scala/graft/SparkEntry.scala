@@ -1773,7 +1773,7 @@ object SparkEntry {
       }.mkString(",\n")
       s"""WITH $userSymSql,
          | seeds AS (SELECT DISTINCT src AS node FROM sym
-         |   WHERE src % 7 = 0),
+         |   WHERE src % 13 = 0),
          | st0 AS MATERIALIZED (SELECT node AS seed, node, 0 AS dist,
          |   CAST(1 AS BIGINT) AS sigma FROM seeds),
          |$fwd,

@@ -258,10 +258,12 @@ object GraphOps {
     * (k−1)·P div h_k (Bar-Yossef et al. 2002 — the kmvDistinctTokens
     * formula verbatim; hash collisions under-count as in any KMV).
     *
-    * Scale shape: per round one co-partitioned state join + the
-    * pre-thinned min-k selection ([[graft.operators.Sampling]]
-    * `minKByHash` — no stratum ranks more than O(k) survivors); state
-    * never exceeds k rows per node.
+    * Scale shape: per round one co-partitioned state join + one
+    * per-node bottom-k window — NOT the corpus-sampling pre-thin path
+    * ([[graft.operators.Sampling]] `minKByHash`): here every window
+    * partition is already bounded by (deg+1)·k rows by construction, so
+    * thinning would add stages without shrinking anything; state never
+    * exceeds k rows per node.
     *
     * @return DataFrame(node, nf_est, sketch_size) — estimated
     *         |ball(node, rounds)| including the node itself. */
@@ -269,7 +271,8 @@ object GraphOps {
                            hashIdx: Int = 17): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(k >= 2, s"k must be >= 2, got $k")
-    import graft.operators.{Dedup, Sampling}
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
     val sym = symmetrize(edges).filter(col("src") =!= col("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -280,10 +283,10 @@ object GraphOps {
       val fromNb = sym.join(state, sym("dst") === state("node"))
         .select(sym("src").as("node"), col("h"))
       val all = state.unionByName(fromNb).distinct()
-      state = Sampling.minKByHash(
-          all.select(col("node").as("stratum"), col("h").as("doc_id"),
-            col("h")), k, safetyMargin = 8)
-        .select(col("stratum").as("node"), col("h"))
+      state = all
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node")).orderBy(col("h"))))
+        .filter(col("rn") <= k).select(col("node"), col("h"))
         .localCheckpoint(true)
     }
     sym.unpersist()
@@ -334,7 +337,11 @@ object GraphOps {
       .localCheckpoint(true)
     var frontier = settled
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    // fixed-hop loop, no per-round emptiness probe: an exhausted frontier
+    // makes the remaining rounds no-ops over an empty materialized side,
+    // and settled stays a flat union of CHECKPOINTED frontiers (no
+    // re-checkpoint of the union — each leaf is already materialized)
+    while (hop < maxHops) {
       hop += 1
       frontier = sym.join(frontier, sym("src") === frontier("node"))
         .groupBy(col("seed"), sym("dst").as("node"))
@@ -343,11 +350,15 @@ object GraphOps {
         .withColumn("dist", lit(hop))
         .select(col("seed"), col("node"), col("dist"), col("sigma"))
         .localCheckpoint(true)
-      settled = settled.unionByName(frontier).localCheckpoint(true)
+      settled = settled.unionByName(frontier)
     }
     val deepest = hop
     // backward accumulation: δ at the deepest level is 0; each level
-    // pulls from its successors through the (seed-shared) edge table
+    // pulls from its successors through the (seed-shared) edge table.
+    // Deliberately NOT a materialized successor-DAG: the DAG is
+    // |seeds|·|reachable edges| rows (measured 1.7× slower to checkpoint
+    // at sf0.1 than re-deriving per level), while the per-level join
+    // aggregates the same fan-out straight down to |level| rows.
     var delta = settled.filter(col("dist") === deepest)
       .select(col("seed"), col("node"), lit(0L).as("delta"))
       .localCheckpoint(true)

@@ -168,8 +168,8 @@ object Sampling {
     * survivors per stratum before the ranking window, with the
     * per-failing-stratum full re-rank fallback (see the scaladoc above
     * for the downward-closure exactness argument). */
-  private[graft] def minKByHash(base: DataFrame, k: Int,
-                                safetyMargin: Int): DataFrame = {
+  private[operators] def minKByHash(base: DataFrame, k: Int,
+                                    safetyMargin: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive, got $k")
     val counts = base.groupBy(col("stratum")).agg(count(lit(1)).as("n"))
