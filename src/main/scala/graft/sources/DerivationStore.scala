@@ -54,6 +54,28 @@ object DerivationStore {
     body.map(p).mkString(" . ") + " => " + p(head)
   }
 
+  /** Inverse of [[renderRule]]: parse `"?x filter ?m . ?m group ?y =>
+    * ?x scan ?y"` — `?`-prefixed tokens are variables, anything else a
+    * constant; body patterns separated by `.`, exactly one head after
+    * `=>`. The CLI surface takes rules in this form so a production run
+    * never hardcodes one. */
+  def parseRule(rule: String): (Seq[TriplePattern], TriplePattern) = {
+    def term(t: String): Term =
+      if (t.startsWith("?")) V(t.substring(1)) else C(t)
+    def pattern(p: String): TriplePattern = {
+      val toks = p.trim.split("\\s+")
+      require(toks.length == 3,
+        s"a triple pattern needs exactly 3 terms, got '${p.trim}'")
+      TriplePattern(term(toks(0)), term(toks(1)), term(toks(2)))
+    }
+    val halves = rule.split("=>")
+    require(halves.length == 2,
+      s"a rule needs exactly one '=>', got '$rule'")
+    val body = halves(0).split("\\.").map(pattern).toSeq
+    require(body.nonEmpty, "rule body is empty")
+    (body, pattern(halves(1)))
+  }
+
   /** Content fingerprint of an edge batch: (rows, xor of per-row
     * hashes) — order-independent, overflow-free under ANSI. */
   def batchFingerprint(edges: DataFrame): (Long, Long) = {
@@ -148,5 +170,58 @@ object DerivationStore {
     Files.move(tmp, Paths.get(path, MetaFile),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/** Production inference-maintenance main — the reasoning sibling of
+  * [[KgRollupJob]]:
+  * {{{
+  *   runMain graft.sources.DerivationJob init  <docsParquet>  <storeDir> "<rule>"
+  *   runMain graft.sources.DerivationJob merge <deltaParquet> <storeDir> "<rule>"
+  *   runMain graft.sources.DerivationJob infer <storeDir> <outParquet>
+  * }}}
+  * Documents are (doc_id, text) parquet; edges come from the catalog's
+  * single-scan typed extraction ([[graft.Queries.kgTypedTriplesOf]],
+  * distinct). The rule is a CLI argument in [[DerivationStore.parseRule]]
+  * form (e.g. `"?x filter ?m . ?m group ?y => ?x scan ?y"`) — the store
+  * rejects a merge under a different rule than it committed to. `infer`
+  * writes the current inferred view (stored heads minus observed edges)
+  * without touching any corpus. Prints one summary line. Sessions come
+  * from [[graft.GraftSession.production]] — default split sizes, AQE on. */
+object DerivationJob {
+
+  /** The testable surface `main` wraps (the RunJob/CurationJob split:
+    * specs drive `run` on their own session). Returns the summary line. */
+  def run(spark: SparkSession, args: Array[String]): String = {
+    val mode = args.headOption.getOrElse("")
+    require(Set("init", "merge").contains(mode) && args.length == 4 ||
+      mode == "infer" && args.length == 3,
+      "usage: DerivationJob init|merge <docsParquet> <storeDir> \"<rule>\"" +
+        " | DerivationJob infer <storeDir> <outParquet>")
+    if (mode == "infer") {
+      DerivationStore.readInferred(spark, args(1))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(args(2))
+      val n = spark.read.parquet(args(2)).count()
+      s"DERIVATION inferred=$n out=${args(2)}"
+    } else {
+      val (body, head) = DerivationStore.parseRule(args(3))
+      val edges = graft.Queries.kgTypedTriplesOf(
+          spark.read.parquet(args(1)))
+        .select(col("subj"), col("pred"), col("obj")).distinct()
+      val meta =
+        if (mode == "init") DerivationStore.init(edges, body, head, args(2))
+        else DerivationStore.merge(edges, body, head, args(2))
+      s"DERIVATION version=${meta.version} batches=${meta.batches} " +
+        s"edges=${meta.edgeRows} derived=${meta.derivedRows}"
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.production(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-derivation")
+    spark.sparkContext.setLogLevel("WARN")
+    println(run(spark, args))
+    spark.stop()
   }
 }

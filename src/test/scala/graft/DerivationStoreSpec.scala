@@ -2,7 +2,7 @@ package graft
 
 import graft.graph.BgpMatcher.{C, TriplePattern, V}
 import graft.sources.DerivationStore
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, length}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The stored-derivation maintenance contract: merged inference state
@@ -84,6 +84,54 @@ class DerivationStoreSpec extends AnyFunSuite {
       DerivationStore.merge(delta, body, otherHead, store)
     }
     assert(err.getMessage.contains("built for rule"))
+  }
+
+  test("parseRule round-trips renderRule and rejects malformed rules") {
+    val rule = "?x filter ?m . ?m group ?y => ?x scan ?y"
+    val (b, h) = DerivationStore.parseRule(rule)
+    assert(b == body && h == head)
+    assert(DerivationStore.renderRule(b, h) == rule)
+    // constants parse as constants
+    val (b2, h2) = DerivationStore.parseRule("?x filter customer => ?x scan part")
+    assert(b2 == Seq(TriplePattern(V("x"), C("filter"), C("customer"))) &&
+      h2 == TriplePattern(V("x"), C("scan"), C("part")))
+    intercept[IllegalArgumentException] {
+      DerivationStore.parseRule("?x filter ?m") // no head
+    }
+    intercept[IllegalArgumentException] {
+      DerivationStore.parseRule("?x filter => ?x scan ?y") // 2-term pattern
+    }
+  }
+
+  test("DerivationJob: init -> merge -> infer end-to-end via the CLI args") {
+    // stage doc slices as parquet, drive the job surface the way a
+    // production orchestrator would, read the inferred view back
+    val docs = Queries.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    // the init slice must NOT saturate the closed-vocabulary KG (even 20
+    // word-soup docs already extract all 50 valid edges, making the merge
+    // a correct fingerprint no-op) — the single SHORTEST doc cannot carry
+    // the full lexicon, so its edge set is a proper subset
+    val minDoc = docs.orderBy(length(col("text")), col("doc_id"))
+      .limit(1).select(col("doc_id")).head().getLong(0)
+    val staged = tmpDir("deriv_job_docs")
+    docs.filter(col("doc_id") === minDoc).write.parquet(s"$staged/old")
+    docs.filter(col("doc_id") =!= minDoc).write.parquet(s"$staged/new")
+    val store = tmpDir("deriv_job_store")
+    val out = tmpDir("deriv_job_out")
+    val rule = "?x filter ?m . ?m group ?y => ?x scan ?y"
+    import graft.sources.DerivationJob
+    assert(DerivationJob.run(spark,
+      Array("init", s"$staged/old", store, rule)).contains("version=0"))
+    assert(DerivationJob.run(spark,
+      Array("merge", s"$staged/new", store, rule)).contains("version=1"))
+    DerivationJob.run(spark, Array("infer", store, s"$out/inferred"))
+    // the job's inferred view == construct over the full corpus's edges
+    val full = Queries.kgTypedTriples(spark, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+    val expected = asSet(graft.graph.BgpMatcher.construct(
+      full.localCheckpoint(), body, head))
+    assert(asSet(spark.read.parquet(s"$out/inferred")) == expected)
   }
 
   test("derived heads survive observation: an edge asserted by a delta " +
