@@ -1732,6 +1732,23 @@ object Queries {
       minus = Bgp(Seq(TriplePattern(V("x"), C("scan"), V("m")))))
   }
 
+  /** SPARQL `VALUES` over the typed KG: the filter-pattern solutions
+    * joined with an inline binding table that both RESTRICTS ?x to a
+    * pinned entity list and EXTENDS each solution with a payload column
+    * (the parameterized-query surface —
+    * [[graft.graph.BgpMatcher.withValues]]). */
+  def kgBgpValues(s: SparkSession, dir: String): DataFrame = {
+    import graph.BgpMatcher.{C, TriplePattern, V}
+    import s.implicits._
+    val e = kgTypedTriples(s, dir)
+      .select(col("subj"), col("pred"), col("obj")).distinct()
+    val sols = graph.BgpMatcher.matchBgp(e,
+      Seq(TriplePattern(V("x"), C("filter"), V("m"))))
+    val vals = Seq(("customer", "alpha"), ("part", "alpha"),
+      ("vector", "beta")).toDF("x", "grp")
+    graph.BgpMatcher.withValues(sols, vals)
+  }
+
   /** SPARQL property-path `filter+` over the typed KG: all entity pairs
     * connected by a directed chain of `filter` edges, with minimum hop
     * count ([[graft.graph.GraphOps.transitiveClosure]] — semi-naive

@@ -147,6 +147,7 @@ object SparkEntry {
     "kg_bgp_filter" -> (Queries.kgBgpFilter _),
     "kg_bgp_union" -> (Queries.kgBgpUnion _),
     "kg_bgp_minus" -> (Queries.kgBgpMinus _),
+    "kg_bgp_values" -> (Queries.kgBgpValues _),
     "kg_rule_infer" -> (Queries.kgRuleInfer _),
     "kg_rule_infer_delta" -> (Queries.kgRuleInferDelta _),
     "kg_rule_apply" -> (Queries.kgRuleApply _),
@@ -1528,6 +1529,16 @@ object SparkEntry {
          |SELECT a.subj AS x, b.obj AS y, a.obj AS m
          |FROM e a JOIN e b ON b.subj = a.obj
          |WHERE a.pred = 'filter' AND b.pred = 'scan'""".stripMargin,
+    // SPARQL VALUES: the filter-pattern solutions joined with an inline
+    // binding table (restricts ?x, extends with the payload column)
+    "kg_bgp_values" ->
+      s"""WITH $kgTypedCtes,
+         | e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t),
+         | v(x, grp) AS (VALUES ('customer', 'alpha'), ('part', 'alpha'),
+         |   ('vector', 'beta'))
+         |SELECT a.subj AS x, a.obj AS m, v.grp
+         |FROM e a JOIN v ON v.x = a.subj
+         |WHERE a.pred = 'filter'""".stripMargin,
     // SPARQL MINUS: anti-join on the shared variables — filter pairs with
     // no parallel scan edge, over the training split (the saturated full
     // graph would subtract everything)

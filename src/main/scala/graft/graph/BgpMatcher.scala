@@ -252,6 +252,29 @@ object BgpMatcher {
       .select(req.columns.map(col).toSeq: _*)
   }
 
+  /** SPARQL `VALUES` (1.1 §10.2): join the solution sequence with an
+    * INLINE binding table — the parameterized-query surface ("run this
+    * pattern for THESE entities") and the idiom federated callers use to
+    * ship a binding list into a remote pattern. Bag semantics: a
+    * duplicated VALUES row duplicates its matching solutions, exactly as
+    * the SPARQL multiset join does. Columns of `values` that the BGP
+    * does not bind EXTEND each solution (the VALUES table may carry
+    * payload columns); at least one column must be shared — a
+    * domain-disjoint VALUES is the cartesian SPARQL technically permits
+    * and this compiler rejects everywhere (the [[matchBgpMinus]] /
+    * disconnected-BGP stance). Spark broadcasts the literal table by
+    * size, so the join never shuffles the solution side on a small
+    * binding list. */
+  def withValues(solutions: DataFrame, values: DataFrame): DataFrame = {
+    val shared = solutions.columns.intersect(values.columns).toSeq
+    require(shared.nonEmpty,
+      "VALUES shares no variable with the solutions — the implied " +
+        "cartesian product is rejected; join explicitly if intended")
+    solutions.join(values, shared)
+      .select((solutions.columns ++
+        values.columns.filterNot(shared.contains)).map(col).toSeq: _*)
+  }
+
   /** SPARQL CONSTRUCT with a single head pattern — the RULE APPLICATION
     * step of KG completion: evaluate the `body` BGP, instantiate `head`
     * once per distinct binding, and (with `newOnly`, the default) keep

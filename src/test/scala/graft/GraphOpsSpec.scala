@@ -790,6 +790,16 @@ class GraphOpsSpec extends AnyFunSuite {
       Map(1L -> 1L, 5L -> 1L, 2L -> 2L, 4L -> 2L, 3L -> 3L))
   }
 
+  test("wlColors plans no Window: class compression is groupBy + join") {
+    // the dense_rank a single-node WL uses is a TOTAL-ORDER window — one
+    // partition, one task; the min-member compression must never plan one
+    val df = GraphOps.wlColors(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), rounds = 2)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Window"),
+      "WL color compression must not use a Window")
+    assert(!df.queryExecution.executedPlan.toString.contains("WindowExec"))
+  }
+
   test("wlColors equals the plain-Scala reference on a seeded random graph") {
     val edges = (0 until 60).map { i =>
       val a = (i * 2654435761L) % 23

@@ -478,6 +478,28 @@ class WalkBgpSpec extends AnyFunSuite {
       "the subtraction must actually drop something")
   }
 
+  test("VALUES restricts, extends with payload columns, keeps bag semantics") {
+    import BgpMatcher.withValues
+    val sols = BgpMatcher.matchBgp(edgesDf,
+      Seq(TriplePattern(V("x"), C("filter"), V("m")))) // one solution (a,b)
+    // restriction + payload extension
+    val v1 = Seq(("a", "g1"), ("zz", "g2")).toDF("x", "grp")
+    val got = withValues(sols, v1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == Set(("a", "b", "g1")))
+    // a non-matching VALUES list removes everything
+    assert(withValues(sols, Seq("zz").toDF("x")).isEmpty)
+    // bag semantics: a duplicated VALUES row duplicates the solution
+    val dup = Seq("a", "a").toDF("x")
+    assert(withValues(sols, dup).count() == 2)
+    // a domain-disjoint VALUES is rejected
+    val bad = intercept[IllegalArgumentException] {
+      withValues(sols, Seq("g").toDF("unrelated"))
+    }
+    assert(bad.getMessage.contains("shares no variable"))
+  }
+
   test("matchBgpSources: vertical partitioning equals the single-table BGP") {
     // split the edge table per predicate (the classic SPARQL vertical
     // partitioning) and hand each pattern its own relation — same rows
