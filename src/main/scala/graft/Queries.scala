@@ -1861,6 +1861,28 @@ object Queries {
   def kgRules(s: SparkSession, dir: String): DataFrame =
     kgRulesOf(kgTypedTriples(s, dir))
 
+  /** Horn-rule mining WITH INVERSE PREDICATES — the AnyBURL/AMIE "swap"
+    * operator: extraction orients every edge dictionary-rank-ascending,
+    * so a plain chain join can only ground bodies that traverse both
+    * edges in stored orientation — half the schema-level patterns are
+    * invisible to it. The standard fix mines over the edge set AUGMENTED
+    * with its inversions (`pred^-1` rows with subj/obj swapped), reusing
+    * the SAME miner ([[kgRulesOf]] verbatim — the augmentation is data,
+    * not code); heads stay the stored orientation (an inverse-head rule
+    * is the same rule restated, so those rows are dropped). Rules whose
+    * body uses no inverse predicate carry IDENTICAL counts to
+    * [[kgRules]] — augmentation only adds rows under new predicate
+    * names (spec-asserted). */
+  def kgRulesInverseOf(t: DataFrame): DataFrame = {
+    val e = t.select(col("subj"), col("pred"), col("obj")).distinct()
+    val aug = e.unionByName(e.select(col("obj").as("subj"),
+      concat(col("pred"), lit("^-1")).as("pred"), col("subj").as("obj")))
+    kgRulesOf(aug).filter(!col("pred_head").endsWith("^-1"))
+  }
+
+  def kgRulesInverse(s: SparkSession, dir: String): DataFrame =
+    kgRulesInverseOf(kgTypedTriples(s, dir))
+
   /** Catalog gates for the mined-rule applier: a rule must predict its
     * head for at least half its body groundings over at least 3 of them
     * (the 5-word closed dictionary bounds body support by the 10

@@ -142,6 +142,7 @@ object SparkEntry {
     "kg_ntriples" -> (Queries.kgNtriples _),
     "kg_provenance" -> (Queries.kgProvenance _),
     "kg_rules" -> (Queries.kgRules _),
+    "kg_rules_inverse" -> (Queries.kgRulesInverse _),
     "kg_bgp" -> (Queries.kgBgp _),
     "kg_bgp_optional" -> (Queries.kgBgpOptional _),
     "kg_bgp_filter" -> (Queries.kgBgpFilter _),
@@ -1498,6 +1499,27 @@ object SparkEntry {
          |SELECT pred_a, pred_b, pred_head, n_pairs, n_closed,
          |  (n_closed * 1000) // n_pairs AS conf_permille
          |FROM cl JOIN np USING (pred_a, pred_b)""".stripMargin,
+    // rule mining over the edge set AUGMENTED with its inversions
+    // (pred^-1, subj/obj swapped) — the same mining CTEs; inverse heads
+    // are restatements and drop
+    "kg_rules_inverse" ->
+      s"""WITH $kgTypedCtes,
+         | e0 AS (SELECT DISTINCT subj, pred, obj FROM t),
+         | e AS MATERIALIZED (SELECT subj, pred, obj FROM e0
+         |   UNION ALL SELECT obj, pred || '^-1', subj FROM e0),
+         | paths AS MATERIALIZED (SELECT DISTINCT a.pred AS pred_a,
+         |   b.pred AS pred_b, a.subj AS x, b.obj AS y
+         |   FROM e a JOIN e b ON a.obj = b.subj),
+         | np AS (SELECT pred_a, pred_b, count(*) AS n_pairs FROM paths
+         |   GROUP BY 1, 2),
+         | cl AS (SELECT p.pred_a, p.pred_b, h.pred AS pred_head,
+         |   count(*) AS n_closed
+         |   FROM paths p JOIN e h ON h.subj = p.x AND h.obj = p.y
+         |   GROUP BY 1, 2, 3)
+         |SELECT pred_a, pred_b, pred_head, n_pairs, n_closed,
+         |  (n_closed * 1000) // n_pairs AS conf_permille
+         |FROM cl JOIN np USING (pred_a, pred_b)
+         |WHERE pred_head NOT LIKE '%^-1'""".stripMargin,
     // SPARQL-style BGP over the typed KG: the closed length-2 path
     // pattern { ?x filter ?m . ?m group ?y . ?x scan ?y } as plain
     // three-way self-join — proves the greedy join-order compiler exact

@@ -216,6 +216,37 @@ class KgSchemaSpec extends AnyFunSuite {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("inverse rules: sees patterns the plain miner cannot; plain rows " +
+    "carry identical counts") {
+    // (a,p,b) and (c,q,b) chain only through q's INVERSE: a -p-> b -q⁻¹-> c;
+    // head (a,r,c) closes it — invisible to the stored-orientation miner
+    val t = Seq(
+      ("a", "p", "b"), ("c", "q", "b"), ("a", "r", "c"))
+      .toDF("subj", "pred", "obj")
+    val rules = Queries.kgRulesInverseOf(t)
+      .as[(String, String, String, Long, Long, Long)].collect().toSet
+    assert(rules.contains(("p", "q^-1", "r", 1L, 1L, 1000L)),
+      "the inverse-body rule must be mined")
+    assert(rules.forall(r => !r._3.endsWith("^-1")),
+      "inverse heads are restatements and must drop")
+    val plain = Queries.kgRulesOf(t)
+      .as[(String, String, String, Long, Long, Long)].collect().toSet
+    assert(!plain.exists(r => r._1 == "p" && r._3 == "r"),
+      "the plain miner must NOT see the inverse-body pattern")
+    // on the testdata graph: restricting the inverse miner to rules whose
+    // body uses no inverse predicate reproduces kgRules exactly —
+    // augmentation adds rows only under new predicate names
+    val full = Queries.kgTypedTriples(spark, dir)
+      .select(col("subj"), col("pred"), col("obj"))
+    val restricted = Queries.kgRulesInverseOf(full)
+      .filter(!col("pred_a").endsWith("^-1") &&
+        !col("pred_b").endsWith("^-1"))
+      .as[(String, String, String, Long, Long, Long)].collect().toSet
+    val base = Queries.kgRulesOf(full)
+      .as[(String, String, String, Long, Long, Long)].collect().toSet
+    assert(restricted == base && base.nonEmpty)
+  }
+
   test("mined-rule application: gates, best-confidence dedup, anti-join") {
     // two chain-2 rules into head h: (p,q) with 4 groundings / 2 closed
     // (conf 500) and (t,u) with 3 groundings / 2 closed (conf 666); the
