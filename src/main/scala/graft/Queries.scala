@@ -548,10 +548,19 @@ object Queries {
     * coordinated accounts surface as dense cores and high link-prediction
     * scores). */
   def userGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    // The bucket self-join's cost is its per-bucket quadratic fan-OUT, not
+    // its input bytes: AQE's byte-based coalescing shrinks the tiny
+    // (user, minute) exchange to 1-2 partitions and the 50×-amplifying
+    // join then runs single-task (measured 4-5s of the wall of every
+    // user_* entry). An explicit fixed-count repartition on the join key
+    // is exempt from AQE coalescing and spreads the fan-out over the
+    // cluster; defaultParallelism scales with the cluster, not the data.
+    val par = s.sparkContext.defaultParallelism
     val b = table(s, dir, "events")
       .select(col("user_id"), // NTZ→TIMESTAMP cast under the UTC session
         expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000").as("bkt"))
       .distinct()
+      .repartition(par, col("bkt"))
     b.as("x").join(b.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.user_id") < col("y.user_id"))
       .select(col("x.user_id").as("src"), col("y.user_id").as("dst"))
@@ -564,10 +573,12 @@ object Queries {
     * BOTH directions (the symmetric weighted edge list
     * [[graft.graph.GraphOps.ssspBounded]] consumes). */
   def userWeightedEdges(s: SparkSession, dir: String): DataFrame = {
+    // explicit fan-out-spreading repartition: see userGraphEdges
     val b = table(s, dir, "events")
       .select(col("user_id"),
         expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000").as("bkt"))
       .distinct()
+      .repartition(s.sparkContext.defaultParallelism, col("bkt"))
     val wp = b.as("x").join(b.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.user_id") < col("y.user_id"))
       .groupBy(col("x.user_id").as("src"), col("y.user_id").as("dst"))
@@ -592,10 +603,12 @@ object Queries {
     * minute, both directions — the time-respecting contact list
     * [[userTemporalReach]] propagates over. */
   def userTemporalEdges(s: SparkSession, dir: String): DataFrame = {
+    // explicit fan-out-spreading repartition: see userGraphEdges
     val b = table(s, dir, "events")
       .select(col("user_id"),
         expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000").as("bkt"))
       .distinct()
+      .repartition(s.sparkContext.defaultParallelism, col("bkt"))
     val p = b.as("x").join(b.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.user_id") < col("y.user_id"))
       .select(col("x.user_id").as("src"), col("y.user_id").as("dst"),

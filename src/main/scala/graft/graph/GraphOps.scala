@@ -198,6 +198,7 @@ object GraphOps {
   def perSeedDistances(edges: DataFrame, seeds: DataFrame,
                        maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val par = edges.sparkSession.sparkContext.defaultParallelism
     val sym = symmetrize(edges)
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -208,10 +209,19 @@ object GraphOps {
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
+      // the frontier checkpoint is pinned to an explicit fixed-count
+      // partitioning: the NEXT round's expansion join fans each frontier
+      // row out by its degree, so its cost follows rows×degree, not bytes
+      // — left to AQE's byte-based coalescing a small-byte frontier
+      // collapses to 1-2 partitions and the fan-out runs single-task
+      // (measured as the wall-clock of this loop). defaultParallelism
+      // scales with the cluster; the explicit count is exempt from AQE
+      // re-coalescing.
       frontier = sym.join(frontier, sym("src") === frontier("node"))
         .select(col("seed"), sym("dst").as("node")).distinct()
         .join(settled, Seq("seed", "node"), "left_anti")
         .withColumn("dist", lit(hop))
+        .repartition(par, col("seed"), col("node"))
         .localCheckpoint(true)
       settled = settled.unionByName(frontier)
     }
@@ -258,21 +268,25 @@ object GraphOps {
     * (k−1)·P div h_k (Bar-Yossef et al. 2002 — the kmvDistinctTokens
     * formula verbatim; hash collisions under-count as in any KMV).
     *
-    * Scale shape: per round one co-partitioned state join + one
-    * per-node bottom-k window — NOT the corpus-sampling pre-thin path
-    * ([[graft.operators.Sampling]] `minKByHash`): here every window
-    * partition is already bounded by (deg+1)·k rows by construction, so
-    * thinning would add stages without shrinking anything; state never
-    * exceeds k rows per node.
+    * Scale shape: per round one co-partitioned state join + a TWO-PHASE
+    * combinable bottom-k — per (node, salt) bottom-k arrays, then one
+    * final per-node merge of ≤ `salts` k-arrays (the two-level
+    * aggregation skew pattern of guide §2.5). Bottom-k truncation
+    * commutes with set union, so per-salt truncation before the global
+    * merge is lossless; both aggregations are partial/map-side
+    * combinable, and NO per-node Window ranks the candidates — the
+    * previous row_number form put a 10⁷-degree hub's ~10⁸ candidate rows
+    * on ONE window task per round, with no partial aggregation. State
+    * never exceeds k rows per node.
     *
     * @return DataFrame(node, nf_est, sketch_size) — estimated
     *         |ball(node, rounds)| including the node itself. */
   def neighborhoodFunction(edges: DataFrame, rounds: Int, k: Int,
-                           hashIdx: Int = 17): DataFrame = {
+                           hashIdx: Int = 17, salts: Int = 16): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(k >= 2, s"k must be >= 2, got $k")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     import graft.operators.Dedup
-    import org.apache.spark.sql.expressions.Window
     val sym = symmetrize(edges).filter(col("src") =!= col("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -282,12 +296,11 @@ object GraphOps {
     for (_ <- 1 to rounds) {
       val fromNb = sym.join(state, sym("dst") === state("node"))
         .select(sym("src").as("node"), col("h"))
+      // distinct (node, h) rows, so the per-salt lists hold distinct
+      // hashes and equal hashes land in the SAME salt group — the final
+      // merge needs no re-dedup
       val all = state.unionByName(fromNb).distinct()
-      state = all
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("node")).orderBy(col("h"))))
-        .filter(col("rn") <= k).select(col("node"), col("h"))
-        .localCheckpoint(true)
+      state = bottomKPerNode(all, k, salts).localCheckpoint(true)
     }
     sym.unpersist()
     state.groupBy(col("node"))
@@ -298,6 +311,24 @@ object GraphOps {
           .as("nf_est"),
         col("m").as("sketch_size"))
   }
+
+  /** Per-node bottom-k over DISTINCT (node, h) rows, as a two-phase
+    * COMBINABLE aggregation (no Window): per (node, h mod salts) bottom-k
+    * arrays, then a per-node merge of ≤ `salts` k-arrays. Truncation
+    * commutes with set union, so the per-salt truncation is lossless; a
+    * hub node's candidates split over `salts` groups instead of landing
+    * on one window task. Input rows must be distinct on (node, h) — equal
+    * hashes hash to the same salt group, so no cross-salt re-dedup is
+    * needed. Returns (node, h) rows: the k smallest h per node. */
+  private[graft] def bottomKPerNode(all: DataFrame, k: Int,
+                                    salts: Int): DataFrame =
+    all
+      .groupBy(col("node"), pmod(col("h"), lit(salts.toLong)).as("salt"))
+      .agg(slice(array_sort(collect_list(col("h"))), 1, k).as("hs"))
+      .groupBy(col("node"))
+      .agg(slice(array_sort(flatten(collect_list(col("hs")))), 1, k)
+        .as("hs"))
+      .select(col("node"), explode(col("hs")).as("h"))
 
   /** SAMPLED-SOURCE BETWEENNESS CENTRALITY — Brandes' two-phase
     * dependency accumulation (Brandes 2001) from a deterministic seed
@@ -328,6 +359,7 @@ object GraphOps {
   def betweenness(edges: DataFrame, seeds: DataFrame, maxHops: Int,
                   scale: Long = 1000000L): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val par = edges.sparkSession.sparkContext.defaultParallelism
     val sym = symmetrize(edges).filter(col("src") =!= col("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -340,7 +372,12 @@ object GraphOps {
     // fixed-hop loop, no per-round emptiness probe: an exhausted frontier
     // makes the remaining rounds no-ops over an empty materialized side,
     // and settled stays a flat union of CHECKPOINTED frontiers (no
-    // re-checkpoint of the union — each leaf is already materialized)
+    // re-checkpoint of the union — each leaf is already materialized).
+    // Frontier checkpoints are pinned to an explicit fixed-count
+    // partitioning (the perSeedDistances argument: the next expansion
+    // join's cost is rows×degree, which AQE's byte-based coalescing
+    // cannot see — unpinned, a few-MB frontier collapses to 1-2
+    // partitions and the fan-out runs single-task).
     while (hop < maxHops) {
       hop += 1
       frontier = sym.join(frontier, sym("src") === frontier("node"))
@@ -349,6 +386,7 @@ object GraphOps {
         .join(settled, Seq("seed", "node"), "left_anti")
         .withColumn("dist", lit(hop))
         .select(col("seed"), col("node"), col("dist"), col("sigma"))
+        .repartition(par, col("seed"), col("node"))
         .localCheckpoint(true)
       settled = settled.unionByName(frontier)
     }
@@ -359,33 +397,52 @@ object GraphOps {
     // |seeds|·|reachable edges| rows (measured 1.7× slower to checkpoint
     // at sf0.1 than re-deriving per level), while the per-level join
     // aggregates the same fan-out straight down to |level| rows.
+    //
+    // Delta rows CARRY the node's own sigma, so (a) the per-level
+    // contribution join needs no settled re-join for wsigma (it was the
+    // third join per level — every delta row originates from a settled
+    // row that had sigma in hand), and (b) the successor messages are
+    // derived by streaming the partitioned-and-cached EDGE table against
+    // the (small) successor side — sym ⋈ succ fans out ONLY the edges
+    // that point INTO a successor, instead of materializing the full
+    // level×degree expansion and filtering it afterwards.
     var delta = settled.filter(col("dist") === deepest)
-      .select(col("seed"), col("node"), lit(0L).as("delta"))
+      .select(col("seed"), col("node"), lit(0L).as("delta"), col("sigma"))
       .localCheckpoint(true)
-    var acc = delta
+    var acc = delta.select(col("seed"), col("node"), col("delta"))
     for (l <- (deepest - 1) to 0 by -1) {
       val level = settled.filter(col("dist") === l)
+        .select(col("seed"), col("node"), col("sigma"))
       val succ = delta.select(col("seed"), col("node").as("wnode"),
-        col("delta").as("wdelta"))
-      val withSucc = level
-        .join(sym, sym("src") === level("node"))
-        .join(succ, succ("wnode") === sym("dst") &&
-          succ("seed") === level("seed"))
-        .select(level("seed").as("seed"), level("node").as("node"),
-          level("sigma").as("sigma"), succ("wnode").as("wnode"),
-          succ("wdelta").as("wdelta"))
-      val contrib = withSucc
-        .join(settled.select(col("seed"), col("node").as("wnode"),
-          col("sigma").as("wsigma")), Seq("seed", "wnode"))
+        col("delta").as("wdelta"), col("sigma").as("wsigma"))
+      // expand the SMALLER side through the edge table: the fan-out
+      // materializes min(|level|, |succ|)·d̄ candidate messages before the
+      // other side's inner join prunes them (level and succ sizes swing by
+      // ~10× between adjacent BFS levels, so picking the side per level is
+      // worth ~an order of magnitude of join input). Both inputs are
+      // checkpoint-backed, so the two counts are cheap bounded actions.
+      val expanded =
+        if (delta.count() <= level.count())
+          sym.join(succ, sym("dst") === succ("wnode"))
+            .select(col("seed"), sym("src").as("node"),
+              col("wdelta"), col("wsigma"))
+            .join(level, Seq("seed", "node"))
+        else
+          sym.join(level, sym("src") === level("node"))
+            .select(col("seed"), col("node"), col("sigma"),
+              sym("dst").as("wnode"))
+            .join(succ, Seq("seed", "wnode"))
+      val contrib = expanded
         .groupBy(col("seed"), col("node"))
         .agg(sum(expr(s"sigma * ($scale + wdelta) div wsigma"))
           .as("contrib"))
-      delta = level.select(col("seed"), col("node"))
+      delta = level
         .join(contrib, Seq("seed", "node"), "left_outer")
         .select(col("seed"), col("node"),
-          coalesce(col("contrib"), lit(0L)).as("delta"))
+          coalesce(col("contrib"), lit(0L)).as("delta"), col("sigma"))
+        .repartition(par, col("seed"), col("node"))
         .localCheckpoint(true)
-      acc = acc.unionByName(delta)
+      acc = acc.unionByName(delta.select(col("seed"), col("node"), col("delta")))
     }
     sym.unpersist()
     acc.filter(col("node") =!= col("seed"))

@@ -557,6 +557,32 @@ class GraphOpsSpec extends AnyFunSuite {
         s"rounds=$r k=$k diverged")
   }
 
+  test("neighborhoodFunction: 10³-neighbor hub equals the reference " +
+    "(two-phase bottom-k is lossless under hub skew)") {
+    // star with a 1000-degree hub plus a ring so non-hub sketches differ
+    val hub = (1L to 1000L).map(i => (0L, i))
+    val ring = (1L to 999L).map(i => (i, i + 1))
+    val edges = hub ++ ring
+    for ((r, k) <- Seq((1, 4), (2, 8)))
+      assert(runNf(edges, r, k) == refNf(edges, r, k),
+        s"hub graph rounds=$r k=$k diverged")
+  }
+
+  test("bottomKPerNode plans NO Window and matches a row_number twin") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 500).map { i =>
+      ((i % 7).toLong, (i * 2654435761L) % 1013) }.distinct
+      .toDF("node", "h")
+    val got = GraphOps.bottomKPerNode(rows, k = 5, salts = 16)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "two-phase bottom-k must stay window-free")
+    val twin = rows.withColumn("rn", row_number().over(
+        Window.partitionBy(col("node")).orderBy(col("h"))))
+      .filter(col("rn") <= 5).select(col("node"), col("h"))
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      twin.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   /** Plain-Scala sampled Brandes — same BFS σ sums, same fixed-point
     * backward recurrence σv·(scale+δw)/σw with integer division. */
   private def refBetweenness(edges: Seq[(Long, Long)], seeds: Seq[Long],
