@@ -1139,8 +1139,16 @@ object Queries {
     }
     val keep = precomputedKeepList.getOrElse(
       Dedup.keepList(base, minSharedPct = config.minSharedPct, vocabKey = vocabKey))
+    // pin the surviving-representative table to an explicit fixed-count
+    // partitioning: every downstream stage (decontamination gram explode,
+    // Gopher/repetition/classifier per-row passes, PII redaction) inherits
+    // this layout, and AQE's byte-based coalescing would otherwise run
+    // them all on the 1-2 partitions the keep join's small exchange
+    // collapses to (measured as one 16s task at sf0.1)
     val reps = base.join(
       keep.filter(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
     // decontamination flags are per-doc (vs the eval set only), so running
     // the gram join on the surviving reps is equivalent to flagging the
     // whole corpus and cheaper

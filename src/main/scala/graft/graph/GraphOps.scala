@@ -296,9 +296,10 @@ object GraphOps {
     for (_ <- 1 to rounds) {
       val fromNb = sym.join(state, sym("dst") === state("node"))
         .select(sym("src").as("node"), col("h"))
-      // distinct (node, h) rows, so the per-salt lists hold distinct
-      // hashes and equal hashes land in the SAME salt group — the final
-      // merge needs no re-dedup
+      // distinct() first: the sketch fan-out is heavily duplicated (~8×
+      // at sf0.1), and the cheap codegen'd dedup exchange feeds the
+      // object-hash collect aggregation far fewer rows than folding the
+      // dedup into collect_set would (measured 4.7s vs 6.6s)
       val all = state.unionByName(fromNb).distinct()
       state = bottomKPerNode(all, k, salts).localCheckpoint(true)
     }
@@ -317,14 +318,15 @@ object GraphOps {
     * arrays, then a per-node merge of ≤ `salts` k-arrays. Truncation
     * commutes with set union, so the per-salt truncation is lossless; a
     * hub node's candidates split over `salts` groups instead of landing
-    * on one window task. Input rows must be distinct on (node, h) — equal
-    * hashes hash to the same salt group, so no cross-salt re-dedup is
-    * needed. Returns (node, h) rows: the k smallest h per node. */
+    * on one window task. Duplicate (node, h) rows are absorbed by the
+    * per-salt collect_set — equal hashes land in the same salt group, so
+    * no cross-salt re-dedup is needed and callers skip their own
+    * distinct(). Returns (node, h) rows: the k smallest h per node. */
   private[graft] def bottomKPerNode(all: DataFrame, k: Int,
                                     salts: Int): DataFrame =
     all
       .groupBy(col("node"), pmod(col("h"), lit(salts.toLong)).as("salt"))
-      .agg(slice(array_sort(collect_list(col("h"))), 1, k).as("hs"))
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("hs"))
       .groupBy(col("node"))
       .agg(slice(array_sort(flatten(collect_list(col("hs")))), 1, k)
         .as("hs"))
@@ -790,8 +792,10 @@ object GraphOps {
       val winners = nbMin.filter(enc(r, col("node")) < col("m"))
         .select(col("node"))
       val joined = winners.unionByName(isolated).localCheckpoint(true)
+      // mis is a flat union of ≤rounds checkpointed `joined` leaves — no
+      // re-checkpoint of the union (the betweenness `settled` argument):
+      // dropping it saves one materialization job per round
       mis = mis.unionByName(joined.withColumn("round", lit(r)))
-        .localCheckpoint(true)
       val losers = cur.join(winners.withColumnRenamed("node", "src"),
         Seq("src"), "left_semi").select(col("dst").as("node")).distinct()
       und = und.join(joined.unionByName(losers), Seq("node"), "left_anti")
@@ -831,19 +835,29 @@ object GraphOps {
     require(k >= 3, s"k must be >= 3, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     def supports(cur: DataFrame): DataFrame = {
+      val par = cur.sparkSession.sparkContext.defaultParallelism
       val sym = cur.unionByName(
         cur.select(col("b").as("a"), col("a").as("b")))
       val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+      // or1 is consumed THREE times below (both wedge sides + the closing
+      // probe); checkpoint it once instead of re-deriving the two degree
+      // joins per consumer. The wedge self-join sides are pinned to an
+      // explicit u-keyed partitioning (the linkPredict argument: the join
+      // fans out quadratically in the higher-ranked degree, which
+      // byte-based coalescing cannot see), and the checkpointed closing
+      // side is small with known stats, so it broadcasts under the
+      // oriented-edge join instead of shuffling the wedge stream.
       val or1 = sym
         .join(deg.select(col("n").as("a"), col("d").as("ds")), "a")
         .join(deg.select(col("n").as("b"), col("d").as("dd")), "b")
         .filter(col("ds") < col("dd") ||
           (col("ds") === col("dd") && col("a") < col("b")))
         .select(col("a"), col("b"), col("dd"))
+        .localCheckpoint(true)
       val x = or1.select(col("a").as("u"), col("b").as("v"),
-        col("dd").as("dv"))
+        col("dd").as("dv")).repartition(par, col("u"))
       val y = or1.select(col("a").as("u"), col("b").as("w"),
-        col("dd").as("dw"))
+        col("dd").as("dw")).repartition(par, col("u"))
       val wedges = x.join(y, Seq("u"))
         .filter(col("dv") < col("dw") ||
           (col("dv") === col("dw") && col("v") < col("w")))
@@ -901,7 +915,13 @@ object GraphOps {
   def linkPredict(edges: DataFrame, minCommon: Int = 2,
                   scale: Long = 1000000000L): DataFrame = {
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    // the wedge self-join fans each row out by deg(z); pin its input to an
+    // explicit z-keyed partitioning so the fan-out spreads (the
+    // userGraphEdges/perSeedDistances argument — AQE's byte-based
+    // coalescing would run it on 1-2 tasks)
     val sym = symmetrize(edges).filter(col("src") =!= col("dst"))
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+        col("dst"))
     val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
     val wedges = sym.select(col("src").as("node_a"), col("dst").as("z"))
       .join(sym.select(col("src").as("node_b"), col("dst").as("z")), Seq("z"))

@@ -868,8 +868,16 @@ object Dedup {
       // exact in a double for any realistic set size
       .withColumn("plen",
         col("n") - floor((col("n") * minSharedPct + 99) / 100).cast("int") + 1)
+    // the prefix self-join and the verification join below amplify their
+    // byte-small inputs by orders of magnitude (candidate fan-out /
+    // per-pair array_intersect), which AQE's byte-based coalescing cannot
+    // see — measured as ONE 29s task at sf0.1. Pin both join inputs to an
+    // explicit fixed-count partitioning on the join key (exempt from AQE
+    // re-coalescing; defaultParallelism scales with the cluster).
+    val par = words.sparkSession.sparkContext.defaultParallelism
     val pref = sets.select(col("doc_id"), col("n"),
       posexplode(slice(col("ranks"), lit(1), col("plen"))).as(Seq("pos", "pt")))
+      .repartition(par, col("pt"))
     // PPJoin positional filter, exact: J ≥ t needs overlap ≥
     // α = ⌈t/(1+t)·(n_a+n_b)⌉, and at a prefix match at (1-based) sorted
     // positions (i, j) the overlap is ≤ 1 + min(n_a−i, n_b−j) — the other
