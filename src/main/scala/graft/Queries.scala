@@ -1253,7 +1253,7 @@ object Queries {
     val counts = array(kgDictWords.map(wrd =>
       struct(lit(wrd).as("surface"),
         wordCount(col("text"), wrd).as("n_mentions"))): _*)
-    table(s, dir, "documents")
+    operators.Dedup.spreadSmall(table(s, dir, "documents"))
       .select(col("doc_id"), explode(counts).as("m"))
       .select(col("doc_id"), col("m.surface").as("surface"),
         col("m.n_mentions").as("n_mentions"))
@@ -1263,7 +1263,7 @@ object Queries {
   /** Per-doc mention totals and unordered candidate-pair counts
     * (n·(n−1)/2 — the J3 combinatorics). */
   def kgCooccurPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = table(s, dir, "documents")
+    val d = operators.Dedup.spreadSmall(table(s, dir, "documents"))
     val n = kgDictWords.map(wrd => wordCount(col("text"), wrd))
       .reduce(_ + _)
     d.select(col("doc_id"), n.as("n_mentions"),
@@ -1279,7 +1279,10 @@ object Queries {
     * to the C(|dict|,2) pair branches. One FileScan (PlanSpec-asserted)
     * instead of ten filtered re-scans union'd together. */
   def kgTriples(s: SparkSession, dir: String): DataFrame =
-    kgTriplesOf(table(s, dir, "documents"))
+    // spread the single-split staged scan before the per-row wordCount
+    // flags (operators.Dedup.spreadSmall: no-op on an already-parallel
+    // scan); the flag projection stays above the exchange
+    kgTriplesOf(operators.Dedup.spreadSmall(table(s, dir, "documents")))
 
   /** The same single-scan extraction as [[kgTriples]], as a TRANSFORM on
     * any (doc_id, text) frame — stateless per row, so it applies verbatim
@@ -1358,7 +1361,7 @@ object Queries {
   def kgPipelineTriples(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val docs = table(s, dir, "documents")
+    val docs = operators.Dedup.spreadSmall(table(s, dir, "documents"))
       .select(col("doc_id").cast("string").as("doc_id"), col("text"))
       .as[(String, String)]
       .map { case (id, text) => Doc(id, Seq(Span("text", text, "", 0))) }
@@ -1381,7 +1384,7 @@ object Queries {
   def kgNodes(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     import s.implicits._
-    val docs = table(s, dir, "documents")
+    val docs = operators.Dedup.spreadSmall(table(s, dir, "documents"))
       .select(col("doc_id").cast("string").as("doc_id"), col("text"))
       .as[(String, String)]
       .map { case (id, text) => Doc(id, Seq(Span("text", text, "", 0))) }
@@ -1480,7 +1483,7 @@ object Queries {
   }
 
   def kgTypedTriples(s: SparkSession, dir: String): DataFrame =
-    kgTypedTriplesOf(table(s, dir, "documents"))
+    kgTypedTriplesOf(operators.Dedup.spreadSmall(table(s, dir, "documents")))
 
   /** PREDICATE SCHEMA INDUCTION over the typed KG — the ontology the
     * extraction implies, computed instead of assumed: per predicate the

@@ -57,8 +57,21 @@ object Dedup {
     * .explain — 32 `split` calls for k=16). Explode+agg computes shingles
     * once and scales: the shuffle key is doc_id, partial mins combine
     * map-side, and shingle rows never exceed the text size. */
+  /** Spread a byte-small scan before a per-row-heavy pass: a staged corpus
+    * arriving as one file (or one parquet row group) scans as ONE task,
+    * and the shingle/hash work downstream is row-amplified compute AQE
+    * cannot re-balance (measured: the whole minhash family's 2-3s hot
+    * task at sf0.1). No-op whenever the input is already at least as
+    * parallel as the cluster — at production scale the scan split count
+    * dwarfs defaultParallelism and no shuffle is added. */
+  private[graft] def spreadSmall(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions >= par) docs
+    else docs.repartition(par, col("doc_id"))
+  }
+
   def minhashSignatures(docs: DataFrame, shingleN: Int, k: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"),
+    val sh = spreadSmall(docs).select(col("doc_id"),
       explode(shingles(col("text"), shingleN)).as("sh"))
     val mins = (0 until k).map(s => min(xxhash64(lit(s), col("sh"))).as(s"h$s"))
     sh.groupBy(col("doc_id"))
@@ -92,7 +105,7 @@ object Dedup {
     * once, then 64 conditional-sum aggregates (one shuffle on doc_id,
     * partial sums map-side) and an OR-fold of the sign bits. */
   def simhashes(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"),
+    val words = spreadSmall(docs).select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
     val bitSums = (0 until 64).map(i =>
@@ -228,7 +241,8 @@ object Dedup {
 
   /** Exploded (doc_id, sh) shingle rows. */
   def shingleRows(docs: DataFrame, shingleN: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("sh"))
+    spreadSmall(docs)
+      .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("sh"))
 
   /** Dense token ids 1..V by sorted order over the distinct token set —
     * semantically `row_number() OVER (ORDER BY sh)`, which is what the
