@@ -60,6 +60,12 @@ object BenchExtra {
       }
     })
 
+    // plan-only probe for non-catalog building blocks
+    if (args.contains("explain_edges")) {
+      Queries.userGraphEdges(spark, sfDir).explain("formatted")
+      spark.stop(); return
+    }
+
     try Queries.stageCorpusArtifacts(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[extra] staging: $e") }
 

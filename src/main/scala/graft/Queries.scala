@@ -547,20 +547,26 @@ object Queries {
     * on, the behavioral-graph side of a curation stack (bot rings and
     * coordinated accounts surface as dense cores and high link-prediction
     * scores). */
-  def userGraphEdges(s: SparkSession, dir: String): DataFrame = {
+  def userGraphEdges(s: SparkSession, dir: String,
+                     spread: Boolean = false): DataFrame = {
     // The bucket self-join's cost is its per-bucket quadratic fan-OUT, not
     // its input bytes: AQE's byte-based coalescing shrinks the tiny
     // (user, minute) exchange to 1-2 partitions and the 50×-amplifying
-    // join then runs single-task (measured 4-5s of the wall of every
-    // user_* entry). An explicit fixed-count repartition on the join key
-    // is exempt from AQE coalescing and spreads the fan-out over the
-    // cluster; defaultParallelism scales with the cluster, not the data.
-    val par = s.sparkContext.defaultParallelism
-    val b = table(s, dir, "events")
+    // join then runs single-task (measured 4-5s of the wall). `spread`
+    // pins the join input to an explicit fixed-count partitioning (exempt
+    // from AQE coalescing; defaultParallelism scales with the cluster) —
+    // opt-IN because only consumers that keep degree-amplified joins
+    // downstream (betweenness/harmonic/truss/nf/linkpred/graph_stats)
+    // win from the 32-way layout; the light fixed-point loops (ppr, WL,
+    // sssp, walks…) are latency-bound on ~|V|-row iteration state and
+    // measured 1-3s SLOWER when every tiny stage inherits it.
+    val b0 = table(s, dir, "events")
       .select(col("user_id"), // NTZ→TIMESTAMP cast under the UTC session
         expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000").as("bkt"))
       .distinct()
-      .repartition(par, col("bkt"))
+    val b = if (spread)
+      b0.repartition(s.sparkContext.defaultParallelism, col("bkt"))
+    else b0
     b.as("x").join(b.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.user_id") < col("y.user_id"))
       .select(col("x.user_id").as("src"), col("y.user_id").as("dst"))
@@ -573,12 +579,10 @@ object Queries {
     * BOTH directions (the symmetric weighted edge list
     * [[graft.graph.GraphOps.ssspBounded]] consumes). */
   def userWeightedEdges(s: SparkSession, dir: String): DataFrame = {
-    // explicit fan-out-spreading repartition: see userGraphEdges
     val b = table(s, dir, "events")
       .select(col("user_id"),
         expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000").as("bkt"))
       .distinct()
-      .repartition(s.sparkContext.defaultParallelism, col("bkt"))
     val wp = b.as("x").join(b.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.user_id") < col("y.user_id"))
       .groupBy(col("x.user_id").as("src"), col("y.user_id").as("dst"))
@@ -603,12 +607,10 @@ object Queries {
     * minute, both directions — the time-respecting contact list
     * [[userTemporalReach]] propagates over. */
   def userTemporalEdges(s: SparkSession, dir: String): DataFrame = {
-    // explicit fan-out-spreading repartition: see userGraphEdges
     val b = table(s, dir, "events")
       .select(col("user_id"),
         expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000").as("bkt"))
       .distinct()
-      .repartition(s.sparkContext.defaultParallelism, col("bkt"))
     val p = b.as("x").join(b.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.user_id") < col("y.user_id"))
       .select(col("x.user_id").as("src"), col("y.user_id").as("dst"),
@@ -635,7 +637,7 @@ object Queries {
     * permille harmonic sums
     * ([[graft.graph.GraphOps.harmonicCentrality]]). */
   def userHarmonic(s: SparkSession, dir: String): DataFrame = {
-    val e = userGraphEdges(s, dir)
+    val e = userGraphEdges(s, dir, spread = true)
     val seeds = graph.GraphOps.symmetrize(e)
       .select(col("src").as("node")).distinct()
       .filter(col("node") % 7 === 0)
@@ -647,8 +649,8 @@ object Queries {
     * under capacity, the KMV estimator over it; the oracle rebuilds the
     * sketches hash-for-hash). */
   def userNf(s: SparkSession, dir: String): DataFrame =
-    graph.GraphOps.neighborhoodFunction(userGraphEdges(s, dir),
-      rounds = 3, k = 8)
+    graph.GraphOps.neighborhoodFunction(
+      userGraphEdges(s, dir, spread = true), rounds = 3, k = 8)
 
   /** Sampled-source Brandes betweenness over the user graph: an
     * id ≡ 0 (mod 13) seed sample (betweenness pays a backward phase per
@@ -658,7 +660,7 @@ object Queries {
     * exact integer path counts forward, fixed-point dependency
     * accumulation backward ([[graft.graph.GraphOps.betweenness]]). */
   def userBetweenness(s: SparkSession, dir: String): DataFrame = {
-    val e = userGraphEdges(s, dir)
+    val e = userGraphEdges(s, dir, spread = true)
     val seeds = graph.GraphOps.symmetrize(e)
       .select(col("src").as("node")).distinct()
       .filter(col("node") % 13 === 0)
@@ -690,7 +692,8 @@ object Queries {
     * rounds with naive per-edge common-neighbor counts, so the hash
     * match proves the degree-ordered enumeration exact). */
   def userTruss(s: SparkSession, dir: String): DataFrame =
-    graph.GraphOps.kTrussPeel(userGraphEdges(s, dir), k = 4, rounds = 4)
+    graph.GraphOps.kTrussPeel(userGraphEdges(s, dir, spread = true),
+      k = 4, rounds = 4)
 
   /** Two rounds of Weisfeiler-Leman color refinement over the user
     * graph — each user's structural-equivalence class after looking two
@@ -718,7 +721,8 @@ object Queries {
     * non-adjacent pair sharing ≥ 2 neighbors, with the integer RA score
     * ([[graft.graph.GraphOps.linkPredict]]). */
   def userLinkPredict(s: SparkSession, dir: String): DataFrame =
-    graph.GraphOps.linkPredict(userGraphEdges(s, dir), minCommon = 2)
+    graph.GraphOps.linkPredict(userGraphEdges(s, dir, spread = true),
+      minCommon = 2)
 
   /** Personalized PageRank seeded at the smallest user id, 5 rounds —
     * "users related to THIS one" by graph proximity
