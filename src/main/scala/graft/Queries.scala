@@ -362,9 +362,12 @@ object Queries {
     * ever touches corpus rows (OperatorsSpec asserts the plan has no
     * SortMergeJoin/ShuffledHashJoin). */
   def textDecontam(s: SparkSession, dir: String): DataFrame = {
+    // spreadSmall on the CORPUS side only: its 8-gram window explode is
+    // the heavy map-side pass and rides the single-split staged scan as
+    // one task; the eval side stays broadcast-sized by contract
     val docs = table(s, dir, "documents")
     Dedup.decontaminate(
-      docs.filter(col("doc_id") % 5 =!= 0),
+      operators.Dedup.spreadSmall(docs.filter(col("doc_id") % 5 =!= 0)),
       docs.filter(col("doc_id") % 5 === 0),
       shingleN = 8)
   }
@@ -376,9 +379,11 @@ object Queries {
     * operators hash-matching the same DuckDB result is the proof that
     * the Bloom prefilter is lossless. */
   def textDecontamBloom(s: SparkSession, dir: String): DataFrame = {
+    // corpus-side spread, the textDecontam argument (the bloom prefilter
+    // runs inside the same heavy gram-explode pass)
     val docs = table(s, dir, "documents")
     Dedup.decontaminateBloom(
-      docs.filter(col("doc_id") % 5 =!= 0),
+      operators.Dedup.spreadSmall(docs.filter(col("doc_id") % 5 =!= 0)),
       docs.filter(col("doc_id") % 5 === 0),
       shingleN = 8)
   }
@@ -598,7 +603,8 @@ object Queries {
     * relaxes only the changed frontier; the oracle unrolls the naive
     * whole-set recurrence — the khop theorem with weights). */
   def userSssp(s: SparkSession, dir: String): DataFrame = {
-    val e = userWeightedEdges(s, dir)
+    // checkpoint: seed agg + relaxation loop both read e
+    val e = userWeightedEdges(s, dir).localCheckpoint()
     val seeds = e.agg(min(col("src")).as("node"))
     graph.GraphOps.ssspBounded(e, seeds, rounds = 4)
   }
@@ -626,7 +632,8 @@ object Queries {
     * current arrival does not count; the oracle unrolls the naive
     * whole-set recurrence, proving the changed-frontier pruning exact). */
   def userTemporalReach(s: SparkSession, dir: String): DataFrame = {
-    val e = userTemporalEdges(s, dir)
+    // checkpoint: seed agg + arrival loop both read e
+    val e = userTemporalEdges(s, dir).localCheckpoint()
     val seeds = e.agg(min(col("src")).as("node"))
     graph.GraphOps.earliestArrival(e, seeds, rounds = 4)
   }
@@ -637,7 +644,10 @@ object Queries {
     * permille harmonic sums
     * ([[graft.graph.GraphOps.harmonicCentrality]]). */
   def userHarmonic(s: SparkSession, dir: String): DataFrame = {
-    val e = userGraphEdges(s, dir, spread = true)
+    // checkpoint: the seed filter below and the operator's persisted sym
+    // would otherwise each evaluate the full bucket self-join
+    // (the userModularity precedent — e is ~|E| rows, the build is not)
+    val e = userGraphEdges(s, dir, spread = true).localCheckpoint()
     val seeds = graph.GraphOps.symmetrize(e)
       .select(col("src").as("node")).distinct()
       .filter(col("node") % 7 === 0)
@@ -660,7 +670,9 @@ object Queries {
     * exact integer path counts forward, fixed-point dependency
     * accumulation backward ([[graft.graph.GraphOps.betweenness]]). */
   def userBetweenness(s: SparkSession, dir: String): DataFrame = {
-    val e = userGraphEdges(s, dir, spread = true)
+    // checkpoint: seeds + the operator's sym persist both read e (the
+    // userHarmonic/userModularity argument)
+    val e = userGraphEdges(s, dir, spread = true).localCheckpoint()
     val seeds = graph.GraphOps.symmetrize(e)
       .select(col("src").as("node")).distinct()
       .filter(col("node") % 13 === 0)
@@ -728,7 +740,9 @@ object Queries {
     * "users related to THIS one" by graph proximity
     * ([[graft.graph.GraphOps.personalizedPageRank]]). */
   def userPpr(s: SparkSession, dir: String): DataFrame = {
-    val e = userGraphEdges(s, dir)
+    // checkpoint: the seed agg and the operator's persisted edge table
+    // would otherwise each evaluate the bucket self-join
+    val e = userGraphEdges(s, dir).localCheckpoint()
     val seeds = graph.GraphOps.symmetrize(e).agg(min(col("src")).as("node"))
     graph.GraphOps.personalizedPageRank(e, seeds, iterations = 5)
   }
@@ -844,13 +858,19 @@ object Queries {
     * Window — PackingSpec asserts the plan) assigns each doc its stream
     * offset and training bin. */
   def textPack(s: SparkSession, dir: String): DataFrame =
-    operators.Packing.packChunked(table(s, dir, "documents"), seqLen = 2048)
+    // spreadSmall: the heavy size(split(text)) projection rides the map
+    // side of packChunked's range exchange — over the single-split staged
+    // scan it ran as ONE task; the output is partition-independent (global
+    // doc_id-ordered prefix sum), so the adaptive spread only moves work
+    operators.Packing.packChunked(
+      operators.Dedup.spreadSmall(table(s, dir, "documents")), seqLen = 2048)
 
   /** Per-chunk packing rows at the same seqLen: every (doc, bin) slice
     * with its offset inside the bin — the fully-enumerable training
     * layout (docs crossing bin boundaries emit one row per bin). */
   def textPackChunks(s: SparkSession, dir: String): DataFrame =
-    operators.Packing.packChunks(table(s, dir, "documents"), seqLen = 2048)
+    operators.Packing.packChunks(
+      operators.Dedup.spreadSmall(table(s, dir, "documents")), seqLen = 2048)
 
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(table(s, dir, "documents"))
@@ -1093,7 +1113,13 @@ object Queries {
     val docs = table(s, dir, "documents")
     curationPipelineOver(
       docs.filter(col("doc_id") % 5 =!= 0),
-      evalSet = Some(docs.filter(col("doc_id") % 5 === 0)),
+      // eval side spread: its 8-gram explode is the decontam broadcast
+      // BUILD and ran as one 5.5s task over the single-split staged scan
+      // (broadcast-exchange jobs surface as CompletableFuture callsites);
+      // a no-op whenever the eval scan is already as parallel as the
+      // cluster
+      evalSet = Some(operators.Dedup.spreadSmall(
+        docs.filter(col("doc_id") % 5 === 0))),
       vocabKey = Some(s"$dir#documents_c#sh3"))
   }
 
@@ -1149,10 +1175,18 @@ object Queries {
     // this layout, and AQE's byte-based coalescing would otherwise run
     // them all on the 1-2 partitions the keep join's small exchange
     // collapses to (measured as one 16s task at sf0.1)
+    // reps and clean each feed SEVERAL downstream consumers (decontam +
+    // the anti-join left side read reps; Gopher/repetition/classifier and
+    // the gated join all read clean) — localCheckpoint materializes each
+    // once, so the line-dedup + keep join and the decontamination gram
+    // join run one time instead of once per consumer (the same argument
+    // as the `sampled` checkpoint below; measured ~4 re-evaluations of
+    // the keep join without it)
     val reps = base.join(
       keep.filter(col("doc_id") === col("keep_id")).select("doc_id"), "doc_id")
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("doc_id"))
+      .localCheckpoint()
     // decontamination flags are per-doc (vs the eval set only), so running
     // the gram join on the surviving reps is equivalent to flagging the
     // whole corpus and cheaper
@@ -1160,7 +1194,14 @@ object Queries {
       case Some(ev) =>
         val contaminated = Dedup.decontaminate(reps, ev,
           shingleN = config.decontamShingleN).select(col("doc_id"))
+        // pin BEFORE the checkpoint: the anti-join's output inherits an
+        // AQE-coalesced 1-partition layout, and an unpinned checkpoint
+        // freezes it — every downstream per-row gate pass then ran as one
+        // task (measured; the same argument as the reps pin above)
         reps.join(contaminated, Seq("doc_id"), "left_anti")
+          .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+            col("doc_id"))
+          .localCheckpoint()
       case None => reps
     }
     val gq = TextAnalysis.gopherQuality(clean)
@@ -1202,6 +1243,13 @@ object Queries {
           .otherwise("long"),
         Seq("short" -> config.shortPermille, "long" -> config.longPermille))
       .select(col("doc_id"), col("text"), col("stratum"))
+      // pin before the checkpoint: the gate joins collapse this table to
+      // 1-2 partitions under AQE, the checkpoint froze that layout, and
+      // packChunked's heavy size(split(text)) map side then ran as ONE
+      // task (measured 5.1s); packChunked's output is partition-
+      // independent (global doc_id-ordered prefix sum)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .localCheckpoint()
     operators.Packing.packChunked(
         sampled.select(col("doc_id"), col("text")), seqLen = config.seqLen)

@@ -408,6 +408,13 @@ object GraphOps {
     // the (small) successor side — sym ⋈ succ fans out ONLY the edges
     // that point INTO a successor, instead of materializing the full
     // level×degree expansion and filtering it afterwards.
+    // per-level row counts in ONE aggregation job: the backward loop picks
+    // its expansion side by |level| vs |succ|, and δ-rows per level are
+    // exactly the level's rows (the left_outer below preserves them), so
+    // the sizes are known up front — no per-level count() actions.
+    val levelSize: Map[Int, Long] = settled.groupBy(col("dist")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
     var delta = settled.filter(col("dist") === deepest)
       .select(col("seed"), col("node"), lit(0L).as("delta"), col("sigma"))
       .localCheckpoint(true)
@@ -421,10 +428,10 @@ object GraphOps {
       // materializes min(|level|, |succ|)·d̄ candidate messages before the
       // other side's inner join prunes them (level and succ sizes swing by
       // ~10× between adjacent BFS levels, so picking the side per level is
-      // worth ~an order of magnitude of join input). Both inputs are
-      // checkpoint-backed, so the two counts are cheap bounded actions.
+      // worth ~an order of magnitude of join input). Sizes come from the
+      // precomputed per-level map — no count() actions in the loop.
       val expanded =
-        if (delta.count() <= level.count())
+        if (levelSize(l + 1) <= levelSize(l))
           sym.join(succ, sym("dst") === succ("wnode"))
             .select(col("seed"), sym("src").as("node"),
               col("wdelta"), col("wsigma"))
@@ -759,10 +766,16 @@ object GraphOps {
     * conflict graph is how a constructor picks a canonical representative
     * per contested region (scheduling, landmark selection, coarsening).
     *
-    * Priorities are compared as ONE encoded long, `p(v)·10⁷ + v` — the
+    * Priorities are compared as ONE encoded long, `p(v)·stride + v` — the
     * (priority, id) lexicographic tiebreak folded into a single
-    * aggregatable min (node ids must be in [0, 10⁷); widen the stride for
-    * bigger id spaces). Per round: one neighbor-min aggregation, two
+    * aggregatable min. Node ids MUST be in [0, stride): an id ≥ stride
+    * silently corrupts the encoding (the set stays independent, but the
+    * documented tie order and oracle parity break), so callers with a
+    * bigger id space pass a bigger `stride` — the precondition is
+    * asserted against the engine's own graphs in GraphOpsSpec rather
+    * than with a per-call max(node) action, which would add a full-table
+    * aggregation job to every invocation. Per round: one neighbor-min
+    * aggregation, two
     * anti-joins, two semi-joins — all co-partitioned on the node key; one
     * bounded count action checks termination. Expected O(log n) rounds
     * for hash priorities; if `rounds` is exhausted with undecided nodes
@@ -771,11 +784,13 @@ object GraphOps {
     *
     * @return DataFrame(node, round) — MIS members and the round each
     *         joined in. */
-  def lubyMis(edges: DataFrame, rounds: Int, hashIdx: Int = 9): DataFrame = {
+  def lubyMis(edges: DataFrame, rounds: Int, hashIdx: Int = 9,
+              stride: Long = 10000000L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import graft.operators.Dedup.lcgHash
     def enc(i: Int, c: Column) =
-      lcgHash((hashIdx + i) % 64, c) * lit(10000000L) + c
+      lcgHash((hashIdx + i) % 64, c) * lit(stride) + c
     var cur = symmetrize(edges).filter(col("src") =!= col("dst"))
       .localCheckpoint(true)
     var und = cur.select(col("src").as("node")).distinct()
@@ -878,14 +893,20 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
-    var sup = supports(cur)
+    // checkpoint the SUPPORT table, not the filtered edge set: `next` (and
+    // the returned survivors) are cheap filters over the materialized
+    // supports, so each round evaluates the triangle recount exactly once
+    // — checkpointing `next` instead made the final return re-derive the
+    // whole last supports() pass from lineage (one extra full recount per
+    // call, measured ~20% of the operator)
+    var sup = supports(cur).localCheckpoint(true)
     var stable = false
     var r = 0
     while (r < rounds && !stable) {
       r += 1
-      if (r > 1) sup = supports(cur)
+      if (r > 1) sup = supports(cur).localCheckpoint(true)
       val next = sup.filter(col("support") >= k - 2)
-        .select(col("a"), col("b")).localCheckpoint(true)
+        .select(col("a"), col("b"))
       stable = next.count() == cur.count()
       cur = next
     }

@@ -956,7 +956,11 @@ object Dedup {
     val ws = split(col("text"), " ")
     val idxs = when(size(ws) >= lit(k), sequence(lit(0), size(ws) - lit(k)))
       .otherwise(array().cast("array<int>"))
-    docs.where(col("text").isNotNull && col("doc_id").isNotNull)
+    // spreadSmall: the tokenize+explode is the census' heavy map side and
+    // otherwise rides the single-split staged scan as ONE task (the
+    // shingleRows precedent; a no-op whenever the scan is already as
+    // parallel as the cluster)
+    spreadSmall(docs).where(col("text").isNotNull && col("doc_id").isNotNull)
       .select((col("doc_id") +: extra.map(col)) :+
         posexplode(transform(idxs, i => concat_ws(" ", slice(ws, i + lit(1), lit(k)))))
           .as(Seq("pos", "g")): _*)

@@ -44,11 +44,25 @@ object DerivationStore {
                         rule: String)
 
   /** Canonical one-line rendering of a CONSTRUCT rule — the identity the
-    * store commits to (spaces/newlines never appear in terms). */
+    * store commits to. The rendering must be INJECTIVE (the rule-identity
+    * guard compares `meta.rule == renderRule`), so terms that could not
+    * round-trip through [[parseRule]] are rejected loudly: whitespace
+    * inside a term breaks the 3-token pattern split, a bare "." or "=>"
+    * term collides with the separators, and a constant starting with '?'
+    * would re-parse as a variable. Dotted identifiers/IRIs are fine — the
+    * parser splits only on whitespace-delimited separators. */
   def renderRule(body: Seq[TriplePattern], head: TriplePattern): String = {
     def t(x: Term) = x match {
-      case V(n) => s"?$n"
-      case C(v) => v
+      case V(n) =>
+        require(n.nonEmpty && !n.exists(_.isWhitespace),
+          s"variable name must be non-empty and whitespace-free, got '$n'")
+        s"?$n"
+      case C(v) =>
+        require(v.nonEmpty && !v.exists(_.isWhitespace) &&
+          v != "." && v != "=>" && !v.startsWith("?"),
+          s"constant term must be non-empty, whitespace-free, not '.', " +
+            s"not '=>', and not start with '?', got '$v'")
+        v
     }
     def p(tp: TriplePattern) = s"${t(tp.s)} ${t(tp.p)} ${t(tp.o)}"
     body.map(p).mkString(" . ") + " => " + p(head)
@@ -56,9 +70,11 @@ object DerivationStore {
 
   /** Inverse of [[renderRule]]: parse `"?x filter ?m . ?m group ?y =>
     * ?x scan ?y"` — `?`-prefixed tokens are variables, anything else a
-    * constant; body patterns separated by `.`, exactly one head after
-    * `=>`. The CLI surface takes rules in this form so a production run
-    * never hardcodes one. */
+    * constant; body patterns separated by a STANDALONE `.` token (the
+    * separator must be whitespace-delimited, so dotted identifiers/IRIs
+    * inside a term survive), exactly one standalone `=>` before the head.
+    * The CLI surface takes rules in this form so a production run never
+    * hardcodes one. */
   def parseRule(rule: String): (Seq[TriplePattern], TriplePattern) = {
     def term(t: String): Term =
       if (t.startsWith("?")) V(t.substring(1)) else C(t)
@@ -68,10 +84,12 @@ object DerivationStore {
         s"a triple pattern needs exactly 3 terms, got '${p.trim}'")
       TriplePattern(term(toks(0)), term(toks(1)), term(toks(2)))
     }
-    val halves = rule.split("=>")
+    // split only on whitespace-delimited separator tokens: "a.b" or
+    // "x=>y" inside a term is content, " . " / " => " is structure
+    val halves = rule.trim.split("(^|\\s)=>(\\s|$)")
     require(halves.length == 2,
-      s"a rule needs exactly one '=>', got '$rule'")
-    val body = halves(0).split("\\.").map(pattern).toSeq
+      s"a rule needs exactly one standalone '=>', got '$rule'")
+    val body = halves(0).split("(^|\\s)\\.(\\s|$)").map(pattern).toSeq
     require(body.nonEmpty, "rule body is empty")
     (body, pattern(halves(1)))
   }

@@ -103,6 +103,29 @@ class DerivationStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("parseRule/renderRule: dotted and '=>'-bearing constants round-trip; " +
+       "non-injective terms are rejected") {
+    // dotted identifiers/IRIs are content, not separators: the parser
+    // splits only on whitespace-delimited '.' / '=>' tokens
+    val rule = "?x ex.org/filter ?m . ?m a=>b ?y => ?x ex.v1.scan ?y"
+    val (b, h) = DerivationStore.parseRule(rule)
+    assert(b == Seq(
+      TriplePattern(V("x"), C("ex.org/filter"), V("m")),
+      TriplePattern(V("m"), C("a=>b"), V("y"))))
+    assert(h == TriplePattern(V("x"), C("ex.v1.scan"), V("y")))
+    assert(DerivationStore.renderRule(b, h) == rule)
+    // terms that cannot round-trip are rejected at render time — the
+    // store's rule-identity guard (meta.rule == renderRule) relies on
+    // the rendering being injective
+    for (bad <- Seq(C("."), C("=>"), C("?notavar"), C("has space"), C(""),
+                    V("bad name"), V(""))) {
+      intercept[IllegalArgumentException] {
+        DerivationStore.renderRule(
+          Seq(TriplePattern(V("x"), bad, V("y"))), head)
+      }
+    }
+  }
+
   test("DerivationJob: init -> merge -> infer end-to-end via the CLI args") {
     // stage doc slices as parquet, drive the job surface the way a
     // production orchestrator would, read the inferred view back

@@ -660,11 +660,12 @@ class GraphOpsSpec extends AnyFunSuite {
   /** Plain-Scala Luby MIS — same per-round LCG draws, same encoded
     * (priority, id) min, same isolated-join rule. */
   private def refMis(edges: Seq[(Long, Long)], rounds: Int,
-                     hashIdx: Int = 9): Set[(Long, Int)] = {
+                     hashIdx: Int = 9,
+                     stride: Long = 10000000L): Set[(Long, Int)] = {
     import graft.operators.Dedup.{HashA, HashB, HashP}
     def enc(i: Int, v: Long) =
       ((HashA((hashIdx + i) % 64) * v + HashB((hashIdx + i) % 64)) % HashP) *
-        10000000L + v
+        stride + v
     var cur = edges.flatMap(e => Seq(e, e.swap)).distinct
       .filter(e => e._1 != e._2).toSet
     var und = cur.map(_._1)
@@ -708,6 +709,37 @@ class GraphOpsSpec extends AnyFunSuite {
         sym.exists(e => e._1 == v && misNodes(e._2))),
         "MIS must be maximal: every non-member has a member neighbor")
     }
+  }
+
+  test("lubyMis: widened stride handles ids beyond the default id space") {
+    // ids >= the default 10^7 stride would silently corrupt the encoded
+    // (priority, id) tiebreak; with a wide-enough stride the run stays
+    // reference-equal. The catalog precondition itself (user ids fit the
+    // default stride) is asserted in the test below.
+    val base = (0 until 40).map { i =>
+      val a = (i * 2654435761L) % 13
+      val b = (i * 40503L + 5) % 13
+      (a, if (a == b) (b + 1) % 13 else b)
+    }.distinct
+    val off = 49999997L // pushes every id past the default stride
+    val edges = base.map { case (a, b) => (a + off, b + off) }
+    val stride = 1000000000L
+    val got = GraphOps.lubyMis(edges.toDF("src", "dst").repartition(4),
+        rounds = 8, stride = stride)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == refMis(edges, 8, stride = stride))
+  }
+
+  test("lubyMis: the catalog's user graph fits the default stride") {
+    // the user_mis catalog entry runs lubyMis at the default stride; its
+    // node ids are the user-graph vertex ids. Assert the precondition
+    // here (once, in the suite) instead of a per-call max(node) action,
+    // which would add a full-table aggregation job to every invocation.
+    val edges = graft.Queries.userGraphEdges(spark, "/root/testdata/sf0.001")
+    val mx = edges.agg(greatest(max(col("src")), max(col("dst")))
+      .cast("long")).head.getLong(0)
+    assert(mx < 10000000L,
+      s"user-graph ids must fit lubyMis's default stride, max id = $mx")
   }
 
   test("lubyMis: a starved path end joins through the isolated rule") {
