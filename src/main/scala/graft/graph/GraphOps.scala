@@ -299,7 +299,10 @@ object GraphOps {
       // distinct() first: the sketch fan-out is heavily duplicated (~8×
       // at sf0.1), and the cheap codegen'd dedup exchange feeds the
       // object-hash collect aggregation far fewer rows than folding the
-      // dedup into collect_set would (measured 4.7s vs 6.6s)
+      // dedup into collect_set would (measured 4.7s vs 6.6s); its partial
+      // (map-side) dedup also means the exchange carries deduped rows, so
+      // the exchange itself stays UNPINNED — the heavy collect stage
+      // downstream is spread by bottomKPerNode's own pinned partitioning.
       val all = state.unionByName(fromNb).distinct()
       state = bottomKPerNode(all, k, salts).localCheckpoint(true)
     }
@@ -323,14 +326,23 @@ object GraphOps {
     * no cross-salt re-dedup is needed and callers skip their own
     * distinct(). Returns (node, h) rows: the k smallest h per node. */
   private[graft] def bottomKPerNode(all: DataFrame, k: Int,
-                                    salts: Int): DataFrame =
+                                    salts: Int): DataFrame = {
+    // the per-salt exchange is pinned: the collect_set aggregation is
+    // row-heavy on byte-small input, and AQE's byte-based coalescing
+    // would run its reduce side 1-2-task (the fan-out-pin argument);
+    // repartitioning on the exact grouping keys satisfies the
+    // aggregation's clustering, so no extra exchange is planned
+    val par = all.sparkSession.sparkContext.defaultParallelism
     all
-      .groupBy(col("node"), pmod(col("h"), lit(salts.toLong)).as("salt"))
+      .withColumn("salt", pmod(col("h"), lit(salts.toLong)))
+      .repartition(par, col("node"), col("salt"))
+      .groupBy(col("node"), col("salt"))
       .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("hs"))
       .groupBy(col("node"))
       .agg(slice(array_sort(flatten(collect_list(col("hs")))), 1, k)
         .as("hs"))
       .select(col("node"), explode(col("hs")).as("h"))
+  }
 
   /** SAMPLED-SOURCE BETWEENNESS CENTRALITY — Brandes' two-phase
     * dependency accumulation (Brandes 2001) from a deterministic seed
@@ -806,7 +818,14 @@ object GraphOps {
         .agg(min(enc(r, col("dst"))).as("m"))
       val winners = nbMin.filter(enc(r, col("node")) < col("m"))
         .select(col("node"))
-      val joined = winners.unionByName(isolated).localCheckpoint(true)
+      // joined is NOT checkpointed: every input (cur, und) is a
+      // checkpointed leaf and the LCG draws are deterministic, so its
+      // consumers (the mis union, the und anti-join) re-derive it with
+      // one cheap aggregation over in-memory data — dropping the
+      // materialization saves one job per round of a loop whose wall is
+      // almost entirely job-scheduling floors (profiled: no stage above
+      // 0.2s)
+      val joined = winners.unionByName(isolated)
       // mis is a flat union of ≤rounds checkpointed `joined` leaves — no
       // re-checkpoint of the union (the betweenness `settled` argument):
       // dropping it saves one materialization job per round
