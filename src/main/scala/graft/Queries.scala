@@ -469,8 +469,12 @@ object Queries {
     * oracle the unrolled whole-set recurrence — the hash match proves the
     * frontier optimization lossless ([[graft.graph.GraphOps.khopDistances]]). */
   def kgKhop(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint: the seed agg and the BFS loop's persisted sym run as
+    // separate actions, each re-deriving the per-doc extraction (the
+    // userBetweenness/userPpr argument)
     val e = kgTriples(s, dir)
       .select(col("subj").as("src"), col("obj").as("dst"))
+      .localCheckpoint()
     val seeds = graph.GraphOps.symmetrize(e).agg(min(col("src")).as("node"))
     graph.GraphOps.khopDistances(e, seeds, maxHops = 4)
   }
@@ -493,8 +497,11 @@ object Queries {
     * generalized to similarity-derived equivalences). */
   def kgEntityMerge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // checkpoint: the CC closure's internal actions and the final
+    // node-labeling join each re-derive the extraction otherwise
     val e = kgTriples(s, dir)
       .select(col("subj").as("src"), col("obj").as("dst"))
+      .localCheckpoint()
     val simEdges = graph.GraphOps.neighborJaccard(e, minPermille = 500)
       .select(col("node_a").as("src"), col("node_b").as("dst"))
       .as[EquivEdge]
